@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (collect of the already-small result, or a
+count for large results) so the timing covers scan→shuffle→agg, not just
+plan construction. A warmup run of the first query absorbs JVM/codegen
+startup so per-query numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pucminas_data_pipelines_spark.plans import QUERIES
+from pucminas_data_pipelines_spark.session import get_spark
+
+# Headline set: the flagship relational spine plus (as implemented) the
+# heaviest LLM-data operators. Keep this list in sync with SURVEY.md §2.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "events_tumbling_window",
+    "window_topk_orders_per_customer",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warmup: absorb JVM + codegen + parquet footer caching
+    QUERIES[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 4)
+        _ = n
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Query/oracle registry backing the driver contract (__spark_entry__.py).
+
+Every implemented operator registers a named query (PySpark callable
+``(spark, sf_dir) -> DataFrame``) and, when SQL-expressible, a matching
+DuckDB oracle SQL string. The driver compares both at sf=0.01
+(row count + schema + order-insensitive value hash).
+
+Comparability rules enforced by convention here (FIXTURES.md):
+- alias every computed column identically in query and oracle;
+- money/double aggregates go through DECIMAL(18,2/6) sums then cast back to
+  double, so both engines produce bit-identical results (double summation
+  order is nondeterministic; decimal summation is exact and associative);
+- timestamps truncated before output; session timezone UTC everywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle`` is the equivalent DuckDB SQL
+    (omit for genuinely non-SQL-expressible operators → driver falls back
+    to a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
