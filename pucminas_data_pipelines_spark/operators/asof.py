@@ -1,0 +1,82 @@
+"""As-of join: for each left row, the single most recent right row at or
+before the left timestamp (per key). Spark has no built-in ASOF JOIN
+(DuckDB/Pandas do), so we compose it from a conditional join + window dedup
+— plain DataFrame ops, fully Catalyst-optimizable (SURVEY.md §2.3 "range/
+as-of joins via conditional join + window dedup").
+
+Scale notes: the naive conditional join can explode (each left row matches
+every earlier right row). ``asof_join`` therefore:
+- broadcasts the right side when it is small (dimension-style usage), else
+- relies on the equi-key part of the condition so Spark plans a hash join
+  on the key, and the window dedup runs partition-local after a shuffle on
+  the same key (one shuffle reused by join + window via AQE).
+For genuinely huge right sides, pre-aggregate right to the per-key latest
+candidates (e.g. bucket by time range) before calling this.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    how: str = "left",
+    broadcast_right: bool = False,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Join each left row to the closest right row per key.
+
+    direction='backward': right_ts <= left_ts, pick the latest right row.
+    direction='forward':  right_ts >= left_ts, pick the earliest right row.
+    tolerance: optional max distance (e.g. F.expr("INTERVAL 7 DAYS")).
+    tiebreak: right columns ordered desc after the timestamp, so rows tied
+    on right_ts resolve deterministically (essential for differential tests).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lcol, rcol = F.col(left_ts), F.col(right_ts)
+    cond = rcol <= lcol if direction == "backward" else rcol >= lcol
+    if tolerance is not None:
+        if direction == "backward":
+            cond = cond & (rcol >= lcol - tolerance)
+        else:
+            cond = cond & (rcol <= lcol + tolerance)
+
+    # Tag left rows so the window dedup can key on the original row even
+    # when left has no natural unique id.
+    tagged = left.withColumn("__asof_row__", F.monotonically_increasing_id())
+    right_side = F.broadcast(right) if broadcast_right else right
+
+    join_cond = cond
+    for key in on:
+        join_cond = (F.col(f"__l__.{key}") == F.col(f"__r__.{key}")) & join_cond
+
+    joined = tagged.alias("__l__").join(right_side.alias("__r__"), join_cond, how)
+
+    order = [
+        F.col(f"__r__.{right_ts}").desc_nulls_last()
+        if direction == "backward"
+        else F.col(f"__r__.{right_ts}").asc_nulls_last()
+    ]
+    order += [F.col(f"__r__.{c}").desc_nulls_last() for c in tiebreak]
+    w = Window.partitionBy("__asof_row__").orderBy(*order)
+    left_cols = [F.col(f"__l__.{c}") for c in left.columns]
+    right_cols = [
+        F.col(f"__r__.{c}").alias(c) for c in right.columns if c not in set(on)
+    ]
+    return (
+        joined.withColumn("__asof_rank__", F.row_number().over(w))
+        .where(F.col("__asof_rank__") == 1)
+        .select(*left_cols, *right_cols)
+    )

@@ -1,7 +1,13 @@
 """Query catalog: importing this package registers every named query into
 plans.registry.QUERIES / ORACLES (driver contract)."""
 
-from pucminas_data_pipelines_spark.plans import tpch  # noqa: F401
+from pucminas_data_pipelines_spark.plans import (  # noqa: F401
+    aggregates,
+    relational,
+    setops,
+    tpch,
+    windows,
+)
 from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,244 @@
+"""Aggregation operators — SURVEY.md §2.3 (absent from the reference):
+hash aggregates, count-distinct (exact + approx), rollup/cube/grouping sets,
+HAVING, pivot.
+
+Scale: every groupBy here aggregates on low-cardinality keys → map-side
+partial aggregation collapses the shuffle to O(partitions × groups).
+countDistinct expands to a two-phase agg (Catalyst `RewriteDistinctAggregates`);
+approx_count_distinct (HLL++) stays single-pass and is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+
+@query(
+    "agg_basic_stats",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price,
+      ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "sum_price",
+            "min_price",
+            "max_price",
+            F.round(F.col("sum_price") / F.col("n_orders"), 6).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_count_distinct")  # approximate → no SQL oracle (rows-only)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the single-pass 100 TB path where exact
+    countDistinct's double shuffle is too expensive. No oracle: estimates
+    are engine-specific; pytest bounds the relative error instead."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL over a registered view (the SQL-string
+    entry path every DataFrame op also supports)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    ORDER BY o_custkey
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (the scalable form — no extra pass
+    to discover distinct pivot values)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) * 1.8
+    ORDER BY c_custkey
+    """,
+)
+def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (Catalyst rewrites to a broadcast
+    one-row join). avg appears only in the comparison, so float drift
+    cannot flip rows unless a balance sits within ~1e-9 of the threshold."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) * 1.8
+        ORDER BY c_custkey
+        """
+    )

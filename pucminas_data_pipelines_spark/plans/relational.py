@@ -1,0 +1,416 @@
+"""Filters, projections and the full join-type matrix — SURVEY.md §2 (O6,
+O7, O13 + the join categories the reference lacks, §2.3).
+
+All declarative DataFrame API: predicates push to the parquet scan, joins
+pick broadcast-hash for dim tables automatically (threshold set in
+session factory). Every computed column aliased identically to the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators.asof import asof_join
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+
+# --- Filters (reference O6 / O13) ---
+
+
+@query(
+    "filter_isin",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (1, 5, 7, 999, 1000)
+    ORDER BY o_orderkey
+    """,
+)
+def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership filter — reference O6
+    (`sparkcode/titanic_example_delta.py:28` uses "PassengerId IN (1, 5)")."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey").isin(1, 5, 7, 999, 1000))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "filter_sql_string_where",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice < 2000 OR o_totalprice > 390000
+    ORDER BY o_orderkey
+    """,
+)
+def filter_sql_string_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-range predicates given as a SQL string — reference O13
+    (`sparkcode/titanic_example_delta.py:59`)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where("o_totalprice < 2000 OR o_totalprice > 390000")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "filter_null_and_between",
+    oracle="""
+    SELECT c_custkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal IS NOT NULL
+      AND c_acctbal BETWEEN 0 AND 1000
+      AND c_mktsegment <> 'MACHINERY'
+    ORDER BY c_custkey
+    """,
+)
+def filter_null_and_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-test + BETWEEN + inequality predicates (category: full predicate
+    suite, SURVEY §2.3)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.where(
+            F.col("c_acctbal").isNotNull()
+            & F.col("c_acctbal").between(0, 1000)
+            & (F.col("c_mktsegment") != "MACHINERY")
+        )
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --- Projections (reference O7) ---
+
+
+@query(
+    "project_literal_replace",
+    oracle="""
+    SELECT o_orderkey, 1 AS audited, o_orderstatus
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    ORDER BY o_orderkey
+    """,
+)
+def project_literal_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overwrite/add a column with a literal — reference O7
+    (`sparkcode/titanic_example_delta.py:29`, `withColumn('Survived', lit(1))`)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderstatus") == "P")
+        .withColumn("audited", F.lit(1))
+        .select("o_orderkey", "audited", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "project_cast_arithmetic",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CAST(l_quantity AS INTEGER) AS qty_int,
+      CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS net_price_dec,
+      CASE WHEN l_discount > 0.05 THEN 'discounted' ELSE 'full' END AS price_class
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def project_cast_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts, arithmetic and CASE WHEN in projection (SURVEY §2.3
+    select/selectExpr/cast)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("net_price_dec"),
+            F.when(F.col("l_discount") > 0.05, "discounted")
+            .otherwise("full")
+            .alias("price_class"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --- Join-type matrix (SURVEY §2.3: inner/left/right/full/semi/anti/cross) ---
+
+
+def _orders_nation(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return o, c, n
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 350000
+    ORDER BY o_orderkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c, _ = _orders_nation(spark, sf_dir)
+    return (
+        o.where(F.col("o_totalprice") > 350000)
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 390000
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side filter in the ON clause (semantics differ
+    from WHERE — kept rows get nulls)."""
+    o, c, _ = _orders_nation(spark, sf_dir)
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_totalprice > 390000),
+            "left",
+        )
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, c_custkey
+    FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey AND c_custkey <= 50
+    ORDER BY n_nationkey, c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c, n = _orders_nation(spark, sf_dir)
+    return (
+        c.join(
+            n,
+            (c.c_nationkey == n.n_nationkey) & (c.c_custkey <= 50),
+            "right",
+        )
+        .select("n_nationkey", "n_name", "c_custkey")
+        .orderBy("n_nationkey", "c_custkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH big AS (SELECT * FROM orders WHERE o_totalprice > 390000),
+         south AS (SELECT * FROM customer WHERE c_nationkey < 5)
+    SELECT c_custkey, o_orderkey
+    FROM south FULL OUTER JOIN big ON c_custkey = o_custkey
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c, _ = _orders_nation(spark, sf_dir)
+    big = o.where(F.col("o_totalprice") > 390000)
+    south = c.where(F.col("c_nationkey") < 5)
+    return (
+        south.join(big, south.c_custkey == big.o_custkey, "full_outer")
+        .select("c_custkey", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 380000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c, _ = _orders_nation(spark, sf_dir)
+    return (
+        c.join(
+            o.where(F.col("o_totalprice") > 380000),
+            c.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    ORDER BY c_custkey
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c, _ = _orders_nation(spark, sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT n_name, r_name
+    FROM nation CROSS JOIN region
+    ORDER BY n_name, r_name
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(r).select("n_name", "r_name").orderBy("n_name", "r_name")
+
+
+@query(
+    "join_broadcast_hint",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dim side (SURVEY §2.3) — at 100 TB the fact
+    side never shuffles for dim joins; the 25-row nation table ships to every
+    executor."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s_suppkey, c_custkey
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal AND c_custkey <= 200
+    ORDER BY s_suppkey, c_custkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi part (nationkey) gives Catalyst a hash-join key;
+    the inequality is a post-join residual — the scalable shape for
+    theta joins (pure inequality would force nested-loop)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    WHERE l_orderkey <= 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: equi key + time-band condition (ship within 30 days of
+    order)."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 500)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate >= o.o_orderdate)
+            & (l.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_id <= 500),
+    j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey, o_orderdate
+    FROM j WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): latest order at-or-before each event,
+    per user, ties on o_orderdate broken by max o_orderkey so the result is
+    deterministic across engines."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return (
+        asof_join(
+            e.select("event_id", "user_id", "ts"),
+            o,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="o_orderdate",
+            direction="backward",
+            broadcast_right=True,
+            tiebreak=["o_orderkey"],
+        )
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    )

@@ -1,0 +1,201 @@
+"""Window functions — SURVEY.md §2.3 (rank family, lag/lead, ntile, frames,
+top-k per group). Absent from the reference; first-class here.
+
+Every orderBy inside a window includes a unique tiebreak column so results
+are deterministic across engines. Scale: a window's partitionBy is a single
+shuffle; Catalyst chains multiple windows over the same partitioning into
+one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+      ROW_NUMBER() OVER w AS rn,
+      RANK() OVER w AS rnk,
+      DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WHERE o_custkey <= 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 20)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+      LAG(event_type) OVER w AS prev_type,
+      LEAD(event_type) OVER w AS next_type,
+      CAST(epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) AS BIGINT) AS ms_since_prev
+    FROM events
+    WHERE user_id <= 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over event streams + inter-event gap in milliseconds
+    (ms granularity so ns-vs-µs storage differences can't leak in)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer div: exact floor to ms (matches DuckDB epoch_ms)
+    ms = F.expr("unix_micros(ts) div 1000")
+    prev_ms = F.expr("unix_micros(lag(ts) over (partition by user_id order by ts, event_id)) div 1000")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            (ms - prev_ms).alias("ms_since_prev"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_spend
+    FROM orders
+    WHERE o_custkey <= 20
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with an explicit ROWS frame (decimal-exact running
+    total so both engines agree bit-for-bit)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 20)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_sliding_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS last3_spend
+    FROM orders
+    WHERE o_custkey <= 20
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 20)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("last3_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+      NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_custkey",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("balance_quartile"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank_in_cust
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the scalable pattern (rank ≤ k after one shuffle on
+    the group key), never a per-group collect."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank_in_cust", F.row_number().over(w))
+        .where(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+        .orderBy("o_custkey", "rank_in_cust")
+    )

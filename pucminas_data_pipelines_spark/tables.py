@@ -43,8 +43,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         df = spark.read.parquet(path)  # schema on disk: ts as long (nanos)
+        # integer `div` keeps the ns→µs truncation exact (double division
+        # would lose sub-µs bits at 1e18 magnitudes)
         return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.schema(schemas.struct(name)).parquet(path)
 
