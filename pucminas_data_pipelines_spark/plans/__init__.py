@@ -3,7 +3,9 @@ plans.registry.QUERIES / ORACLES (driver contract)."""
 
 from pucminas_data_pipelines_spark.plans import (  # noqa: F401
     aggregates,
+    events,
     relational,
+    scalars,
     setops,
     tpch,
     windows,

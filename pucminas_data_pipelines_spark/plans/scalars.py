@@ -1,0 +1,265 @@
+"""Scalar function suites — SURVEY.md §2.3 (string / date / math / array /
+map / json). The reference uses only ``lit`` (O7); this module covers the
+full built-in surface. Everything is JVM-side Catalyst expressions inside
+whole-stage codegen — zero Python in the row path.
+
+Cross-engine notes baked into the oracles:
+- Spark regexp_replace is global by default; DuckDB needs the 'g' flag.
+- transcendentals (ln/exp) may differ in the last ulp between libm and the
+  JVM → always rounded to 6 before comparison.
+- array element access is 1-indexed in both engines (element_at / [n]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+
+@query(
+    "scalar_string_suite",
+    oracle="""
+    SELECT
+      c_custkey,
+      UPPER(c_mktsegment) AS seg_upper,
+      LOWER(c_name) AS name_lower,
+      SUBSTRING(c_name, 1, 8) AS name_prefix,
+      CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+      c_name || '|' || c_mktsegment AS name_seg,
+      REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS cust_digits,
+      REGEXP_REPLACE(c_name, '0+', '0', 'g') AS name_squashed,
+      CAST(CONTAINS(c_name, '99') AS INTEGER) AS has_99,
+      LTRIM(RTRIM('  ' || c_mktsegment || ' ')) AS seg_trim
+    FROM customer
+    WHERE c_custkey <= 300
+    ORDER BY c_custkey
+    """,
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("cust_digits"),
+        F.regexp_replace("c_name", "0+", "0").alias("name_squashed"),
+        F.col("c_name").contains("99").cast("int").alias("has_99"),
+        F.ltrim(F.rtrim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" ")))).alias(
+            "seg_trim"
+        ),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "scalar_date_suite",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+      CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+      CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+      CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+      CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+      CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER)
+        AS days_to_2002,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS due_date
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_2002"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_math_suite",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      ROUND(l_extendedprice, 1) AS price_round1,
+      ABS(l_discount - 0.05) AS disc_dev,
+      CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+      CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+      SQRT(l_extendedprice) AS price_sqrt,
+      ROUND(LN(l_extendedprice), 6) AS price_ln,
+      l_quantity * l_quantity AS qty_sq,
+      CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "scalar_null_handling",
+    oracle="""
+    SELECT
+      c_custkey,
+      COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+      CAST(NULLIF(c_mktsegment, 'BUILDING') IS NULL AS INTEGER) AS is_building,
+      IFNULL(NULLIF(c_nationkey, 0), -1) AS nation_or_neg
+    FROM customer
+    WHERE c_custkey <= 200
+    ORDER BY c_custkey
+    """,
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-generating and NULL-absorbing functions (three-valued logic —
+    the nullable-cell discipline of reference O8)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg_null, F.lit("OTHER")).alias("seg_or_other"),
+        seg_null.isNull().cast("int").alias("is_building"),
+        F.ifnull(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias(
+            "nation_or_neg"
+        ),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+      json_extract_string(props, '$.k') AS k_text,
+      CAST(json_extract_string(props, '$.missing') AS INTEGER) AS missing_value
+    FROM events
+    WHERE event_id <= 1000
+    ORDER BY event_id
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction over events.props (SURVEY §1.3 extension
+    types): get_json_object + from_json-equivalent typed access."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 1000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.get_json_object("props", "$.k").alias("k_text"),
+        F.get_json_object("props", "$.missing").cast("int").alias("missing_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "scalar_json_schema",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema, then aggregate over the parsed
+    struct field (the scalable path: parse once, prune to needed fields)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("props_s", F.from_json("props", "k int"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("props_s.k")).alias("sum_k"),
+            F.min(F.col("props_s.k")).alias("min_k"),
+            F.max(F.col("props_s.k")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "scalar_array_suite",
+    oracle="""
+    SELECT
+      vec_id,
+      CAST(LEN(embedding) AS INTEGER) AS dim,
+      embedding[1] AS first_component,
+      ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_norm,
+      ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6) AS max_component,
+      CAST(LEN(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+    WHERE vec_id <= 100
+    ORDER BY vec_id
+    """,
+)
+def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array built-ins incl. higher-order functions (transform/filter/
+    aggregate) over the embedding column — all Catalyst expressions, the
+    basis for the vector-similarity operators."""
+    em = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 100)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_component"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+        F.round(F.array_max(dbl), 6).alias("max_component"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "scalar_map_suite",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_map,
+      1 AS n_keys
+    FROM events
+    WHERE event_id <= 500
+    ORDER BY event_id
+    """,
+)
+def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType path: parse JSON into map<string,int>, then map_keys/values
+    access (SURVEY §1.3: events.props → from_json/MapType)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    ).orderBy("event_id")
