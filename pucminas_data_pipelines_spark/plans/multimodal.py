@@ -1,0 +1,80 @@
+"""Multimodal column queries — binary payload plumbing + stubbed decode
+(SURVEY.md M5 / task brief: schema, partitioning, UDF signature and batch
+shape are real; only the codec is a deterministic fake)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators import multimodal as M
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+      CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+      'png' AS format,
+      md5(text) AS checksum
+    FROM documents
+    ORDER BY asset_id
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata struct (byte length, format
+    tag, content checksum) — all expression-level, no decode needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.attach_binary_payload(docs, "doc_id", "text")
+    return assets.select(
+        "asset_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.checksum").alias("checksum"),
+    ).orderBy("asset_id")
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id AS asset_id,
+      CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+      'png' AS format,
+      CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+      CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+    FROM documents
+    ORDER BY asset_id
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (stub codec): the oracle reproduces
+    the stub's deterministic geometry; the feature vector column is checked
+    by pytest (not SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.attach_binary_payload(docs, "doc_id", "text")
+    return (
+        M.decode_assets(assets)
+        .select("asset_id", "byte_len", "format", "width", "height")
+        .orderBy("asset_id")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+      CAST(j AS INTEGER) AS frame_no,
+      CAST(j * 64 AS INTEGER) AS "offset"
+    FROM documents CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j)
+    WHERE j * 64 < octet_length(encode(text))
+    ORDER BY asset_id, frame_no
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video analogue): bounded per-asset slice
+    positions, expression-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.attach_binary_payload(docs, "doc_id", "text")
+    return M.sample_frames(assets).orderBy("asset_id", "frame_no")

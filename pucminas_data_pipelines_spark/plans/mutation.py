@@ -1,0 +1,127 @@
+"""Mutation-layer queries: the reference's signature scenario — overwrite
+→ filter+rewrite → union new rows → MERGE upsert → time travel → delete —
+replayed on the Parquet versioned-table façade (operators/upsert.py;
+reference sparkcode/titanic_example_delta.py:25-70).
+
+These queries are self-contained (in-code fixture, deterministic), so the
+oracle is a literal VALUES table of the expected post-state — a real
+end-to-end check of merge semantics, not just a rows-count."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.fixtures import (
+    TITANIC_BASE_ROWS,
+    TITANIC_DDL,
+    TITANIC_NEW_ROWS,
+)
+from pucminas_data_pipelines_spark.io import from_rows
+from pucminas_data_pipelines_spark.operators.upsert import ParquetVersionedTable
+from pucminas_data_pipelines_spark.plans.registry import query
+
+_LOWER_COLS = [
+    "passengerid", "survived", "pclass", "name", "sex", "age",
+    "sibsp", "parch", "ticket", "fare", "cabin", "embarked",
+]
+
+_TYPED_SELECT = """
+    SELECT CAST(passengerid AS INTEGER) AS passengerid,
+           CAST(survived AS INTEGER) AS survived,
+           CAST(pclass AS INTEGER) AS pclass,
+           CAST(name AS VARCHAR) AS name,
+           CAST(sex AS VARCHAR) AS sex,
+           CAST(age AS DOUBLE) AS age,
+           CAST(sibsp AS INTEGER) AS sibsp,
+           CAST(parch AS INTEGER) AS parch,
+           CAST(ticket AS VARCHAR) AS ticket,
+           CAST(fare AS DOUBLE) AS fare,
+           CAST(cabin AS VARCHAR) AS cabin,
+           CAST(embarked AS VARCHAR) AS embarked
+    FROM (VALUES {rows}) t(passengerid, survived, pclass, name, sex, age,
+                           sibsp, parch, ticket, fare, cabin, embarked)
+    ORDER BY passengerid
+"""
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        escaped = v.replace("'", "''")
+        return f"'{escaped}'"
+    return repr(v)
+
+
+def _values(rows: list[tuple]) -> str:
+    return ", ".join("(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows)
+
+
+def _expected_merged() -> list[tuple]:
+    merged = []
+    for r in TITANIC_BASE_ROWS:
+        if r[0] in (1, 5):
+            merged.append((r[0], 1) + r[2:])  # Survived ← 1
+        else:
+            merged.append(r)
+    return merged + list(TITANIC_NEW_ROWS)
+
+
+def _run_scenario(spark: SparkSession, path: str) -> ParquetVersionedTable:
+    """Replays sparkcode/titanic_example_delta.py:25-51 on the façade:
+    overwrite v0 → (keys 1,5 → Survived=1) ∪ (rows 892,893) → MERGE."""
+    shutil.rmtree(path, ignore_errors=True)
+    base = from_rows(spark, TITANIC_BASE_ROWS, TITANIC_DDL)
+    table = ParquetVersionedTable(spark, path)
+    table.overwrite(base)  # version 0 (reference O5)
+    changed = base.where(F.col("PassengerId").isin(1, 5)).withColumn(
+        "Survived", F.lit(1)
+    )  # O6 + O7
+    newrows = from_rows(spark, TITANIC_NEW_ROWS, TITANIC_DDL)  # O8
+    table.merge(changed.union(newrows), key="PassengerId")  # O9 + O11 → version 1
+    return table
+
+
+def _lowered(df: DataFrame) -> DataFrame:
+    return df.select(
+        *[F.col(c).alias(c.lower()) for c in df.columns]
+    ).orderBy("passengerid")
+
+
+@query(
+    "mutation_merge_upsert",
+    oracle=_TYPED_SELECT.format(rows=_values(_expected_merged())),
+)
+def mutation_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-MERGE table state (reference O11 semantics:
+    whenMatchedUpdateAll + whenNotMatchedInsertAll)."""
+    table = _run_scenario(spark, "/root/repo/.tmp/titanic_merge")
+    return _lowered(table.read())
+
+
+@query(
+    "mutation_time_travel",
+    oracle=_TYPED_SELECT.format(rows=_values(TITANIC_BASE_ROWS)),
+)
+def mutation_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """versionAsOf=0 read after the merge (reference O15): the pre-merge
+    snapshot must be intact."""
+    table = _run_scenario(spark, "/root/repo/.tmp/titanic_timetravel")
+    return _lowered(table.read(version_as_of=0))
+
+
+@query(
+    "mutation_delete_where",
+    oracle=_TYPED_SELECT.format(
+        rows=_values([r for r in _expected_merged() if not (r[1] == 0)])
+    ),
+)
+def mutation_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE survived = 0 on top of the merged state (the Delta
+    delete clause family on the Parquet façade)."""
+    table = _run_scenario(spark, "/root/repo/.tmp/titanic_delete")
+    table.delete_where(F.col("Survived") == 0)
+    return _lowered(table.read())

@@ -1,0 +1,37 @@
+"""Live Structured Streaming queries for the driver (rows-only: streaming
+execution isn't SQL-expressible for DuckDB, but plans.events holds the
+batch-equivalent oracles for the same operators — tests assert the
+streaming and batch results agree)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.streaming import jobs
+
+
+@query("streaming_tumbling_window_live")  # streaming → rows-only
+def streaming_tumbling_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → watermark → 1h tumbling counts → AvailableNow → memory
+    sink. Same semantics as events_tumbling_window (which carries the
+    oracle)."""
+    events = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_memory(jobs.tumbling_counts(events)).orderBy(
+        "window_start", "event_type"
+    )
+
+
+@query("streaming_dedup_live")  # streaming → rows-only
+def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup on event_id, counted per type."""
+    from pyspark.sql import functions as F
+
+    events = jobs.read_events_stream(spark, sf_dir)
+    deduped = jobs.dedup_within_watermark(events).select("event_id", "event_type")
+    out = jobs.run_to_memory(deduped, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,113 @@
+"""Structured Streaming jobs over the events table — SURVEY.md §7 M4.
+
+Real readStream pipelines (not batch stand-ins): file source with explicit
+schema, watermarks, tumbling-window aggregation, watermarked dedup, and a
+foreachBatch upsert sink into the versioned table. Driven with the
+Trigger.AvailableNow pattern (process everything, then stop) so the same
+code serves both tests and a long-running deployment.
+
+Scale: event-time windows + watermark bound the state store; the
+foreachBatch sink gives exactly-once-per-batch upserts (idempotent MERGE on
+the key) — the standard streaming-lakehouse pattern.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators.upsert import ParquetVersionedTable
+from pucminas_data_pipelines_spark.session import configure_session
+
+# Disk schema of events.parquet (ts = nanos-since-epoch long; see tables.py).
+_EVENTS_DISK_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with the canonical
+    logical schema (ts converted to TimestampType)."""
+    configure_session(spark)
+    # the testdata table is a single file; the streaming file source wants
+    # a directory, so point at the dir and glob-filter to this table
+    raw = (
+        spark.readStream.schema(_EVENTS_DISK_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Windowed aggregation with late-data watermark — the streaming twin
+    of plans.events.events_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on the event key, state bounded by the
+    watermark (dropDuplicatesWithinWatermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; returns the result as a batch DataFrame."""
+    table = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table)
+
+
+def run_foreachbatch_upsert(
+    stream_df: DataFrame,
+    table_path: str,
+    key: str,
+) -> ParquetVersionedTable:
+    """foreachBatch sink: MERGE every micro-batch into a versioned table
+    (idempotent upsert on the key)."""
+    spark = stream_df.sparkSession
+    target = ParquetVersionedTable(spark, table_path)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if target.latest_version() < 0:
+            target.overwrite(batch_df)
+        else:
+            target.merge(batch_df, key=key, broadcast_source=False)
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return target

@@ -1,0 +1,86 @@
+"""Semantics tests for the probabilistic dedup operators (planted
+duplicates — the differential oracle can't cover these)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators import dedup as D
+from pucminas_data_pipelines_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """50 base docs + exact copies of 5 + near-copies (one token changed)
+    of 5 more."""
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    exact = (
+        docs.where(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.where(F.col("doc_id").between(5, 9))
+        .select(
+            (F.col("doc_id") + 2000).alias("doc_id"),
+            F.concat(F.lit("zzz "), F.expr("substring(text, 5)")).alias("text"),
+        )
+    )
+    return docs.union(exact).union(near)
+
+
+def test_exact_duplicates(spark, planted):
+    groups = D.exact_duplicates(planted, "doc_id", "text", normalized=False)
+    dups = {
+        r["representative_id"]: r["n_copies"]
+        for r in groups.where(F.col("n_copies") > 1).collect()
+    }
+    assert dups == {i: 2 for i in range(5)}
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, planted):
+    pairs = D.minhash_lsh_pairs(
+        planted, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact copies must be found with est_jaccard ~1
+    for i in range(5):
+        assert (i, i + 1000) in found, f"exact pair {i} missed"
+    # near-copies (one leading token changed) should be found too
+    near_hits = sum((i, i + 2000) in found for i in range(5, 10))
+    assert near_hits >= 4, f"only {near_hits}/5 near pairs found"
+
+
+def test_minhash_estimate_close_to_true_jaccard(spark, planted):
+    pairs = D.minhash_lsh_pairs(
+        planted, "doc_id", "text", num_hashes=64, bands=16, threshold=0.2
+    )
+    verified = D.ngram_jaccard_pairs(pairs, planted, "doc_id", "text", threshold=0.0)
+    joined = pairs.join(verified, ["id_a", "id_b"]).select("est_jaccard", "jaccard")
+    for r in joined.collect():
+        assert abs(r["est_jaccard"] - r["jaccard"]) < 0.35  # 64 hashes → coarse
+
+
+def test_simhash_near_zero_hamming_for_copies(spark, planted):
+    sh = D.simhash(planted, "doc_id", "text")
+    by_id = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    for i in range(5):
+        assert by_id[i] == by_id[i + 1000]  # identical text → identical simhash
+    pairs = D.simhash_neardup_pairs(planted, "doc_id", "text", max_hamming=3)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, i + 1000) in found
+
+
+def test_embedding_neardup_self_similarity(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").where(F.col("vec_id") < 30)
+    dup = emb.select((F.col("vec_id") + 500).alias("vec_id"), "embedding", "label")
+    both = emb.union(dup)
+    pairs = D.embedding_neardup_pairs(both, "vec_id", "embedding", threshold=0.999)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 500) for i in range(30)} <= found

@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests: binary payloads, mapInPandas decode stub,
+frame sampling — the Spark-side machinery is real even though the codec is
+stubbed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators import multimodal as M
+from pucminas_data_pipelines_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _assets(spark, n=20):
+    docs = load_table(spark, SF_SMOKE, "documents").where(F.col("doc_id") < n)
+    return docs, M.attach_binary_payload(docs, "doc_id", "text")
+
+
+def test_payload_roundtrip(spark):
+    docs, assets = _assets(spark)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in assets.collect():
+        assert bytes(r["payload"]).decode("utf-8") == texts[r["asset_id"]]
+        assert r["meta"]["byte_len"] == len(texts[r["asset_id"]].encode())
+
+
+def test_decode_stub_matches_local_reference(spark):
+    docs, assets = _assets(spark)
+    decoded = {r["asset_id"]: r for r in M.decode_assets(assets).collect()}
+    for r in docs.collect():
+        payload = r["text"].encode()
+        width, height, feature = M.decode_stub(payload, "png")
+        got = decoded[r["doc_id"]]
+        assert (got["width"], got["height"]) == (width, height)
+        assert list(got["feature"]) == pytest.approx(feature)
+        assert got["byte_len"] == len(payload)
+
+
+def test_decode_stub_rejects_unknown_format():
+    with pytest.raises(NotImplementedError):
+        M.decode_stub(b"xx", "mp4")
+
+
+def test_frame_sample_counts(spark):
+    docs, assets = _assets(spark)
+    frames = M.sample_frames(assets, every_nth_byte=64, max_frames=4)
+    counts = {r[0]: r[1] for r in frames.groupBy("asset_id").count().collect()}
+    lens = {r["doc_id"]: len(r["text"].encode()) for r in docs.collect()}
+    for did, n in counts.items():
+        expected = min(4, (lens[did] + 63) // 64)
+        assert n == expected

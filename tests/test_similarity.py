@@ -1,0 +1,64 @@
+"""Similarity-search tests: BLAS path agrees with the expression path;
+LSH ANN recall is bounded below vs exact top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators import similarity as S
+from pucminas_data_pipelines_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _topk_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine"]))
+    return out
+
+
+def test_pandas_path_matches_expression_path(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    expr = _topk_map(S.brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", k=5))
+    blas = _topk_map(
+        S.brute_force_topk_pandas(q, emb, "vec_id", "vec_id", "embedding", k=5)
+    )
+    assert expr.keys() == blas.keys()
+    for qid in expr:
+        e_ids = [n for n, _ in expr[qid]]
+        b_ids = [n for n, _ in blas[qid]]
+        assert e_ids == b_ids, f"query {qid}: {e_ids} vs {b_ids}"
+        for (_, ce), (_, cb) in zip(expr[qid], blas[qid]):
+            assert abs(ce - cb) < 1e-5
+
+
+def test_lsh_ann_recall(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = _topk_map(S.brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", k=5))
+    approx = _topk_map(
+        S.lsh_ann_topk(
+            q, emb, "vec_id", "vec_id", "embedding", k=5, n_planes=4, n_tables=8
+        )
+    )
+    hits = total = 0
+    for qid, exact_list in exact.items():
+        exact_ids = {n for n, _ in exact_list}
+        approx_ids = {n for n, _ in approx.get(qid, [])}
+        hits += len(exact_ids & approx_ids)
+        total += len(exact_ids)
+    recall = hits / total
+    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+
+
+def test_lsh_self_match(spark):
+    """A vector's own bucket always contains it → querying with
+    exclude_self=False must return the vector itself at rank 1."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    res = S.lsh_ann_topk(
+        q, emb, "vec_id", "vec_id", "embedding", k=1, exclude_self=False
+    )
+    rows = {r["query_id"]: r["neighbor_id"] for r in res.collect()}
+    assert rows == {i: i for i in range(5)}

@@ -1,0 +1,88 @@
+"""Mutation-layer tests: the Parquet versioned table must reproduce the
+reference's Delta scenario semantics (sparkcode/titanic_example_delta.py:
+25-72): overwrite → merge upsert → time travel → manifest, plus delete."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.fixtures import (
+    TITANIC_BASE_ROWS,
+    TITANIC_DDL,
+    TITANIC_NEW_ROWS,
+)
+from pucminas_data_pipelines_spark.io import from_rows
+from pucminas_data_pipelines_spark.operators.upsert import ParquetVersionedTable
+
+PATH = "/root/repo/.tmp/test_upsert"
+
+
+@pytest.fixture()
+def table(spark):
+    shutil.rmtree(PATH, ignore_errors=True)
+    yield ParquetVersionedTable(spark, PATH)
+    shutil.rmtree(PATH, ignore_errors=True)
+
+
+def _scenario(spark, table):
+    base = from_rows(spark, TITANIC_BASE_ROWS, TITANIC_DDL)
+    table.overwrite(base)
+    changed = base.where(F.col("PassengerId").isin(1, 5)).withColumn(
+        "Survived", F.lit(1)
+    )
+    newrows = from_rows(spark, TITANIC_NEW_ROWS, TITANIC_DDL)
+    table.merge(changed.union(newrows), key="PassengerId")
+    return table
+
+
+def test_merge_upsert_semantics(spark, table):
+    _scenario(spark, table)
+    rows = {r["PassengerId"]: r for r in table.read().collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 892, 893}
+    assert rows[1]["Survived"] == 1 and rows[5]["Survived"] == 1  # updated
+    assert rows[2]["Survived"] == 1 and rows[6]["Survived"] == 0  # untouched
+    assert rows[1]["Name"] == "Braund, Mr. Owen Harris"  # non-key cols kept
+    assert rows[892]["Fare"] == 100.0 and rows[893]["Cabin"] == "B42"  # inserted
+    assert rows[6]["Age"] is None  # None cells survive the round-trip
+
+
+def test_time_travel_and_history(spark, table):
+    _scenario(spark, table)
+    assert table.history() == [0, 1]
+    v0 = {r["PassengerId"]: r for r in table.read(version_as_of=0).collect()}
+    assert set(v0) == {1, 2, 3, 4, 5, 6}
+    assert v0[1]["Survived"] == 0  # pre-merge state intact
+    with pytest.raises(ValueError):
+        table.read(version_as_of=7)
+
+
+def test_merge_aligns_source_column_order(spark, table):
+    base = from_rows(spark, TITANIC_BASE_ROWS, TITANIC_DDL)
+    table.overwrite(base)
+    shuffled = base.select(*reversed(base.columns)).where(
+        F.col("PassengerId") == 1
+    ).withColumn("Survived", F.lit(1))
+    table.merge(shuffled, key="PassengerId")
+    row = table.read().where(F.col("PassengerId") == 1).collect()[0]
+    assert row["Survived"] == 1 and row["Name"] == "Braund, Mr. Owen Harris"
+
+
+def test_delete_where(spark, table):
+    _scenario(spark, table)
+    table.delete_where(F.col("Survived") == 0)
+    ids = {r["PassengerId"] for r in table.read().collect()}
+    assert ids == {1, 2, 3, 4, 5, 892, 893}  # 6 dropped (Survived=0)
+    assert table.history() == [0, 1, 2]
+
+
+def test_manifest_generation(spark, table):
+    _scenario(spark, table)
+    manifest = table.generate_manifest()
+    assert os.path.exists(manifest)
+    files = open(manifest).read().strip().splitlines()
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert all(f"v={table.latest_version()}" in f for f in files)
