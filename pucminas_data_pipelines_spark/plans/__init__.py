@@ -10,8 +10,11 @@ from pucminas_data_pipelines_spark.plans import (  # noqa: F401
     relational,
     scalars,
     setops,
+    sources,
+    stats,
     streaming_live,
     tpch,
+    udfs,
     windows,
 )
 from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES

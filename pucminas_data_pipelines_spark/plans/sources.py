@@ -1,0 +1,143 @@
+"""Source/sink format coverage — SURVEY.md §2.1 O4 (schema'd CSV with
+sep=';'), O5 (sink modes), O8 (local rows) + §2.3 additions (JSON,
+partitioned parquet sink, append mode).
+
+Each query round-trips engine-written data through the format under test
+and returns a deterministic result with a literal or testdata oracle, so
+the driver verifies the full write→read path, not just the reader."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark import io
+from pucminas_data_pipelines_spark.fixtures import TITANIC_BASE_ROWS, TITANIC_DDL
+from pucminas_data_pipelines_spark.plans.mutation import _TYPED_SELECT, _values
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+_TMP = "/root/repo/.tmp"
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle=_TYPED_SELECT.format(rows=_values(TITANIC_BASE_ROWS)),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O4 exactly: header'd ';'-separated CSV scanned with an
+    explicit DDL schema (sparkcode/titanic_example_delta.py:19-22) — here
+    round-tripped: engine writes the CSV, engine reads it back."""
+    path = f"{_TMP}/titanic_csv"
+    shutil.rmtree(path, ignore_errors=True)
+    base = io.from_rows(spark, TITANIC_BASE_ROWS, TITANIC_DDL)
+    base.write.options(header=True, sep=";").mode("overwrite").csv(path)
+    back = io.read_csv(spark, path, schema=TITANIC_DDL, header=True, sep=";")
+    return back.select(
+        *[F.col(c).alias(c.lower()) for c in back.columns]
+    ).orderBy("passengerid")
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines sink + schema'd JSON scan (no inference pass)."""
+    path = f"{_TMP}/orders_json"
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    io.write(o, path, fmt="json", mode="overwrite")
+    back = io.read_json(
+        spark, path, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    )
+    return back.select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy(
+        "o_orderkey"
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink (partitionBy returnflag) +
+    partition-pruned read-back. At 100 TB, partition layout is the first
+    line of defense: a reader filtering on the partition column touches
+    only matching directories (verified by plan tests)."""
+    path = f"{_TMP}/lineitem_partitioned"
+    shutil.rmtree(path, ignore_errors=True)
+    l = load_table(spark, sf_dir, "lineitem")
+    io.write(l, path, fmt="parquet", mode="overwrite", partition_by=["l_returnflag"])
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "sink_append_mode",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM (
+      SELECT o_orderstatus FROM orders WHERE o_orderkey <= 100
+      UNION ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderkey BETWEEN 101 AND 200
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sink_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode sink: two writes accumulate (vs O5's overwrite)."""
+    path = f"{_TMP}/orders_append"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    io.write(o.where(F.col("o_orderkey") <= 100), path, mode="overwrite")
+    io.write(
+        o.where(F.col("o_orderkey").between(101, 200)), path, mode="append"
+    )
+    return (
+        spark.read.schema("o_orderkey bigint, o_orderstatus string")
+        .parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "source_local_rows",
+    oracle=_TYPED_SELECT.format(rows=_values(TITANIC_BASE_ROWS[:3])),
+)
+def source_local_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O8: createDataFrame from local tuples with None cells
+    (sparkcode/titanic_example_delta.py:30-34)."""
+    df = io.from_rows(spark, TITANIC_BASE_ROWS[:3], TITANIC_DDL)
+    return df.select(
+        *[F.col(c).alias(c.lower()) for c in df.columns]
+    ).orderBy("passengerid")

@@ -1,0 +1,142 @@
+"""Statistical aggregates + array expansion — SURVEY.md §2.3 leftovers:
+percentiles, variance/stddev (drift-free manual formula), correlation,
+explode/posexplode (UDTF-style expansion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+
+@query(
+    "agg_percentile_interpolated",
+    oracle="""
+    SELECT event_type,
+      ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_percentile_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont: both linear-interpolate between order statistics)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("agg_percentile_approx")  # sketch-based → engine-specific, rows-only
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) — the single-pass 100 TB path
+    for quantiles; pytest bounds its error against the exact percentile."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_variance_manual",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+      ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+      ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via exact decimal moment sums (Σx, Σx²) —
+    drift-free across engines, unlike the built-in one-pass stddev whose
+    accumulation order is nondeterministic. (l_quantity is 2-decimal so
+    x² is exactly a 4-decimal value — the DECIMAL(28,4) cast is lossless.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+    SELECT doc_id, t.token
+    FROM documents, UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t(token)
+    WHERE doc_id < 20
+    ORDER BY doc_id, token
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-style row expansion: explode the token array (the map phase of
+    any token-level corpus statistic)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).orderBy("doc_id", "token")
+
+
+@query(
+    "explode_token_frequencies",
+    oracle="""
+    SELECT t.token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM documents, UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t(token)
+    GROUP BY t.token
+    ORDER BY freq DESC, t.token
+    LIMIT 20
+    """,
+)
+def explode_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term + document frequencies (explode → two-level agg) — the
+    vocabulary-statistics primitive for tokenizer work."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(20)
+    )

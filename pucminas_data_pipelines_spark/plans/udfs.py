@@ -1,0 +1,153 @@
+"""UDF / UDAF / UDTF category — SURVEY.md §2.3. Demonstrates the engine's
+Python extension tiers with their cost model made explicit:
+
+1. pandas_udf (scalar)      — Arrow-batched, the default Python path
+2. pandas_udf (grouped agg) — vectorized UDAF
+3. applyInPandas            — grouped map (per-group pandas frame)
+4. F.udf (row-at-a-time)    — the slow path, registered to prove surface
+                              coverage; never used in hot paths
+
+Each has a built-in-function oracle: the UDF computes something SQL can
+verify, so the differential test checks the Python boundary end-to-end
+(Arrow serialization, type mapping, null handling)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF; numpy elementwise ops are IEEE
+    doubles, so results match the SQL expression bit-for-bit.
+
+    (UDFs are defined inside the function: pandas_udf needs an active
+    session, and queries may run under a driver-owned one.)"""
+
+    @pandas_udf("double")
+    def _net_price(ext: pd.Series, disc: pd.Series) -> pd.Series:
+        return ext * (1.0 - disc)
+
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_net_price(F.col("l_extendedprice"), F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized UDAF (grouped-agg pandas_udf): per-group numpy reduction
+    (sum of cent-quantized int64 — exact, order-independent, mirroring the
+    engine's decimal-sum discipline inside a UDAF)."""
+
+    @pandas_udf("double")
+    def _decimalish_sum(price: pd.Series) -> float:
+        return float((price * 100).round().astype("int64").sum()) / 100.0
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(_decimalish_sum(F.col("o_totalprice")).alias("total_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "udf_apply_in_pandas",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+        AS price_dev
+    FROM orders
+    WHERE o_custkey <= 20
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer mean-centering — the
+    custom-stateful-operator pattern (one pandas frame per group).
+
+    Mean is computed from cent-quantized int64 (exact) so it equals SQL
+    AVG over the same doubles after rounding."""
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+        mean = float(cents.sum()) / 100.0 / len(cents)
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "price_dev": (pdf["o_totalprice"] - mean).round(4),
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 20)
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(center, "o_custkey bigint, o_orderkey bigint, price_dev double")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "udf_python_rowwise",
+    oracle="""
+    SELECT o_orderpriority,
+      LOWER(TRIM(SPLIT_PART(o_orderpriority, '-', 2))) AS tag,
+      COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — registered for surface completeness; the
+    docstring is the warning: ~10-100x slower than pandas_udf, never in a
+    hot path (SURVEY §2.3 'UDFs are the slow path')."""
+
+    @udf("string")
+    def _priority_tag(priority: str) -> str:
+        return (
+            priority.split("-", 1)[1].strip().lower() if "-" in priority else priority
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "o_orderpriority",
+            _priority_tag(F.col("o_orderpriority")).alias("tag"),
+            "n",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -15,6 +15,11 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="engine-tests", master="local[4]", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="engine-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": "/root/repo/.tmp/warehouse"},
+    )
     yield spark
     spark.stop()

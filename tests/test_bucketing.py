@@ -1,0 +1,64 @@
+"""Bucketing: pre-partitioned table layout so fact↔fact joins need no
+shuffle at read time — the co-located-join lever for 100 TB
+(PERFORMANCE.md 'Joins')."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+WAREHOUSE = "/root/repo/.tmp/warehouse"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    # warehouse dir is a static conf — set in conftest's session factory
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = load_table(spark, SF_SMOKE, "orders")
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        l.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    shutil.rmtree(WAREHOUSE, ignore_errors=True)
+
+
+def test_bucketed_join_avoids_shuffle(spark, bucketed):
+    # disable auto-broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # bucketed-on-key tables: no Exchange feeding the join
+        assert "Exchange hashpartitioning" not in plan
+        # result parity with the unbucketed join
+        plain = load_table(spark, SF_SMOKE, "lineitem").join(
+            load_table(spark, SF_SMOKE, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )

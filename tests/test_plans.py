@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the performance properties that must survive
+refactors — predicate pushdown into scans, broadcast joins for dims,
+TakeOrdered for top-k, partition pruning, no Python in JVM-only paths.
+
+These encode the 100 TB design rules as tests: a regression that silently
+turns a broadcast join into a shuffle join or loses a pushed filter fails
+here long before a benchmark would catch it."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.plans import QUERIES
+from pucminas_data_pipelines_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+
+
+def test_q3_uses_broadcast_joins_only(spark):
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact side
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_q5_snowflake_all_dims_broadcast(spark):
+    plan = _plan(QUERIES["q5_local_supplier_volume"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4  # customer/supplier/nation/region
+
+
+def test_topk_global_uses_take_ordered(spark):
+    plan = _plan(QUERIES["sort_limit_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_scalar_suite_stays_jvm_side(spark):
+    """No Python evaluation nodes in expression-only queries."""
+    for name in ["scalar_string_suite", "scalar_array_suite", "text_quality_scores"]:
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_column_pruning_narrow_read_schema(spark):
+    df = QUERIES["sort_limit_topk"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # scan must read only the two projected columns, not all 11
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+
+def test_partition_pruning_on_partitioned_sink(spark):
+    path = "/root/repo/.tmp/test_prune"
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        l = load_table(spark, SF_SMOKE, "lineitem")
+        l.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+        pruned = spark.read.parquet(path).where(F.col("l_returnflag") == "A")
+        plan = _plan(pruned)
+        assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+        n_a = pruned.count()
+        assert n_a == l.where(F.col("l_returnflag") == "A").count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_events_scan_pushdown_survives_ts_conversion(spark):
+    """The ns→timestamp conversion is post-scan; filters on OTHER columns
+    must still reach the parquet reader."""
+    e = load_table(spark, SF_SMOKE, "events").where(F.col("user_id") <= 10)
+    plan = _plan(e)
+    assert "LessThanOrEqual(user_id,10)" in plan
