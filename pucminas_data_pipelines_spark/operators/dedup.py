@@ -104,48 +104,39 @@ def minhash_lsh_pairs(
     are the known skew risk — AQE skew-join splits them; for adversarial
     corpora cap bucket size upstream."""
     rows = num_hashes // bands
-    # persist: the signature job runs once; banding + both self-join sides
-    # + verification all reuse the materialized signatures
+    # persist: the signature job runs once; banding, the two
+    # fetch-signature joins, and any downstream verify all reuse it
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).persist()
 
+    # Banding stays NARROW — (id, band, band_hash) only. Carrying the
+    # num_hashes-long signature array through the ×bands explode and the
+    # self-join would multiply shuffle bytes by ~bands × 8 × num_hashes
+    # per doc; instead signatures are re-joined below only for the
+    # (few) surviving candidate pairs.
     banded = sigs.select(
         F.col(id_col),
-        "minhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # xxhash64 hashes the array slice directly (complex
-                        # types supported) — no string concat needed
-                        F.xxhash64(
-                            F.slice(F.col("minhash"), b * rows + 1, rows)
-                        ).alias("band_hash"),
-                    )
+                    # xxhash64 hashes the array slice directly (complex
+                    # types supported) — no string concat needed
+                    F.xxhash64(
+                        F.lit(b), F.slice(F.col("minhash"), b * rows + 1, rows)
+                    ).alias(f"_b{b}")
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select(F.col(id_col), "minhash", "bb.band", "bb.band_hash")
+        ).alias("band_hash"),
+    )
 
-    left = banded.select(
-        F.col("band"),
-        F.col("band_hash"),
-        F.col(id_col).alias("id_a"),
-        F.col("minhash").alias("mh_a"),
-    )
-    right = banded.select(
-        F.col("band"),
-        F.col("band_hash"),
-        F.col(id_col).alias("id_b"),
-        F.col("minhash").alias("mh_b"),
-    )
+    left = banded.select(F.col("band_hash"), F.col(id_col).alias("id_a"))
+    right = banded.select(F.col("band_hash"), F.col(id_col).alias("id_b"))
     pairs = (
-        left.join(right, ["band", "band_hash"])
+        left.join(right, "band_hash")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "mh_a", "mh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
     agree = F.size(
         F.filter(
             F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
@@ -153,7 +144,9 @@ def minhash_lsh_pairs(
         )
     )
     return (
-        pairs.withColumn(
+        pairs.join(sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")), "id_b")
+        .withColumn(
             "est_jaccard",
             F.round(agree.cast("double") / F.lit(num_hashes), 6),
         )
