@@ -57,6 +57,17 @@ def read_json(
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC scan (SURVEY §2.3 sources row). Self-describing like parquet;
+    schema optional but skips footer planning when given."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_delta(
     spark: SparkSession, path: str, version_as_of: int | None = None
 ) -> DataFrame:
@@ -92,8 +103,8 @@ def write(
     partition_by: list[str] | None = None,
 ) -> None:
     """Sink façade — reference O5 (`sparkcode/titanic_example_delta.py:25`)
-    generalized to parquet/csv/json/delta with append/overwrite modes and
-    hive-style partitioning."""
+    generalized to parquet/csv/json/orc/delta with append/overwrite modes
+    and hive-style partitioning."""
     if fmt == "delta" and not delta_available():
         raise RuntimeError("delta-spark not installed")
     writer = df.write.format(fmt).mode(mode)

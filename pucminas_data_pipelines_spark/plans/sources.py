@@ -68,6 +68,32 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey <= 200
+    ORDER BY c_custkey
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + schema'd ORC scan (SURVEY §2.3: parquet/json/orc source
+    coverage)."""
+    path = f"{_TMP}/customer_orc"
+    shutil.rmtree(path, ignore_errors=True)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 200)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    io.write(c, path, fmt="orc", mode="overwrite")
+    back = io.read_orc(
+        spark, path, "c_custkey bigint, c_name string, c_acctbal double"
+    )
+    return back.orderBy("c_custkey")
+
+
+@query(
     "sink_partitioned_parquet",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

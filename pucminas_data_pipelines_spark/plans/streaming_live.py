@@ -22,6 +22,28 @@ def streaming_tumbling_window_live(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query("streaming_stateful_totals_live")  # streaming → rows-only
+def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals held in GroupState. The memory sink accumulates one update row
+    per (user, batch); the final state per user is the emission with the
+    highest n_events (monotone per key), recovered with max_by."""
+    from pyspark.sql import functions as F
+
+    events = jobs.read_events_stream(spark, sf_dir)
+    out = jobs.run_to_memory(
+        jobs.stateful_user_totals(events), output_mode="update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query("streaming_dedup_live")  # streaming → rows-only
 def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup on event_id, counted per type."""

@@ -135,6 +135,149 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: pure scan-filter-aggregate, zero joins.
+
+    Scale: all four predicates push into the parquet scan (row-group
+    min/max pruning on shipdate); the global agg shuffles one partial row
+    per input partition — the cheapest query shape there is.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec6(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT
+      c_custkey,
+      c_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue: returned-item revenue per customer, top 20.
+
+    Scale: only nation gets an explicit broadcast hint (a true dim).
+    orders and customer are fact-scale at 100 TB, so their joins are left
+    to Catalyst/AQE: shuffle joins hash-partitioned on the keys at cluster
+    scale, auto-converted to broadcast under the threshold at test SF.
+    lineitem's returnflag filter is pushed to the scan. Top-20 is
+    TakeOrdered — no global sort.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec6(revenue)).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT
+      c_custkey,
+      o_orderkey,
+      o_orderdate,
+      o_totalprice,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue: IN-subquery over a grouped HAVING (large-volume
+    orders), expressed as an aggregate → semi-join → re-aggregate.
+
+    Scale: the qualifying-orderkey set is the output of a map-side-combined
+    agg (small: one row per hot order, HAVING-filtered) and carries the
+    broadcast hint into the semi-join, so lineitem is scanned twice but its
+    rows are shuffled only by the final group-by. orders/customer joins are
+    left to Catalyst/AQE (shuffle at cluster scale, broadcast at test SF).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    hot = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec2(F.col("l_quantity"))).alias("_q"))
+        .where(F.col("_q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(
+            F.broadcast(hot.withColumnRenamed("l_orderkey", "_hot_key")),
+            F.col("l_orderkey") == F.col("_hot_key"),
+            "left_semi",
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
     "q5_local_supplier_volume",
     oracle="""
     SELECT

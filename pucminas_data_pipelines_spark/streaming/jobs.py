@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import uuid
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,6 +68,44 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     watermark (dropDuplicatesWithinWatermark)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (n_events, sum_value) kept in explicit GroupState across micro-batches,
+    emitting the updated totals for each user seen in a batch.
+
+    This is the escape hatch for stateful logic Spark's built-in windowed
+    aggregations can't express (bespoke accumulators, custom eviction);
+    the built-ins stay preferable when they fit (SURVEY §2.3 streaming row).
+
+    Scale: state is partitioned by the group key across executors and
+    checkpointed by the state store; each micro-batch touches only the
+    keys present in that batch, and Arrow batches the pandas transfer.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

@@ -58,3 +58,30 @@ def test_foreachbatch_upsert_sink(spark):
         assert got.select("event_id").distinct().count() == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    import pytest
+
+    stream_res = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in QUERIES["streaming_stateful_totals_live"](spark, SF_SMOKE).collect()
+    }
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    )
+    batch_res = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in batch}
+    assert set(stream_res) == set(batch_res)
+    for uid, (n, total) in batch_res.items():
+        assert stream_res[uid][0] == n
+        # float-sum order differs between the pandas state path and the
+        # JVM agg — compare to 1e-6 relative
+        assert stream_res[uid][1] == pytest.approx(total, rel=1e-6)
