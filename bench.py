@@ -27,9 +27,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine_topk",
+    "ann_ivf_topk",
     "events_tumbling_window",
     "window_topk_orders_per_customer",
 ]

@@ -9,7 +9,12 @@ Three tiers (SURVEY.md §7 M5):
    buckets (multi-probe over ``n_tables`` independent tables), exact
    re-rank on candidates. The 100 TB path: shuffle keys are bucket ids,
    never the full cross product.
-3. brute_force_topk_pandas — same semantics as (1) but the dot products run
+3. ivf_topk — IVF-Flat: spherical-k-means coarse quantizer (trained
+   driver-side on a sample), vectors shuffled only by cell id, queries
+   probe n_probe cells, exact re-rank on cell candidates. The second
+   100 TB path; n_probe trades recall for cost and degrades gracefully
+   to brute force at n_probe = n_cells.
+4. brute_force_topk_pandas — same semantics as (1) but the dot products run
    as one BLAS matmul per Arrow batch in a Pandas UDF; wins for wide
    vectors / large k where per-element expression folding is slow.
 """
@@ -139,6 +144,98 @@ def lsh_ann_topk(
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if exclude_self:
+        cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn(
+            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF, trained driver-side on a
+    deterministic sample (first sample_size rows by xxhash64 of the vector —
+    stable across partitionings). Centroids are unit-normalized so dot
+    product = cosine. The centroid matrix is tiny (n_cells × dim) and is
+    closed over / broadcast into the assignment UDF — the standard IVF
+    split: train small, assign at scale."""
+    sample = (
+        corpus.select(F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_v")))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r["_v"] for r in sample], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat: corpus vectors live in their nearest
+    centroid cell; each query probes its n_probe nearest cells; candidates
+    are the union of probed cells, exactly re-ranked by cosine.
+
+    The second 100 TB ANN path next to lsh_ann_topk: the only shuffle keys
+    are cell ids (n_cells of them — size cells so |corpus|/n_cells fits a
+    partition; skewed cells are split by AQE), assignment is one BLAS
+    matmul per Arrow batch, and recall/cost trades off with n_probe
+    (n_probe = n_cells degrades gracefully to brute force)."""
+    cent = train_ivf_centroids(corpus, vec_col, n_cells, sample_size, seed=seed)
+
+    def probe_udf(n: int):
+        @pandas_udf("array<int>")
+        def probes(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :n]
+            return pd.Series(list(top.astype(np.int32)))
+
+        return probes
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("cell", F.explode(probe_udf(1)(F.col("c_vec"))))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("cell", F.explode(probe_udf(n_probe)(F.col("q_vec"))))
+
+    cands = q.join(c, "cell").select("query_id", "q_vec", "neighbor_id", "c_vec")
     if exclude_self:
         cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(

@@ -185,6 +185,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query("ann_ivf_topk")  # approximate → rows-only; pytest bounds recall
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF-Flat (16 cells, 4 probes): spherical
+    k-means coarse quantizer trained driver-side, BLAS cell assignment,
+    exact re-rank within probed cells — the second ANN scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(
+        q, emb, "vec_id", "vec_id", "embedding", k=5, n_cells=16, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
 # -------------------------------------------------------- text analysis --
 
 _PAD = "(' ' || LOWER(text) || ' ')"

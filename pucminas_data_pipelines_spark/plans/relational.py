@@ -414,3 +414,40 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
         .orderBy("event_id")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): lineitem's shuffle key is
+    widened x8 with a deterministic salt and orders is replicated x8, so a
+    hot orderkey spreads over 8 partitions. Result must equal the plain
+    inner join — the oracle is the unsalted SQL join."""
+    from pucminas_data_pipelines_spark.operators.skew import salted_inner_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderstatus")
+    )
+    joined = salted_inner_join(l, o, on="l_orderkey", factor=8, salt_from="l_linenumber")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -62,3 +62,31 @@ def test_lsh_self_match(spark):
     )
     rows = {r["query_id"]: r["neighbor_id"] for r in res.collect()}
     assert rows == {i: i for i in range(5)}
+
+
+def test_ivf_ann_recall(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = _topk_map(S.brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", k=5))
+    approx = _topk_map(
+        S.ivf_topk(q, emb, "vec_id", "vec_id", "embedding", k=5, n_cells=16, n_probe=4)
+    )
+    hits = total = 0
+    for qid, exact_list in exact.items():
+        exact_ids = {n for n, _ in exact_list}
+        approx_ids = {n for n, _ in approx.get(qid, [])}
+        hits += len(exact_ids & approx_ids)
+        total += len(exact_ids)
+    recall = hits / total
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+
+
+def test_ivf_full_probe_is_exact(spark):
+    # probing every cell must reproduce exact brute-force top-k
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = _topk_map(S.brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", k=5))
+    full = _topk_map(
+        S.ivf_topk(q, emb, "vec_id", "vec_id", "embedding", k=5, n_cells=8, n_probe=8)
+    )
+    assert exact == full
