@@ -80,3 +80,38 @@ def test_events_scan_pushdown_survives_ts_conversion(spark):
     e = load_table(spark, SF_SMOKE, "events").where(F.col("user_id") <= 10)
     plan = _plan(e)
     assert "LessThanOrEqual(user_id,10)" in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    # the compact plan string truncates long PushedFilters lists — use the
+    # formatted explain, which prints them in full
+    df = QUERIES["q6_forecast_revenue"](spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for pushed in [
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ]:
+        assert pushed in plan, pushed
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q18_semi_join_broadcasts_hot_keys(spark):
+    plan = _plan(QUERIES["q18_large_orders"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_banding_stays_narrow(spark):
+    """The LSH band self-join must not carry the 64-long signature arrays:
+    its join keys/payload are (band_hash, id) only."""
+    from pucminas_data_pipelines_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text"))
+    # the pair-dedup aggregate must group narrow keys, not array payloads
+    assert "minhash" not in plan.split("HashAggregate(keys=[id_a")[1].split("]")[0]
