@@ -1,0 +1,49 @@
+"""Deterministic hash-based sampling and train/test splits.
+
+Training-data pipelines need samples and splits that are (a) stable across
+runs, partitionings, and engines — no `rand()`, no Bernoulli sampler whose
+output depends on row order — and (b) assignable row-locally with zero
+shuffle at 100 TB. Both come from hashing a stable id: the first 8 hex
+chars of md5(id) give a uniform 32-bit integer every engine computes
+identically (md5 is bit-exact everywhere, unlike engine-specific hash
+functions), and bucket = that integer mod ``buckets``.
+
+All pure map-side expressions: sampling/splitting 100 TB adds no shuffle,
+and the same row always lands in the same bucket no matter how the data is
+laid out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from a stable id.
+
+    conv(hex, 16, 10) of the md5 prefix — the DuckDB oracle twin is
+    ``('0x' || substring(md5(id), 1, 8))::bigint % buckets``."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(buckets))
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, percent: int, buckets: int = 100
+) -> DataFrame:
+    """Keep ~percent% of rows, chosen by hash bucket — stable across runs,
+    partitionings, and engines (unlike DataFrame.sample)."""
+    return df.where(hash_bucket(F.col(id_col), buckets) < percent)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_percent: int = 10
+) -> DataFrame:
+    """Adds a 'split' column ('train' / 'test') from the id hash; the same
+    id always lands in the same split, even across engines and reruns."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket(F.col(id_col)) < test_percent, F.lit("test")
+        ).otherwise(F.lit("train")),
+    )

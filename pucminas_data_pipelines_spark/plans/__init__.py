@@ -8,6 +8,7 @@ from pucminas_data_pipelines_spark.plans import (  # noqa: F401
     multimodal,
     mutation,
     relational,
+    sampling,
     scalars,
     setops,
     sources,

@@ -1,0 +1,72 @@
+"""Deterministic sampling / split queries (operators/sampling.py).
+
+The md5-prefix bucket is computed identically by Spark
+(conv(substring(md5(x),1,8),16,10)) and DuckDB
+(('0x' || substring(md5(x),1,8))::bigint), so these engine-stable
+sampling operators get full value-level oracles — which a rand()-based
+sample never could.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators.sampling import (
+    deterministic_sample,
+    train_test_split,
+)
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+_BUCKET_SQL = "(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    WHERE {_BUCKET_SQL} < 20
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% hash-bucket sample of documents — stable across runs/engines,
+    zero shuffle to assign (map-side expression only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(docs, "doc_id", percent=20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    SELECT
+      CASE WHEN {_BUCKET_SQL} < 10 THEN 'test' ELSE 'train' END AS split,
+      lang,
+      COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by id hash: the same doc_id is
+    always in the same split, across engines and reruns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", test_percent=10)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )

@@ -167,3 +167,40 @@ def source_local_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         *[F.col(c).alias(c.lower()) for c in df.columns]
     ).orderBy("passengerid")
+
+
+@query(
+    "sink_compacted_files",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sink_compacted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: repartition + maxRecordsPerFile bound the
+    output file count/size — at 100 TB the sink's file layout (not the
+    query plan) decides downstream scan cost. Data equality is the oracle;
+    test_bucketing pins the file count."""
+    path = f"{_TMP}/orders_compacted"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.repartition(2)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500_000)
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

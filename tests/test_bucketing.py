@@ -62,3 +62,13 @@ def test_bucketed_join_avoids_shuffle(spark, bucketed):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_compaction_bounds_file_count(spark):
+    import glob
+
+    from pucminas_data_pipelines_spark.plans import QUERIES
+
+    QUERIES["sink_compacted_files"](spark, SF_SMOKE).collect()
+    files = glob.glob("/root/repo/.tmp/orders_compacted/*.parquet")
+    assert len(files) == 2  # repartition(2), under maxRecordsPerFile
