@@ -272,6 +272,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Collapse duplicate pairs into clusters: connected components by
+    iterative min-label propagation. Returns (member_id, cluster_rep) where
+    cluster_rep is the smallest id reachable from member_id — the row to
+    KEEP per cluster; every other member is the drop set. The final step of
+    any near-dup pipeline (pairs alone don't say which copies to delete
+    when dups chain a~b~c).
+
+    Scale: each iteration is one shuffle round (edge join + min agg);
+    convergence needs at most the graph diameter — near-dup clusters are
+    shallow (boilerplate stars), so 3–5 rounds in practice; ``max_iters``
+    bounds adversarial chains. Each round's labels are localCheckpoint'ed:
+    an iterative plan that references the previous round twice grows
+    EXPONENTIALLY if only persisted (persist caches data but keeps
+    lineage; measured: a 12-round loop OOMs the driver just stringifying
+    the plan) — checkpointing truncates lineage to O(1) per round. This
+    is plain label propagation; the large-star/small-star variant
+    (Kiveris et al.) drops in here if diameters ever grow."""
+    # undirected edge list, both directions
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iters):
+        # candidate label per node: min over its own and neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("id").alias("member_id"), F.col("label").alias("cluster_rep")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str,

@@ -128,6 +128,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_collapse",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND({_COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+    )
+    SELECT id AS member_id, MIN(r) AS cluster_rep
+    FROM reach GROUP BY id ORDER BY member_id
+    """,
+)
+def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the embedding near-dup pairs (iterative
+    min-label propagation): every pair member mapped to its cluster's
+    smallest id — the keep/drop decision a dedup pipeline actually needs
+    (pairs alone don't say what to delete when dups chain a~b~c). Oracle:
+    DuckDB recursive-CTE transitive closure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return D.dedup_clusters(pairs).orderBy("member_id")
+
+
 # ----------------------------------------------------------- similarity --
 
 

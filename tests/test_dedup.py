@@ -84,3 +84,27 @@ def test_embedding_neardup_self_similarity(spark):
     pairs = D.embedding_neardup_pairs(both, "vec_id", "embedding", threshold=0.999)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert {(i, i + 500) for i in range(30)} <= found
+
+
+def test_dedup_clusters_chain_and_star(spark):
+    # chain 1-2-3-4 (one cluster, rep 1), star 10-(11,12) (rep 10),
+    # isolated pair 20-21 (rep 20)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r["member_id"]: r["cluster_rep"]
+        for r in D.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_converges_on_long_chain(spark):
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    got = D.dedup_clusters(pairs, max_iters=n + 2).collect()
+    assert all(r["cluster_rep"] == 0 for r in got)
+    assert len(got) == n + 1
