@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis): differential invariants between
+independent code paths, run on generated inputs rather than fixtures.
+
+Kept cheap: few examples per property (each example runs Spark jobs), no
+deadlines (JVM warmup skews the first example)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators import dedup as D
+from pucminas_data_pipelines_spark.operators.sampling import hash_bucket
+from pucminas_data_pipelines_spark.operators.skew import salted_inner_join
+from pucminas_data_pipelines_spark.operators.upsert import ParquetVersionedTable
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "omega", "kappa", "sigma", "zeta"]
+)
+_texts = st.lists(_words, min_size=3, max_size=30).map(" ".join)
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 999), _texts), min_size=2, max_size=12))
+def test_minhash_estimate_tracks_exact_jaccard(spark, rows):
+    """est_jaccard (minhash agreement) must track the exact shingle Jaccard
+    (array_intersect/union path) within the 64-hash sampling error."""
+    docs = (
+        spark.createDataFrame(rows, "doc_id int, text string")
+        .dropDuplicates(["doc_id"])
+        .where(F.size(F.split(F.col("text"), " ")) >= 3)
+    )
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.0)
+    exact = D.ngram_jaccard_pairs(pairs, docs, "doc_id", "text", threshold=0.0)
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    for r in exact.collect():
+        err = abs(est[(r["id_a"], r["id_b"])] - r["jaccard"])
+        # 64 hashes -> binomial std <= 0.0625; 6 sigma plus discretization
+        assert err <= 0.4, (r, est[(r["id_a"], r["id_b"])])
+
+
+@_SETTINGS
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=30),
+    st.lists(st.tuples(st.integers(0, 5), st.text(max_size=4)), min_size=0, max_size=8),
+    st.integers(2, 6),
+)
+def test_salted_join_equivalence(spark, left_rows, right_rows, factor):
+    """Salted inner join == plain inner join for any data / salt factor,
+    including hot keys (left keys drawn from just 6 values)."""
+    l = spark.createDataFrame(left_rows, "k int, payload int") if left_rows else None
+    r = spark.createDataFrame(right_rows, "k int, name string") if right_rows else None
+    if l is None or r is None:
+        return
+    r = r.dropDuplicates(["k"])
+    plain = sorted(map(tuple, l.join(r, "k").select("k", "payload", "name").collect()))
+    salted = sorted(
+        map(
+            tuple,
+            salted_inner_join(l, r, "k", factor=factor, salt_from="payload")
+            .select("k", "payload", "name")
+            .collect(),
+        )
+    )
+    assert plain == salted
+
+
+@_SETTINGS
+@given(
+    st.dictionaries(st.integers(0, 20), st.integers(0, 99), min_size=1, max_size=10),
+    st.dictionaries(st.integers(0, 20), st.integers(100, 199), min_size=1, max_size=10),
+)
+def test_merge_upsert_semantics(spark, base, updates):
+    """ParquetVersionedTable.merge == dict-update semantics on any key sets;
+    time travel v0 == the original base."""
+    path = "/root/repo/.tmp/prop_merge"
+    shutil.rmtree(path, ignore_errors=True)
+    t = ParquetVersionedTable(spark, path)
+    t.overwrite(spark.createDataFrame(sorted(base.items()), "k int, v int"))
+    t.merge(
+        spark.createDataFrame(sorted(updates.items()), "k int, v int"), key="k"
+    )
+    expected = dict(base)
+    expected.update(updates)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == expected
+    got_v0 = {r["k"]: r["v"] for r in t.read(version_as_of=0).collect()}
+    assert got_v0 == base
+
+
+@_SETTINGS
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=50))
+def test_hash_bucket_layout_invariance(spark, ids):
+    """hash_bucket must not depend on partitioning/row order: the sample
+    membership of an id is a pure function of the id."""
+    df = spark.createDataFrame([(i,) for i in set(ids)], "id long")
+    one = {
+        r["id"]: r["b"]
+        for r in df.coalesce(1).select("id", hash_bucket(F.col("id")).alias("b")).collect()
+    }
+    many = {
+        r["id"]: r["b"]
+        for r in df.repartition(7)
+        .select("id", hash_bucket(F.col("id")).alias("b"))
+        .collect()
+    }
+    assert one == many
+    assert all(0 <= b < 100 for b in one.values())
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=25))
+def test_cluster_collapse_is_valid_partition(spark, edges):
+    """Connected-components output: every member maps to the min id of its
+    component (checked against a Python union-find on the same edges)."""
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 1)], "id_a int, id_b int"
+    )
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in pairs.collect():
+        union(r["id_a"], r["id_b"])
+    expected = {x: find(x) for x in parent}
+    got = {
+        r["member_id"]: r["cluster_rep"]
+        for r in D.dedup_clusters(pairs, max_iters=40).collect()
+    }
+    assert got == expected
