@@ -95,6 +95,50 @@ def decode_assets(assets: DataFrame, batch_size: int = 1024) -> DataFrame:
     return assets.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "asset_id bigint, width int, height int, "
+    "resized_width int, resized_height int, feature array<double>"
+)
+
+
+def resize_assets(
+    decoded: DataFrame, target_width: int = 256, target_height: int = 256
+) -> DataFrame:
+    """STUB resize over decoded assets (a real pipeline would call
+    PIL.Image.resize / ffmpeg scale here): aspect-preserving downscale to
+    fit (target_width, target_height), never upscaling; the feature vector
+    is halved (every 2nd component) when any downscale happens — a
+    deterministic stand-in for re-extracting features at the new size.
+
+    Chained mapInPandas after decode_assets: the compose-two-codec-stages
+    shape (decode → transform) a real multimodal pipeline runs, with only
+    per-batch Python cost and no intermediate materialization."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (target_width / pdf["width"]).combine(
+                target_height / pdf["height"], min
+            ).combine(pd.Series(1.0, index=pdf.index), min)
+            rw = (pdf["width"] * scale).astype(int).clip(lower=1)
+            rh = (pdf["height"] * scale).astype(int).clip(lower=1)
+            feat = [
+                f if s >= 1.0 else f[::2]
+                for f, s in zip(pdf["feature"], scale)
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "resized_width": rw,
+                    "resized_height": rh,
+                    "feature": feat,
+                }
+            )
+
+    return decoded.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     assets: DataFrame, every_nth_byte: int = 64, max_frames: int = 4
 ) -> DataFrame:

@@ -78,3 +78,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = M.attach_binary_payload(docs, "doc_id", "text")
     return M.sample_frames(assets).orderBy("asset_id", "frame_no")
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id AS asset_id,
+        octet_length(encode(text)) % 640 + 1 AS w,
+        octet_length(encode(text)) % 480 + 1 AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT asset_id, w, h,
+        LEAST(256.0 / w, 256.0 / h, 1.0) AS scale
+      FROM g
+    )
+    SELECT asset_id,
+      CAST(w AS INTEGER) AS width,
+      CAST(h AS INTEGER) AS height,
+      CAST(GREATEST(FLOOR(w * scale), 1) AS INTEGER) AS resized_width,
+      CAST(GREATEST(FLOOR(h * scale), 1) AS INTEGER) AS resized_height
+    FROM s
+    ORDER BY asset_id
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained mapInPandas decode → resize (stub codecs): aspect-preserving
+    fit into 256x256, no upscaling. The oracle reproduces the deterministic
+    geometry; the halved feature vector is pinned by pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.attach_binary_payload(docs, "doc_id", "text")
+    return (
+        M.resize_assets(M.decode_assets(assets))
+        .select("asset_id", "width", "height", "resized_width", "resized_height")
+        .orderBy("asset_id")
+    )

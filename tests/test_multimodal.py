@@ -50,3 +50,21 @@ def test_frame_sample_counts(spark):
     for did, n in counts.items():
         expected = min(4, (lens[did] + 63) // 64)
         assert n == expected
+
+
+def test_resize_stub_geometry_and_features(spark):
+    from pucminas_data_pipelines_spark.operators import multimodal as M
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    decoded = M.decode_assets(M.attach_binary_payload(docs, "doc_id", "text"))
+    resized = {r["asset_id"]: r for r in M.resize_assets(decoded).collect()}
+    for r in decoded.collect():
+        out = resized[r["asset_id"]]
+        scale = min(256 / r["width"], 256 / r["height"], 1.0)
+        assert out["resized_width"] == max(int(r["width"] * scale), 1)
+        assert out["resized_height"] == max(int(r["height"] * scale), 1)
+        expect_feat = r["feature"] if scale >= 1.0 else r["feature"][::2]
+        assert out["feature"] == expect_feat
+        # never upscale
+        assert out["resized_width"] <= r["width"]
+        assert out["resized_height"] <= r["height"]
