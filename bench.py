@@ -49,8 +49,16 @@ def main() -> None:
     )
 
     names = [n for n in HEADLINE if n in QUERIES]
-    # warmup: absorb JVM + codegen + parquet footer caching
-    QUERIES[names[0]](spark, sf_dir).count()
+    # warmup: one full pass absorbs JVM startup, Janino/whole-stage-codegen
+    # compilation (row-independent, ~seconds per distinct plan shape) and
+    # parquet footer caching, so the timed pass measures steady-state
+    # throughput — the quantity that scales to the 100 TB target, where
+    # compile time amortizes to noise.
+    for name in names:
+        QUERIES[name](spark, sf_dir).count()
+    # drop any persisted intermediates (e.g. minhash signatures) so the
+    # timed pass recomputes data, not just replays caches
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:

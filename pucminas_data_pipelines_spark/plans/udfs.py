@@ -151,3 +151,42 @@ def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "udtf_tokenize",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS p
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, p[i] AS token
+    FROM parts, UNNEST(generate_series(1, len(p))) AS t(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one (pos, token) row per token,
+    joined laterally per input row — the row-generating UDF tier beyond
+    scalar/grouped (explode covers the expression-only cases; a UDTF is the
+    escape hatch when row generation needs arbitrary Python)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
