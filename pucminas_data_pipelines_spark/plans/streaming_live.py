@@ -22,6 +22,19 @@ def streaming_tumbling_window_live(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query("streaming_session_window_live")  # streaming → rows-only
+def streaming_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → watermark → session_window(30 min gap) → AvailableNow →
+    memory sink. Same semantics as events_session_window (which carries
+    the gaps-and-islands oracle); filtered to user_id <= 30 to match."""
+    from pyspark.sql import functions as F
+
+    events = jobs.read_events_stream(spark, sf_dir).where(F.col("user_id") <= 30)
+    return jobs.run_to_memory(jobs.session_counts(events)).orderBy(
+        "user_id", "session_start"
+    )
+
+
 @query("streaming_stateful_totals_live")  # streaming → rows-only
 def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running

@@ -327,3 +327,49 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_dec6(revenue)).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT p_partkey, p_brand, l_suppkey, l_extendedprice AS min_price
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size = 15
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    ORDER BY p_partkey, l_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue: correlated scalar subquery (cheapest supplier
+    per part), written as its decorrelated form — per-key min aggregate
+    joined back to the fact — which is exactly what Catalyst/DuckDB
+    rewrite the subquery into.
+
+    Scale: the min-per-part aggregate is map-side combined and small
+    (one row per part), so it takes the broadcast side of the equality
+    join; ties (several rows at the min price) are kept, making the
+    result a deterministic set."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    l = load_table(spark, sf_dir, "lineitem")
+    min_price = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("l_extendedprice").alias("_min_price")
+    )
+    return (
+        l.join(
+            F.broadcast(min_price),
+            (F.col("l_partkey") == F.col("_pk"))
+            & (F.col("l_extendedprice") == F.col("_min_price")),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "l_suppkey",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+        .orderBy("p_partkey", "l_suppkey")
+    )

@@ -71,6 +71,25 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization: F.session_window with an inactivity gap,
+    state bounded by the watermark — the streaming twin of
+    plans.events.events_session_window (which carries the
+    gaps-and-islands oracle)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     (n_events, sum_value) kept in explicit GroupState across micro-batches,

@@ -85,3 +85,15 @@ def test_stateful_user_totals_matches_batch(spark):
         # float-sum order differs between the pandas state path and the
         # JVM agg — compare to 1e-6 relative
         assert stream_res[uid][1] == pytest.approx(total, rel=1e-6)
+
+
+def test_streaming_session_window_matches_batch(spark):
+    stream_res = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in QUERIES["streaming_session_window_live"](spark, SF_SMOKE).collect()
+    }
+    batch_res = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in QUERIES["events_session_window"](spark, SF_SMOKE).collect()
+    }
+    assert stream_res == batch_res
