@@ -422,3 +422,55 @@ def doc_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+        MD5(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+                                '\s+', ' ', 'g'))) AS content_hash,
+        CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    rep AS (SELECT content_hash, MIN(doc_id) AS rep_id FROM norm GROUP BY content_hash),
+    kept AS (
+      SELECT n.* FROM norm n JOIN rep r ON n.doc_id = r.rep_id
+      WHERE n.n_tokens >= 20
+        AND (('0x' || SUBSTRING(MD5(CAST(n.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 50
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+      SUM(n_tokens) AS total_tokens,
+      ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE composed plan — the shape a real
+    training-data job runs: exact dedup (keep min-id representative) →
+    quality gate (>= 20 tokens) → deterministic 50% hash sample → corpus
+    stats per language. Every stage is an engine operator; Catalyst fuses
+    the whole chain so the corpus is scanned once, shuffled only by the
+    dedup groupBy and the final stats groupBy."""
+    from pucminas_data_pipelines_spark.operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = D.exact_duplicates(docs, "doc_id", "text", normalized=True).select(
+        F.col("representative_id").alias("doc_id")
+    )
+    kept = (
+        docs.join(reps, "doc_id", "left_semi")
+        .withColumn("n_tokens", T.token_count(F.col("text")))
+        .where(F.col("n_tokens") >= 20)
+    )
+    sampled = deterministic_sample(kept, "doc_id", percent=50)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
