@@ -155,14 +155,20 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document from whitespace tokens.
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """SimHash per document from whitespace tokens (60 bits by default).
 
-    Per bit b: sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
-    Expression-only: the per-bit sums fold over the token array without
-    exploding rows."""
+    Per bit b: sign of Σ_tokens (±1 depending on bit b of the token hash).
+    The token hash is the first 15 hex chars of md5 (60 bits) — md5 is
+    bit-identical across engines, so the whole signature is reproducible
+    in the DuckDB oracle (`('0x' || substring(md5(tok),1,15))::bigint`),
+    unlike engine-specific xxhash64. Expression-only: the per-bit sums
+    fold over the token array without exploding rows."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    hashed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
 
     def bit_contrib(b: int):
         # F.aggregate's merge lambda must be exactly (acc, x) — bind the
@@ -199,14 +205,17 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 60,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, candidates found
-    by banding the 64-bit hash into ``bands`` chunks (pigeonhole: any pair
-    within max_hamming < bands agrees on ≥1 chunk).
+    by banding the hash into ``bands`` chunks. COMPLETE (every qualifying
+    pair found) iff max_hamming < bands — pigeonhole: a pair differing in
+    fewer bits than there are chunks agrees exactly on ≥1 chunk. With
+    max_hamming >= bands it degrades to a recall<1 candidate generator.
 
     Returns (id_a, id_b, hamming)."""
-    width = 64 // bands
-    sh = simhash(df, id_col, text_col)
+    width = bits // bands
+    sh = simhash(df, id_col, text_col, bits=bits)
     mask = (1 << width) - 1
     banded = sh.select(
         F.col(id_col),

@@ -76,11 +76,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("dedup_simhash")  # probabilistic → rows-only; pytest pins semantics
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bitvals AS (
+      SELECT doc_id, bb.b,
+        CASE WHEN SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+             THEN (1::BIGINT << bb.b) ELSE 0 END AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+      GROUP BY doc_id, bb.b
+    ),
+    sh AS (SELECT doc_id, SUM(v) AS s FROM bitvals GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs in the pigeonhole-COMPLETE regime
+    (max_hamming=3 < bands=4 ⇒ banding finds every qualifying pair), so
+    the brute-force all-pairs SQL is an exact oracle. The md5-60bit token
+    hash makes the signature itself engine-portable."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=6).orderBy(
-        "id_a", "id_b"
+    return (
+        D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
     )
 
 
