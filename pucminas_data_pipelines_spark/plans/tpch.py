@@ -373,3 +373,476 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "l_suppkey")
     )
+
+
+@query(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT * FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: correlated EXISTS with a non-equi residual
+    (orders having at least one lineitem shipped after the order date;
+    the reference schema lacks commit/receipt dates, so shipdate >
+    orderdate stands in for the late-commit predicate).
+
+    Scale: the EXISTS is a left-semi hash join on the equi component
+    (orderkey) with the date inequality as residual — never a
+    nested-loop. Lineitem is projected to two columns before the join;
+    the semi-join output is at most one row per order, then a
+    5-group map-side-combined aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT
+      l_returnflag,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue: conditional (CASE-weighted) aggregation after a
+    fact-fact join — returnflag stands in for shipmode, which the
+    reference schema lacks.
+
+    Scale: the orders↔lineitem join is the one shuffle (hash-partitioned
+    on orderkey both sides, AQE-skew-safe); the CASE sums fold into the
+    same two-phase aggregate, so no second pass over the join output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analogue: customer order-count distribution via LEFT
+    OUTER join (customers with zero orders must survive as c_count=0)
+    and a double aggregation. The status filter lives in the JOIN
+    condition, not WHERE — moving it would silently drop the zero-order
+    customers.
+
+    Scale: join shuffles on custkey; first agg reuses that partitioning
+    (no second shuffle for the per-customer count); the distribution agg
+    shuffles one row per customer but map-side combine collapses it to
+    one row per (partition × distinct count) — tiny.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    return (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderstatus") != "P"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT
+      ROUND(
+        100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        6
+      ) AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: promotion revenue share — conditional numerator
+    over total in one aggregate (p_type='PROMO' exact match; the slim
+    schema's types are single words, not 'PROMO BURNISHED...').
+
+    Scale: part is a dim → broadcast side of the join; the month filter
+    prunes lineitem at the scan; one global agg, partials carry two
+    decimal sums. Both sums are exact DECIMAL, so the final double
+    division is bit-identical across engines.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    disc_price = _dec6(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("_promo"),
+            F.sum(disc_price).cast("double").alias("_total"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("_promo") / F.col("_total"), 6).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@query(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#15'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: distinct-supplier counts per part group with a
+    NOT IN exclusion subquery (negative-balance suppliers stand in for
+    the complaints comment filter; lineitem stands in for partsupp).
+
+    Scale: the exclusion set is tiny → broadcast anti-join (s_suppkey is
+    non-null so NOT IN ≡ anti-join safely); part filters broadcast into
+    lineitem. COUNT(DISTINCT) expands to a two-shuffle plan; acceptable
+    because the first shuffle's key (group+suppkey) is pre-deduped
+    map-side. The single-pass alternative at 100 TB is
+    approx_count_distinct (registered separately).
+    """
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS _pk,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+               AS _threshold
+      FROM lineitem GROUP BY l_partkey
+    ) t ON p_partkey = _pk
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < _threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue: small-quantity-order revenue — the correlated
+    AVG subquery (l_quantity < 0.2 * per-part average), written in its
+    decorrelated form on BOTH sides: per-part aggregate joined back to
+    the fact. The threshold is exact-DECIMAL sum / count → double, so
+    the boundary comparison is bit-identical across engines (a raw
+    double AVG could order-dependently wobble at the boundary).
+
+    Scale: the per-part threshold aggregate is map-side combined (one
+    row per part) and broadcasts into the fact join; brand-filtered part
+    broadcasts too, so lineitem is never shuffled — only scanned twice.
+    """
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    l = load_table(spark, sf_dir, "lineitem")
+    thresholds = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec2(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)))
+        ).alias("_threshold")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(thresholds), F.col("p_partkey") == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_threshold"))
+        .agg(
+            F.round(F.sum(_dec2(F.col("l_extendedprice"))).cast("double") / 7.0, 6)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE
+      (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+      OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10 AND 20)
+      OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue: OR-of-ANDs predicate spanning both join sides
+    (brand/size from part × quantity from lineitem).
+
+    Scale: Catalyst extracts the common equi-join key (partkey) and the
+    per-side implied filters — l_quantity BETWEEN 1 AND 30 and the
+    brand/size union push to the respective scans — leaving the cross-
+    side disjunction as a residual on the (broadcast) hash join. No
+    nested-loop, no triple scan.
+    """
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(F.sum(_dec6(revenue)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q21_sole_blamed_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT * FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT * FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue: suppliers solely responsible for returned items
+    in multi-supplier finalized orders — the EXISTS + NOT EXISTS double
+    correlated pattern (returnflag='R' stands in for the late-receipt
+    predicate the slim schema lacks).
+
+    Scale: both correlated subqueries become hash semi/anti joins with
+    the equi key (orderkey) and the suppkey inequality as residual.
+    All three lineitem legs hash-partition on orderkey — one exchange
+    each, reused by AQE; supplier is a broadcast dim; the final agg is
+    tiny (one row per supplier).
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_suppkey")
+    others = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+        )
+    )
+    others_r = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+        )
+    )
+    return (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            others_r,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer
+        WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT * FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue: above-average-balance customers with no recent
+    orders (every testdata customer has some order, so "no orders since
+    1998-06" stands in for Q22's "no orders at all"; nationkey stands in
+    for the phone country code). Combines an uncorrelated scalar
+    subquery (the balance threshold) and a NOT EXISTS anti-join with a
+    pushed-down date filter on the subquery side.
+
+    Scale: the threshold is a 1-row aggregate cross-joined in as a
+    broadcast (the distributed form of a scalar subquery — no driver
+    collect); NOT EXISTS is a hash anti-join on custkey where orders is
+    projected to the single key column before the exchange. The exact-
+    DECIMAL sum/count division makes the threshold bit-identical across
+    engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    threshold = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec2(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias(
+            "_avg_bal"
+        )
+    )
+    return (
+        c.join(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec2(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

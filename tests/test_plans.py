@@ -115,3 +115,21 @@ def test_minhash_banding_stays_narrow(spark):
     plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text"))
     # the pair-dedup aggregate must group narrow keys, not array payloads
     assert "minhash" not in plan.split("HashAggregate(keys=[id_a")[1].split("]")[0]
+
+
+def test_q4_exists_is_hash_semi_join(spark):
+    """The correlated EXISTS (equi key + date inequality) must plan as a
+    hash semi-join with the inequality as residual, never a nested loop."""
+    plan = _plan(QUERIES["q4_order_priority_exists"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q21_double_correlation_is_hash_joins(spark):
+    """EXISTS + NOT EXISTS (equi orderkey + suppkey inequality) must both
+    plan as hash semi/anti joins — the suppkey != residual must not force
+    a BroadcastNestedLoopJoin."""
+    plan = _plan(QUERIES["q21_sole_blamed_supplier"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
