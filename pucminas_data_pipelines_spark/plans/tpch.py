@@ -846,3 +846,208 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q7_nation_pair_volume",
+    oracle="""
+    SELECT
+      n1.n_name AS supp_nation,
+      n2.n_name AS cust_nation,
+      CAST(YEAR(l_shipdate) AS INT) AS l_year,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS INT)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analogue: shipping volume between a nation pair, by year —
+    a self-join of the nation dim under two roles (supplier's vs
+    customer's nation) with a symmetric pair predicate.
+
+    Scale: both nation legs broadcast; the pair filter prunes suppliers
+    and customers before they touch the facts, so the only shuffle join
+    is orders↔lineitem. The year extraction happens post-join on
+    surviving rows only.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2_key"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_dec6(revenue)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT
+      o_year,
+      ROUND(
+        CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+          / CAST(SUM(vol) AS DOUBLE),
+        6
+      ) AS mkt_share
+    FROM (
+      SELECT
+        CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol,
+        n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue: one nation's market share of a product type in a
+    region, per year — a CASE-weighted numerator over the full regional
+    volume, with nation joined under two roles (customer side restricts
+    the market, supplier side provides the share dimension).
+
+    Scale: the 8-way join keeps every dim leg broadcast (part filtered
+    by type, both nation roles, region, supplier, customer); the only
+    shuffle join is orders↔lineitem. Numerator and denominator fold
+    into one two-phase aggregate — no second pass; exact-DECIMAL sums
+    make the share bit-identical across engines.
+    """
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_regionkey").alias("_n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    vol = _dec6(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    l = load_table(spark, sf_dir, "lineitem")
+    share_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_n1_key"))
+        .join(F.broadcast(r), F.col("_n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(share_vol).cast("double").alias("_share"),
+            F.sum(F.col("vol")).cast("double").alias("_total"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_share") / F.col("_total"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, o_year,
+           CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT
+        n_name,
+        CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity
+             AS DECIMAL(18,6)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue: profit per supplier-nation per year for a part
+    family selected by a LIKE pattern (p_retailprice * quantity stands
+    in for ps_supplycost — the slim schema has no partsupp table).
+
+    Scale: the LIKE-filtered part and the supplier/nation dims all
+    broadcast; orders↔lineitem is the one shuffle join. The profit
+    expression is computed row-wise pre-aggregation and cast to exact
+    DECIMAL so the sum is order-independent.
+    """
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation")
+    l = load_table(spark, sf_dir, "lineitem")
+    amount = _dec6(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
