@@ -1051,3 +1051,170 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("amount").cast("double").alias("sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    SELECT l_partkey AS ps_partkey,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS stock_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) > (
+      SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) * 0.002
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+    )
+    ORDER BY stock_value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue: parts whose stock value in one nation exceeds 0.2%
+    of that nation's total — a HAVING threshold that is itself
+    a scalar subquery over the same aggregate (lineitem value stands in
+    for partsupp supplycost × availqty).
+
+    Scale: the per-part aggregate is computed once and reused for both
+    sides — the global total is a second tiny aggregate over the
+    per-part rows (not a second fact scan), cross-joined back as a
+    broadcast scalar. Supplier/nation broadcast; one fact shuffle.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    l = load_table(spark, sf_dir, "lineitem")
+    value = _dec6(F.col("l_extendedprice") * F.col("l_quantity"))
+    per_part = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(value).alias("_value_dec"))
+    )
+    per_part.persist()
+    total = per_part.agg(
+        (F.sum("_value_dec").cast("double") * F.lit(0.002)).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("_value_dec").cast("double") > F.col("_threshold"))
+        .select(
+            "ps_partkey", F.col("_value_dec").cast("double").alias("stock_value")
+        )
+        .orderBy(F.col("stock_value").desc(), F.col("ps_partkey"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue: the supplier(s) with maximum quarterly revenue —
+    a derived revenue view consumed twice (once for the max, once for
+    the equality filter), keeping ties.
+
+    Scale: the per-supplier revenue aggregate is persisted and reused —
+    the MAX is an aggregate over its (small) output, broadcast back as
+    a scalar; no second lineitem scan. Equality on doubles is safe
+    because both sides derive from the same exact-DECIMAL sums.
+    """
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_dec6(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    revenue.persist()
+    best = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+    )
+    AND s_nationkey IN (
+      SELECT n_nationkey FROM nation
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue: suppliers who moved excess volume of a part
+    family in selected nations — nested IN-subqueries (one over a
+    grouped HAVING, one over a dim filter), both becoming semi-joins.
+
+    Scale: the qualifying (supplier, part) aggregate is HAVING-filtered
+    and collapses to distinct suppliers before the broadcast semi-join;
+    the nation in-list semi-join broadcasts a ≤3-row set. The supplier
+    table is never shuffled.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    movers = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec2(F.col("l_quantity"))).alias("_qty"))
+        .where(F.col("_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(
+            F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
