@@ -200,3 +200,45 @@ def events_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_enriched_by_segment",
+    oracle=f"""
+    SELECT
+      {_DUCK_BUCKET.format(sec=3600)} AS window_start,
+      c_mktsegment,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    ORDER BY window_start, c_mktsegment
+    """,
+)
+def events_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, batch twin: events joined to the customer
+    dim (user → market segment), then hourly windowed counts per segment.
+    The streaming version (streaming_static_join_live) runs the identical
+    plan incrementally — the dim is broadcast once per micro-batch.
+
+    Scale: the dim join is broadcast (no shuffle on the stream side);
+    the window+segment groupBy is the one shuffle, map-side combined.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "c_mktsegment")
+    )

@@ -503,3 +503,165 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------------------- ranking --
+
+_BM25_TERMS = ("join", "scan", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "text_bm25_rank",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM documents, UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t(token)
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM tok WHERE token IN ('join', 'scan', 'hash')
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS w
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(MAX(CASE WHEN token = 'join' THEN w END), 0)
+               + COALESCE(MAX(CASE WHEN token = 'scan' THEN w END), 0)
+               + COALESCE(MAX(CASE WHEN token = 'hash' THEN w END), 0), 6) AS bm25
+    FROM w
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword ranking over the corpus (k1=1.2, b=0.75), index-free:
+    explode → tf/df/doclen aggregates → per-term weights → fixed-order
+    summation → top-k. The per-term contributions are pivoted to columns
+    and added in a FIXED order on both engines — double addition is not
+    associative, so an arbitrary-order SUM could diverge at the last ulp
+    and flip the top-k boundary.
+
+    Scale: the token explode is the big intermediate, but the tf leg
+    filters to the query terms BEFORE its shuffle (O(matching tokens)),
+    and the doclen leg is a map-side-combined count per doc. df and the
+    corpus stats are tiny broadcast scalars; the weight join is
+    broadcast on all small sides; top-k is TakeOrdered. An inverted
+    index would beat this for point queries — this is the full-corpus
+    scoring pass a training-data pipeline runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl.persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1)
+    )
+    norm = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    w = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            (idf * (F.col("tf") * F.lit(_BM25_K1 + 1)) / norm).alias("w"),
+        )
+    )
+    contrib = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("w"))), F.lit(0.0)
+        )
+        for t in _BM25_TERMS
+    ]
+    return (
+        w.groupBy("doc_id")
+        .agg(F.round(contrib[0] + contrib[1] + contrib[2], 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(15)
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM documents, UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t(token)
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tok)
+    SELECT doc_id, token,
+           ROUND(tf * LN(n_docs / df), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE doc_id < 10
+    ORDER BY doc_id, tfidf DESC, token
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF term weights (raw tf × ln(N/df)) — the feature
+    primitive for keyword extraction and sparse retrieval.
+
+    Scale: tf is the one explode-sized shuffle; df aggregates tf's
+    (already deduped) output, not the raw tokens; N is a broadcast
+    scalar. The doc_id<10 projection is display-side only — at 100 TB
+    the same plan runs unfiltered into a sink, and the df side stays
+    vocabulary-sized (≪ corpus-sized).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf.persist()
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("doc_id") < 10)
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", F.col("tfidf").desc(), "token")
+    )

@@ -70,3 +70,17 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@query("streaming_static_join_live")  # streaming → rows-only
+def streaming_static_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → broadcast join to the static customer dim → watermarked
+    hourly counts per segment → AvailableNow → memory sink. Same semantics
+    as events_enriched_by_segment (which carries the oracle)."""
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    events = jobs.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return jobs.run_to_memory(jobs.enriched_segment_counts(events, dim)).orderBy(
+        "window_start", "c_mktsegment"
+    )

@@ -169,3 +169,32 @@ def run_foreachbatch_upsert(
     )
     q.awaitTermination()
     return target
+
+
+def enriched_segment_counts(
+    events: DataFrame, customer_dim: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension
+    (user → market segment), then hourly windowed counts per segment —
+    the streaming twin of plans.events.events_enriched_by_segment.
+
+    Scale: Spark re-broadcasts the static side per micro-batch (picking
+    up dim updates between batches); the stream side never shuffles for
+    the join, only for the windowed aggregate, whose state the watermark
+    bounds.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(customer_dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )

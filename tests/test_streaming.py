@@ -97,3 +97,13 @@ def test_streaming_session_window_matches_batch(spark):
         for r in QUERIES["events_session_window"](spark, SF_SMOKE).collect()
     }
     assert stream_res == batch_res
+
+
+def test_streaming_static_join_matches_batch(spark):
+    """The stream-static join must produce exactly the batch twin's rows."""
+    from pucminas_data_pipelines_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    live = QUERIES["streaming_static_join_live"](spark, SF_SMOKE)
+    batch = QUERIES["events_enriched_by_segment"](spark, SF_SMOKE)
+    assert sorted(map(tuple, live.collect())) == sorted(map(tuple, batch.collect()))
