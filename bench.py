@@ -30,6 +30,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_orders",
+    "q9_product_profit",
+    "q21_sole_blamed_supplier",
+    "text_bm25_rank",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine_topk",

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
@@ -46,4 +47,31 @@ def train_test_split(
         F.when(
             hash_bucket(F.col(id_col)) < test_percent, F.lit("test")
         ).otherwise(F.lit("train")),
+    )
+
+
+def stratified_split(
+    df: DataFrame, id_col: str, strata_col: str, test_percent: int = 10
+) -> DataFrame:
+    """Exact-ratio stratified split: within each stratum, rows are ranked
+    by their md5 hash (deterministic, uncorrelated with data order or
+    values) and the first ceil(test_percent%) of every stratum goes to
+    'test'. Unlike the plain hash split — whose per-stratum ratio only
+    converges for large strata — this hits the target ratio exactly in
+    every stratum, which matters for rare classes.
+
+    Scale: one shuffle on the stratum key for the two windows; the hash
+    ranking is computed map-side first. Heavily skewed strata (one giant
+    class) serialize through one partition's window — for those, fall
+    back to the plain hash split, whose ratio error is negligible at that
+    size anyway.
+    """
+    md5_rank = F.md5(F.col(id_col).cast("string"))
+    order_w = Window.partitionBy(strata_col).orderBy(md5_rank, F.col(id_col))
+    count_w = Window.partitionBy(strata_col)
+    rn = F.row_number().over(order_w)
+    n = F.count(F.lit(1)).over(count_w)
+    test_n = F.ceil(n * F.lit(test_percent) / F.lit(100.0))
+    return df.withColumn(
+        "split", F.when(rn <= test_n, F.lit("test")).otherwise(F.lit("train"))
     )

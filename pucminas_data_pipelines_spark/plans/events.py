@@ -242,3 +242,164 @@ def events_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "c_mktsegment")
     )
+
+
+@query(
+    "events_hypertable_rollup",
+    oracle="""
+    SELECT
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+      date_trunc('hour', ts) AS hour_bucket,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP), date_trunc('hour', ts))
+    ORDER BY day_bucket NULLS FIRST, hour_bucket NULLS FIRST
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over the
+    event hypertable produces hour-level, day-level, and grand-total
+    aggregates via hierarchical ROLLUP on time buckets (the batch form of
+    a TimescaleDB continuous aggregate / materialized rollup).
+
+    Scale: ROLLUP expands each row to its 3 grouping sets BEFORE the
+    exchange, and map-side combine collapses them per partition — the
+    shuffle carries O(partitions × (hours + days + 1)) rows, independent
+    of event count. min/max/sum/count are all reusable partial aggregates
+    (the same property a streaming continuous aggregate exploits for
+    incremental maintenance).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.rollup(
+            F.date_trunc("day", F.col("ts")).alias("day_bucket"),
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy(
+            F.col("day_bucket").asc_nulls_first(),
+            F.col("hour_bucket").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t_view
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS users FROM t1
+    UNION ALL
+    SELECT '2_click' AS stage, COUNT(*) AS users FROM t2
+    UNION ALL
+    SELECT '3_purchase' AS stage, COUNT(*) AS users FROM t3
+    ORDER BY stage
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked after their
+    first view, then purchased after that first click — the classic
+    product-analytics conversion funnel with strict event ordering.
+
+    Scale: three per-user min-aggregates, each map-side combined to one
+    row per user; the stage joins are user-keyed hash joins on those
+    shrunken aggregates (at 1000 executors, all three legs share the
+    user_id partitioning; the raw events table is scanned once per stage
+    with the type filter pushed to the scan). The final counts are
+    3 scalar aggregates unioned — O(1) output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = (
+        e.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    count = lambda df, stage: df.agg(  # noqa: E731
+        F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("users")
+    ).select("stage", "users")
+    return (
+        count(t1, "1_view")
+        .unionAll(count(t2, "2_click"))
+        .unionAll(count(t3, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      cohort_day,
+      date_diff('day', CAST(cohort_day AS DATE), CAST(e.ts AS DATE)) AS day_offset,
+      COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e
+    JOIN cohorts USING (user_id)
+    WHERE date_diff('day', CAST(cohort_day AS DATE), CAST(e.ts AS DATE)) <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity day, then
+    distinct-active counts per (cohort, day-offset) for the first week —
+    the standard growth-analytics rollup.
+
+    Scale: the cohort assignment is a per-user min-aggregate (map-side
+    combined, one row per user) joined back user-keyed; the cohort×offset
+    grid is tiny (days × 8), so the final COUNT(DISTINCT) shuffle carries
+    pre-deduped (cohort, offset, user) triples — bounded by active users,
+    not events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    offset = F.datediff(F.col("ts").cast("date"), F.col("cohort_day").cast("date"))
+    return (
+        e.join(cohorts, "user_id")
+        .withColumn("day_offset", offset)
+        .where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

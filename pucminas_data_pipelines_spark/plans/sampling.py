@@ -70,3 +70,41 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "split_stratified_by_lang",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT
+      CASE WHEN rn <= CEIL(n * 10 / 100.0) THEN 'test' ELSE 'train' END AS split,
+      lang,
+      COUNT(*) AS n_docs
+    FROM ranked
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def split_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-ratio 90/10 stratified split per language: every stratum hits
+    the 10% test ratio exactly (ceil), with membership decided by md5
+    rank — deterministic across engines, reruns, and partitionings.
+    Complements split_train_test, whose per-stratum ratio is only
+    approximate."""
+    from pucminas_data_pipelines_spark.operators.sampling import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_split(docs, "doc_id", "lang", test_percent=10)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
