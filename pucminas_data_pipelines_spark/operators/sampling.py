@@ -75,3 +75,21 @@ def stratified_split(
     return df.withColumn(
         "split", F.when(rn <= test_n, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def hash_unit(id_col: Column) -> Column:
+    """Deterministic uniform draw in [0, 1) from a stable id: the md5
+    32-bit prefix divided by 2^32. The DuckDB twin is
+    ``(('0x' || substring(md5(id), 1, 8))::bigint / 4294967296.0)``."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return h.cast("bigint") / F.lit(4294967296.0)
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight: Column) -> DataFrame:
+    """Importance sampling with per-row keep probability = ``weight``
+    (clamped to [0, 1]): keep iff hash_unit(id) < weight. Stable across
+    runs, partitionings, and engines; zero shuffle — the standard
+    quality-weighted document downsampling step in corpus curation.
+    """
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.where(hash_unit(F.col(id_col)) < w)

@@ -108,3 +108,36 @@ def split_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+_UNIT_SQL = "(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+
+
+@query(
+    "sample_weighted_by_length",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM documents
+    WHERE {_UNIT_SQL} < LEAST(GREATEST(n_chars / 400.0, 0.0), 1.0)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sample: keep probability proportional to
+    document length (n_chars/400, clamped) decided by a deterministic
+    per-id uniform draw — longer documents are kept preferentially, and
+    the SAME documents are kept on every engine, run, and partitioning.
+
+    Scale: pure map-side predicate (hash + compare), no shuffle to
+    assign; the driver-side aggregate here just summarizes the sample.
+    """
+    from pucminas_data_pipelines_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, "doc_id", F.col("n_chars") / F.lit(400.0))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )

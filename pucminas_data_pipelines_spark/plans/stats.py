@@ -140,3 +140,54 @@ def explode_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token"))
         .limit(20)
     )
+
+
+@query(
+    "stats_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    totals AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS total,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n
+      FROM per_key
+    )
+    SELECT user_id, n,
+           ROUND(n / total, 6) AS share,
+           ROUND(n / mean_n, 6) AS x_mean
+    FROM per_key CROSS JOIN totals
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+)
+def stats_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: the top-10 heaviest keys with their
+    share of all rows and their multiple of the mean key size — the
+    measurement that decides between plain shuffle, AQE skew-join, and
+    operators/skew.salted_inner_join (a key at >~1 executor-partition of
+    rows needs salting).
+
+    Scale: per-key counts are map-side combined (one row per key per
+    partition); the totals are a second tiny aggregate over keys, not
+    rows, broadcast back; top-10 is TakeOrdered. Runs as a cheap
+    pre-flight on 100 TB before committing to a join strategy.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    per_key.persist()
+    totals = per_key.agg(
+        F.sum("n").cast("double").alias("total"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n"),
+    )
+    return (
+        per_key.join(F.broadcast(totals))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("mean_n"), 6).alias("x_mean"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(10)
+    )
