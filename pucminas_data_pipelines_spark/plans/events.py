@@ -403,3 +403,56 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "events_click_purchase_correlation",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS min_lag_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '30 minutes'
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def events_click_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join, batch twin: every (click, purchase) pair by the
+    same user within 30 minutes — interval-bounded event correlation.
+    The streaming version (streaming_stream_join_live) runs the identical
+    join with watermarks bounding both sides' state.
+
+    Scale: an equi join on user_id with the time interval as residual —
+    hash join, never nested-loop; both legs filter event_type at the
+    scan. The µs-integer lag arithmetic is exact, so the aggregate is
+    engine-stable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(
+                F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+            ).alias("min_lag_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -84,3 +84,27 @@ def streaming_static_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_to_memory(jobs.enriched_segment_counts(events, dim)).orderBy(
         "window_start", "c_mktsegment"
     )
+
+
+@query("streaming_stream_join_live")  # streaming → rows-only
+def streaming_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream × readStream: watermarked stream-stream inner join
+    (clicks ↔ same-user purchases within 30 min) → AvailableNow → memory
+    sink, aggregated to the batch twin's shape
+    (events_click_purchase_correlation carries the oracle)."""
+    from pyspark.sql import functions as F
+
+    events = jobs.read_events_stream(spark, sf_dir)
+    pairs = jobs.run_to_memory(
+        jobs.stream_stream_click_purchase(events), output_mode="append"
+    )
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(
+                F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+            ).alias("min_lag_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -198,3 +198,34 @@ def enriched_segment_counts(
             "sum_value",
         )
     )
+
+
+def stream_stream_click_purchase(
+    events: DataFrame, watermark: str = "1 hour", within: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: clicks matched to same-user purchases
+    within a time bound — the streaming twin of
+    plans.events.events_click_purchase_correlation.
+
+    Scale: BOTH sides are watermarked and the join condition bounds the
+    event-time range, so the state store evicts rows once the watermark
+    passes their join horizon — without the time bound a stream-stream
+    join's state grows without limit. The join itself hash-partitions
+    both streams on user_id.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}")),
+    )

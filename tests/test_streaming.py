@@ -107,3 +107,14 @@ def test_streaming_static_join_matches_batch(spark):
     live = QUERIES["streaming_static_join_live"](spark, SF_SMOKE)
     batch = QUERIES["events_enriched_by_segment"](spark, SF_SMOKE)
     assert sorted(map(tuple, live.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked stream-stream join must produce exactly the batch
+    twin's pairs (AvailableNow processes everything, so no late drops)."""
+    from pucminas_data_pipelines_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    live = QUERIES["streaming_stream_join_live"](spark, SF_SMOKE)
+    batch = QUERIES["events_click_purchase_correlation"](spark, SF_SMOKE)
+    assert sorted(map(tuple, live.collect())) == sorted(map(tuple, batch.collect()))
