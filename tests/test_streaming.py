@@ -118,3 +118,41 @@ def test_stream_stream_join_matches_batch(spark):
     live = QUERIES["streaming_stream_join_live"](spark, SF_SMOKE)
     batch = QUERIES["events_click_purchase_correlation"](spark, SF_SMOKE)
     assert sorted(map(tuple, live.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_checkpointed_file_sink_exactly_once(spark, tmp_path):
+    """File sink + checkpointLocation: the deduped stream lands exactly the
+    batch-distinct rows, and a RESTART with the same checkpoint writes
+    nothing new (offsets are committed — the exactly-once contract a real
+    deployment relies on)."""
+    from pucminas_data_pipelines_spark.streaming import jobs
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        events = jobs.read_events_stream(spark, SF_SMOKE)
+        q = (
+            jobs.dedup_within_watermark(events)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    expected = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert first == expected
+    run_once()  # restart against the committed checkpoint
+    assert spark.read.parquet(out).count() == first
