@@ -204,3 +204,47 @@ def sink_compacted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sink_range_sorted_layout",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sink_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping layout sink: repartitionByRange + sortWithinPartitions
+    on the query key gives each output file a disjoint key range, so
+    parquet row-group min/max statistics prune point/range scans to one
+    file — the flat-file analogue of clustering/Z-ordering a table on its
+    hot predicate column. Data equality is the oracle;
+    test_bucketing.test_range_sorted_layout_prunes pins the disjointness.
+
+    Scale: one range shuffle at write time (sampled boundaries) buys
+    every subsequent reader file-level pruning — the standard
+    write-once/read-many trade for a 100 TB fact table.
+    """
+    path = f"{_TMP}/orders_range_sorted"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

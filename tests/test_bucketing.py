@@ -72,3 +72,30 @@ def test_compaction_bounds_file_count(spark):
     QUERIES["sink_compacted_files"](spark, SF_SMOKE).collect()
     files = glob.glob("/root/repo/.tmp/orders_compacted/*.parquet")
     assert len(files) == 2  # repartition(2), under maxRecordsPerFile
+
+
+def test_range_sorted_layout_prunes(spark):
+    """The range-sorted layout must give files DISJOINT key ranges (that
+    disjointness is what lets parquet min/max stats prune whole files)."""
+    import glob
+
+    from pucminas_data_pipelines_spark.plans.sources import (
+        _TMP,
+        sink_range_sorted_layout,
+    )
+    from tests.conftest import SF_SMOKE
+
+    sink_range_sorted_layout(spark, SF_SMOKE).collect()
+    files = sorted(glob.glob(f"{_TMP}/orders_range_sorted/*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+            .collect()[0]
+        )
+        ranges.append((row.lo, row.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
