@@ -191,3 +191,75 @@ def stats_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+@query(
+    "stats_value_histogram",
+    oracle="""
+    SELECT
+      LEAST(GREATEST(CAST(FLOOR(value / 10.0) AS BIGINT), 0), 9) AS bucket,
+      COUNT(*) AS n,
+      MIN(value) AS lo,
+      MAX(value) AS hi
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def stats_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the event value distribution (10 buckets of
+    width 10, clamped tails) — the profiling primitive behind skew/outlier
+    detection and bucket-boundary choices.
+
+    Scale: bucket assignment is a map-side expression; the aggregate
+    shuffles ≤10 rows per partition. Integer floor division is
+    engine-exact (no float binning drift).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(10.0)).cast("bigint"), F.lit(0)),
+        F.lit(9),
+    )
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "stats_table_profile",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      COUNT(c_name) AS name_nonnull,
+      COUNT(DISTINCT c_nationkey) AS nation_distinct,
+      MIN(c_acctbal) AS acctbal_min,
+      MAX(c_acctbal) AS acctbal_max,
+      COUNT(DISTINCT c_mktsegment) AS segment_distinct
+    FROM customer
+    """,
+)
+def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (row count, non-null counts, distinct
+    cardinalities, min/max) — the data-quality summary a pipeline runs
+    before trusting a new drop of input.
+
+    Scale: single aggregate, map-side combined; the COUNT(DISTINCT)s
+    expand the plan but stay bounded by their (small) domains. For
+    100 TB profiling of high-cardinality columns, swap in
+    approx_count_distinct — registered separately as the HLL++ path.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_name").alias("name_nonnull"),
+        F.countDistinct("c_nationkey").alias("nation_distinct"),
+        F.min("c_acctbal").alias("acctbal_min"),
+        F.max("c_acctbal").alias("acctbal_max"),
+        F.countDistinct("c_mktsegment").alias("segment_distinct"),
+    )
