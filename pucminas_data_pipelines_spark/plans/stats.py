@@ -263,3 +263,200 @@ def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("acctbal_max"),
         F.countDistinct("c_mktsegment").alias("segment_distinct"),
     )
+
+
+@query(
+    "stats_iqr_outliers",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
+                      OR e.value > q3 + 1.5 * (q3 - q1)
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def stats_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection: values beyond 1.5×IQR of their
+    group's quartiles — the robust (median-based) data-quality filter
+    that survives the heavy tails a mean/stddev filter chokes on.
+
+    Scale: quartiles per group are one exact-percentile aggregate (at
+    100 TB swap in approx_percentile); the bounds are a tiny broadcast
+    joined back, so the flagging pass is map-side. Spark `percentile` ≡
+    DuckDB quantile_cont (both linear-interpolate), so the fences are
+    engine-identical doubles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy(F.col("event_type").alias("_bt")).agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - F.lit(1.5) * iqr) | (
+        F.col("value") > F.col("q3") + F.lit(1.5) * iqr
+    )
+    return (
+        e.join(F.broadcast(bounds), F.col("event_type") == F.col("_bt"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "project_unpivot_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    ORDER BY p_partkey, metric
+    """,
+)
+def project_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): per-part metrics become (key, metric,
+    value) rows — the inverse of agg_pivot, used to feed generic
+    metric-per-row consumers.
+
+    Scale: unpivot is a map-side row expansion (×n_metrics), no shuffle;
+    the ORDER BY here is display-side only.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double"),
+        F.col("p_size").cast("double"),
+    )
+    return p.unpivot(
+        ["p_partkey"], ["p_retailprice", "p_size"], "metric", "value"
+    ).orderBy("p_partkey", "metric")
+
+
+@query(
+    "quality_dim_coverage_gaps",
+    oracle="""
+    SELECT 'parts_not_ordered_1997' AS check_name, COUNT(*) AS n_uncovered
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    UNION ALL
+    SELECT 'suppliers_no_returns' AS check_name, COUNT(*) AS n_uncovered
+    FROM supplier s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+    )
+    UNION ALL
+    SELECT 'customers_inactive_since_1998h2' AS check_name, COUNT(*) AS n_uncovered
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+    )
+    ORDER BY check_name
+    """,
+)
+def quality_dim_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-coverage audit: dim rows never referenced by a filtered
+    slice of the fact (parts with no 1997 shipments, suppliers with no
+    returns, customers inactive since 1998-H2) — the referential health
+    check run before publishing a snapshot.
+
+    Scale: each check is an anti-join where the fact side is filtered
+    and projected to its key before the exchange; the three counts are
+    scalar aggregates unioned (O(1) output).
+    """
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    l97 = l.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey")
+    lret = l.where(F.col("l_returnflag") == "R").select("l_suppkey")
+    o98 = o.where(
+        F.col("o_orderdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+
+    def check(dim, fact, cond, name):
+        return (
+            dim.join(fact, cond, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_uncovered"))
+            .select(F.lit(name).alias("check_name"), "n_uncovered")
+        )
+
+    return (
+        check(p, l97, F.col("p_partkey") == F.col("l_partkey"), "parts_not_ordered_1997")
+        .unionAll(
+            check(s, lret, F.col("s_suppkey") == F.col("l_suppkey"), "suppliers_no_returns")
+        )
+        .unionAll(
+            check(
+                c, o98, F.col("c_custkey") == F.col("o_custkey"),
+                "customers_inactive_since_1998h2",
+            )
+        )
+        .orderBy("check_name")
+    )
+
+
+@query(
+    "quality_id_gap_summary",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id,
+             LEAD(event_id) OVER (ORDER BY event_id) AS next_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COUNT(*) AS n_gaps,
+           CAST(SUM(next_id - event_id - 1) AS BIGINT) AS total_missing,
+           CAST(MAX(next_id - event_id - 1) AS BIGINT) AS max_gap
+    FROM seq
+    WHERE next_id - event_id > 1
+    """,
+)
+def quality_id_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit on an id column (here: the purchase-event slice
+    of a global id space): count/total/max of the holes — the
+    completeness check for an ingested partition that should be
+    contiguous.
+
+    Scale: the global-order LEAD window is the cost — at 100 TB,
+    range-partition the ids and run the window per range, stitching the
+    boundaries (one row per partition) driver-side; the per-range plan
+    is identical to this one.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    gap = F.lead("event_id").over(Window.orderBy("event_id")) - F.col("event_id")
+    return (
+        e.select("event_id", gap.alias("_gap"))
+        .where(F.col("_gap") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(F.col("_gap") - 1).cast("bigint").alias("total_missing"),
+            F.max(F.col("_gap") - 1).cast("bigint").alias("max_gap"),
+        )
+    )
