@@ -242,3 +242,38 @@ def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "agg_collect_set_sorted",
+    oracle="""
+    SELECT n_name,
+           array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM nation
+    JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregation: the distinct set of values per group,
+    SORTED — collect_set's element order is partition-dependent, so the
+    sort_array wrapper is what makes the result deterministic and
+    engine-comparable (same rule as any array-valued aggregate).
+
+    Scale: the set is bounded by the value domain (segments), not row
+    count, so the shuffled partials stay tiny; unsorted collect_list of
+    an unbounded column would be the anti-pattern here.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("n_name")
+    )

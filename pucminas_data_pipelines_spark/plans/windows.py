@@ -199,3 +199,45 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
         .orderBy("o_custkey", "rank_in_cust")
     )
+
+
+@query(
+    "window_distribution_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      ROUND(CUME_DIST() OVER w, 6) AS cume,
+      FIRST_VALUE(o_orderkey) OVER w_full AS cheapest_order,
+      LAST_VALUE(o_orderkey) OVER w_full AS priciest_order,
+      NTH_VALUE(o_orderkey, 2) OVER w_full AS second_cheapest
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW
+      w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+      w_full AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist plus
+    first/last/nth_value over the full-partition frame. last_value needs
+    the explicit UNBOUNDED FOLLOWING frame on both engines — the default
+    frame ends at CURRENT ROW, silently making last_value ≡ current row.
+
+    Scale: all five share one partitioning+ordering, so Catalyst computes
+    them in a single window exchange; the unique tiebreak (orderkey)
+    keeps ranks engine-deterministic under price ties.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w_full).alias("cheapest_order"),
+        F.last("o_orderkey").over(w_full).alias("priciest_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest"),
+    ).orderBy("o_custkey", "o_orderkey")
