@@ -263,3 +263,44 @@ def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_from_map"),
         F.size(F.map_keys(m)).alias("n_keys"),
     ).orderBy("event_id")
+
+
+@query(
+    "scalar_array_construction_suite",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey, generate_series(1, p_size % 5 + 2) AS seq
+      FROM part WHERE p_partkey < 200
+    )
+    SELECT p_partkey,
+           seq,
+           seq[2:3] AS sliced,
+           flatten([seq, seq[2:3]]) AS flat,
+           list_contains(seq, 3) AS has_three,
+           list_sort(list_distinct(seq || seq[2:3])) AS merged_distinct
+    FROM base
+    ORDER BY p_partkey
+    """,
+)
+def scalar_array_construction_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction/manipulation built-ins: sequence, slice, flatten,
+    membership, and de-duplicated union (sorted — array_union's element
+    order is implementation-defined, so only the sorted form is
+    engine-comparable). Complements scalar_array_suite's higher-order
+    functions.
+
+    Scale: all pure map-side Catalyst expressions inside whole-stage
+    codegen; no shuffle, no UDFs.
+    """
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    seq = F.sequence(F.lit(1), F.pmod(F.col("p_size"), F.lit(5)) + F.lit(2))
+    base = p.select("p_partkey", seq.alias("seq"))
+    sliced = F.slice(F.col("seq"), 2, 2)
+    return base.select(
+        "p_partkey",
+        "seq",
+        sliced.alias("sliced"),
+        F.flatten(F.array(F.col("seq"), sliced)).alias("flat"),
+        F.array_contains(F.col("seq"), 3).alias("has_three"),
+        F.sort_array(F.array_union(F.col("seq"), sliced)).alias("merged_distinct"),
+    ).orderBy("p_partkey")
