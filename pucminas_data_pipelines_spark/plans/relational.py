@@ -451,3 +451,55 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sql_parameterized_cte",
+    oracle="""
+    WITH regional AS (
+      SELECT n_nationkey, n_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    per_nation AS (
+      SELECT n_name,
+             COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+      FROM customer JOIN regional ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT * FROM per_nation ORDER BY n_name
+    """,
+)
+def sql_parameterized_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw SQL surface: temp views + a multi-CTE statement executed via
+    spark.sql with a NAMED PARAMETER (args binding, not string
+    interpolation — the injection-safe way to template SQL). The CTEs
+    compile into the same Catalyst plan a DataFrame chain would.
+
+    Scale: identical physical plan to the DataFrame form — dims
+    broadcast, one aggregate shuffle; CTEs are inlined by Catalyst, not
+    materialized.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH regional AS (
+          SELECT n_nationkey, n_name
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = :region
+        ),
+        per_nation AS (
+          SELECT n_name,
+                 COUNT(*) AS n_customers,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_balance
+          FROM customer JOIN regional ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT * FROM per_nation ORDER BY n_name
+        """,
+        args={"region": "ASIA"},
+    )

@@ -304,3 +304,47 @@ def scalar_array_construction_suite(spark: SparkSession, sf_dir: str) -> DataFra
         F.array_contains(F.col("seq"), 3).alias("has_three"),
         F.sort_array(F.array_union(F.col("seq"), sliced)).alias("merged_distinct"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "scalar_date_calendar_suite",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      CAST((YEAR(DATE '2000-06-15') - YEAR(o_orderdate)) * 12
+           + (MONTH(DATE '2000-06-15') - MONTH(o_orderdate)) AS INTEGER)
+        AS whole_months_to_y2k5,
+      CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow_sunday1,
+      CAST(CAST(o_orderdate AS DATE) +
+        (CASE WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7 = 0 THEN 7
+              ELSE (8 - isodow(CAST(o_orderdate AS DATE))) % 7 END)
+        * INTERVAL '1 day' AS DATE) AS next_monday
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_date_calendar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic: add_months (month-end-clamped on both engines),
+    last_day, whole-month difference, day-of-week (normalized to
+    Sunday=1 — Spark's convention; DuckDB's dayofweek is Sunday=0), and
+    next_day (strictly-next Monday, spelled as isodow modular arithmetic
+    in the oracle).
+
+    Scale: pure map-side codegen expressions, no shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate").cast("date")
+    anchor = F.lit("2000-06-15").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.last_day(d).alias("month_end"),
+        (
+            (F.year(anchor) - F.year(d)) * F.lit(12)
+            + (F.month(anchor) - F.month(d))
+        ).cast("int").alias("whole_months_to_y2k5"),
+        F.dayofweek(d).alias("dow_sunday1"),
+        F.next_day(d, "Mon").alias("next_monday"),
+    ).orderBy("o_orderkey")
