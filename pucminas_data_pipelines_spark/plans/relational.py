@@ -503,3 +503,54 @@ def sql_parameterized_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"region": "ASIA"},
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    labels AS (
+      SELECT * FROM (VALUES
+        ('O', 'open'), ('F', 'finalized'), (NULL, 'pending-unknown')
+      ) AS t(status_key, label)
+    )
+    SELECT label, COUNT(*) AS n
+    FROM o JOIN labels ON status_or_null IS NOT DISTINCT FROM status_key
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (eqNullSafe ≡ IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics needed
+    when NULL is a legitimate category (here: 'P' statuses nullified,
+    then labeled through a NULL-keyed dim). A plain == join would
+    silently drop every nullified row.
+
+    Scale: eqNullSafe is still an equi-join to Catalyst — hash join on
+    the null-safe key (broadcast here), never a nested loop.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        )
+    )
+    labels = o.sparkSession.createDataFrame(
+        [("O", "open"), ("F", "finalized"), (None, "pending-unknown")],
+        "status_key string, label string",
+    )
+    return (
+        o.join(
+            F.broadcast(labels),
+            F.col("status_or_null").eqNullSafe(F.col("status_key")),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label")
+    )

@@ -460,3 +460,31 @@ def quality_id_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("_gap") - 1).cast("bigint").alias("max_gap"),
         )
     )
+
+
+@query(
+    "explode_tokens_with_position",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS arr
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id, CAST(g.i - 1 AS INTEGER) AS pos, arr[g.i] AS token
+    FROM toks, UNNEST(generate_series(1, len(arr))) AS g(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def explode_tokens_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: row expansion that PRESERVES element position (0-based —
+    DuckDB's WITH ORDINALITY is 1-based, shifted in the oracle). Position
+    is what n-gram windows, positional encodings, and order-sensitive
+    re-assembly need; plain explode loses it.
+
+    Scale: same map-side expansion as explode — no shuffle added by the
+    ordinal.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
+    ).orderBy("doc_id", "pos")
