@@ -665,3 +665,67 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", F.col("tfidf").desc(), "token")
     )
+
+
+@query(
+    "text_fuzzy_entity_match",
+    oracle="""
+    WITH probes AS (
+      SELECT * FROM (VALUES
+        ('Custmer#000000042'), ('Customer#00000013'),
+        ('Customer#000000777x'), ('Kustomer#000000900')
+      ) AS p(probe)
+    ),
+    scored AS (
+      SELECT probe, c_name, levenshtein(probe, c_name) AS d
+      FROM probes CROSS JOIN customer
+    ),
+    best AS (SELECT probe, MIN(d) AS best_distance FROM scored GROUP BY probe)
+    SELECT s.probe, b.best_distance, MIN(s.c_name) AS best_match
+    FROM scored s JOIN best b ON s.probe = b.probe AND s.d = b.best_distance
+    WHERE b.best_distance <= 3
+    GROUP BY s.probe, b.best_distance
+    ORDER BY s.probe
+    """,
+)
+def text_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: each probe string matched to its nearest
+    dimension name by Levenshtein edit distance (≤3), ties broken by
+    lexicographic min so the answer is deterministic — the lookup step
+    of a typo-tolerant entity-matching pipeline.
+
+    Scale: the probe list broadcasts and the scoring is a map-side
+    cross-product over the dim — O(|probes| × |dim|) edit distances,
+    fine for probe batches; at large |probes| block first (shared
+    prefix/length buckets or LSH over character n-grams, same machinery
+    as dedup_minhash_lsh) so only candidate pairs are scored. min-dist
+    selection is the q2/q15 aggregate-then-equality-join pattern.
+    """
+    probes = spark.createDataFrame(
+        [
+            ("Custmer#000000042",),
+            ("Customer#00000013",),
+            ("Customer#000000777x",),
+            ("Kustomer#000000900",),
+        ],
+        "probe string",
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_name")
+    scored = (
+        c.crossJoin(F.broadcast(probes))
+        .select("probe", "c_name", F.levenshtein("probe", "c_name").alias("d"))
+    )
+    scored.persist()
+    best = scored.groupBy(F.col("probe").alias("_p")).agg(
+        F.min("d").alias("best_distance")
+    )
+    return (
+        scored.join(
+            F.broadcast(best),
+            (F.col("probe") == F.col("_p")) & (F.col("d") == F.col("best_distance")),
+        )
+        .where(F.col("best_distance") <= 3)
+        .groupBy("probe", "best_distance")
+        .agg(F.min("c_name").alias("best_match"))
+        .orderBy("probe")
+    )

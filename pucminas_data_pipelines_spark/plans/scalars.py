@@ -348,3 +348,42 @@ def scalar_date_calendar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).alias("dow_sunday1"),
         F.next_day(d, "Mon").alias("next_monday"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_string_extended_suite",
+    oracle="""
+    SELECT c_custkey,
+      lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_id,
+      reverse(c_name) AS reversed_name,
+      repeat('-', 3) || c_mktsegment AS dashed_segment,
+      CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+      split_part(c_name, '#', 2) AS id_part,
+      translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
+      printf('%s|%d', c_mktsegment, c_nationkey) AS composed
+    FROM customer
+    WHERE c_custkey <= 300
+    ORDER BY c_custkey
+    """,
+)
+def scalar_string_extended_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string suite: padding, reverse, repeat/concat, substring
+    position (instr ≡ strpos), split_part, character translation, and
+    printf-style formatting (format_string ≡ printf) — the remaining
+    everyday string built-ins beyond scalar_string_suite.
+
+    Scale: pure map-side codegen expressions, no shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse("c_name").alias("reversed_name"),
+        F.concat(F.repeat(F.lit("-"), 3), F.col("c_mktsegment")).alias(
+            "dashed_segment"
+        ),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("id_part"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.format_string("%s|%d", "c_mktsegment", "c_nationkey").alias("composed"),
+    ).orderBy("c_custkey")
