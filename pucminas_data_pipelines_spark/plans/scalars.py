@@ -387,3 +387,43 @@ def scalar_string_extended_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate("c_mktsegment", "AEIOU", "aeiou").alias("lowered_vowels"),
         F.format_string("%s|%d", "c_mktsegment", "c_nationkey").alias("composed"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "scalar_map_construction_suite",
+    oracle="""
+    SELECT c_custkey,
+      map_extract(map(['seg', 'name'], [c_mktsegment, c_name]), 'seg')[1]
+        AS seg_lookup,
+      CAST(cardinality(map(['seg', 'name'], [c_mktsegment, c_name])) AS INTEGER)
+        AS n_entries,
+      list_sort(map_keys(map(['seg', 'name'], [c_mktsegment, c_name])))
+        AS sorted_keys,
+      CAST(list_contains(map_keys(map(['seg', 'name'], [c_mktsegment, c_name])), 'name')
+        AS INTEGER) AS has_name_key
+    FROM customer
+    WHERE c_custkey <= 200
+    ORDER BY c_custkey
+    """,
+)
+def scalar_map_construction_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction and access: create_map, element_at lookup,
+    cardinality, key listing (sorted — map key order is
+    implementation-defined), and key membership. Output columns are
+    scalars/arrays, never raw maps: map-typed results render
+    differently across clients, so comparable queries project OUT of
+    the map (the same rule production pipelines follow at API edges).
+
+    Scale: pure map-side codegen expressions, no shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+    )
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg_lookup"),
+        F.size(m).alias("n_entries"),
+        F.sort_array(F.map_keys(m)).alias("sorted_keys"),
+        F.array_contains(F.map_keys(m), "name").cast("int").alias("has_name_key"),
+    ).orderBy("c_custkey")
