@@ -729,3 +729,58 @@ def text_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c_name").alias("best_match"))
         .orderBy("probe")
     )
+
+
+@query(
+    "text_bigram_frequencies",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS arr
+      FROM documents
+    ),
+    positioned AS (
+      SELECT doc_id, g.i AS pos, arr[g.i] AS token
+      FROM toks, UNNEST(generate_series(1, len(arr))) AS g(i)
+    ),
+    bigrams AS (
+      SELECT token,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next_token
+      FROM positioned
+    )
+    SELECT token, next_token, COUNT(*) AS freq
+    FROM bigrams
+    WHERE next_token IS NOT NULL
+    GROUP BY token, next_token
+    ORDER BY freq DESC, token, next_token
+    LIMIT 20
+    """,
+)
+def text_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram (next-token) frequencies — the n-gram language-model
+    counting primitive: position-preserving explode, a per-document LEAD
+    window to pair each token with its successor, then a global count.
+
+    Scale: the LEAD window partitions by doc_id (one shuffle, bounded
+    partitions — a document's tokens, never the corpus); the bigram
+    count is map-side combined to the (vocab²-bounded, Zipf-truncated)
+    distinct-pair set; top-k is TakeOrdered. For trigrams+ the same plan
+    adds LEAD offsets, not extra shuffles.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    positioned = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        positioned.select(
+            "token", F.lead("token").over(w).alias("next_token")
+        )
+        .where(F.col("next_token").isNotNull())
+        .groupBy("token", "next_token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"), F.col("next_token"))
+        .limit(20)
+    )
