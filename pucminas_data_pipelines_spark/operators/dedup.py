@@ -69,9 +69,14 @@ def minhash_signatures(
         df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
         .select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
     )
+    # seed folds into the per-hash salt: distinct seeds give independent
+    # hash families (the seedability the signature API promises)
     wide = exploded.select(
         F.col(id_col),
-        *[F.xxhash64("_h", F.lit(i)).alias(f"_m{i}") for i in range(num_hashes)],
+        *[
+            F.xxhash64("_h", F.lit(seed + i)).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ],
     )
     return (
         wide.groupBy(id_col)
@@ -92,6 +97,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, with the
     estimated Jaccard (fraction of agreeing minhashes) filtered at
@@ -102,7 +108,15 @@ def minhash_lsh_pairs(
     Scale: docs explode ×bands (constant), shuffle on band hash; buckets
     self-join only within equal band hashes. Hot buckets (boilerplate text)
     are the known skew risk — AQE skew-join splits them; for adversarial
-    corpora cap bucket size upstream."""
+    corpora cap bucket size upstream.
+
+    Storage lifetime: the signature DataFrame is persisted (it feeds the
+    banding pass plus two candidate-verify joins). With ``materialize=True``
+    (default) the pair set — tiny next to the corpus — is eagerly
+    localCheckpoint'ed and the signature cache is released before
+    returning, so long-lived sessions never accumulate executor storage.
+    Pass ``materialize=False`` to keep the plan lazy/composable; the
+    signature cache then lives until Spark's ContextCleaner collects it."""
     rows = num_hashes // bands
     # persist: the signature job runs once; banding, the two
     # fetch-signature joins, and any downstream verify all reuse it
@@ -143,7 +157,7 @@ def minhash_lsh_pairs(
             lambda eq: eq,
         )
     )
-    return (
+    out = (
         pairs.join(sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")), "id_a")
         .join(sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")), "id_b")
         .withColumn(
@@ -153,6 +167,10 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sigs.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:

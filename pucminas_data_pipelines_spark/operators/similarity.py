@@ -159,6 +159,30 @@ def lsh_ann_topk(
     )
 
 
+_HASH_MOD = 1 << 20
+
+
+def ivf_sample_plan(
+    corpus: DataFrame, vec_col: str, sample_size: int
+) -> DataFrame:
+    """Deterministic training-sample plan for the IVF quantizer: a
+    hash-threshold FILTER (xxhash64 of the vector modulo 2^20 below a
+    cutoff), never a sort — a global orderBy().limit() at 100 TB is a
+    total sort of every embedding just to keep ~2k rows. The cutoff is
+    sized from a corpus count (parquet: metadata-only) with a 1.5x margin
+    so the filter yields >= sample_size rows with overwhelming
+    probability; the driver-side truncation in train_ivf_centroids
+    restores the exact size. Hash membership is a property of the vector
+    value, so the sample set is stable across partitionings."""
+    n = corpus.count()
+    frac = min(1.0, 1.5 * sample_size / max(n, 1))
+    cutoff = max(1, int(frac * _HASH_MOD))
+    return corpus.select(
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(vec_col)), F.lit(_HASH_MOD)).alias("_h"),
+    ).where(F.col("_h") < cutoff)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -168,17 +192,16 @@ def train_ivf_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer for IVF, trained driver-side on a
-    deterministic sample (first sample_size rows by xxhash64 of the vector —
-    stable across partitionings). Centroids are unit-normalized so dot
-    product = cosine. The centroid matrix is tiny (n_cells × dim) and is
-    closed over / broadcast into the assignment UDF — the standard IVF
-    split: train small, assign at scale."""
-    sample = (
-        corpus.select(F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_v")))
-        .limit(sample_size)
-        .collect()
-    )
+    deterministic hash-threshold sample (see ivf_sample_plan — a filter,
+    not a sort). Centroids are unit-normalized so dot product = cosine.
+    The centroid matrix is tiny (n_cells × dim) and is closed over /
+    broadcast into the assignment UDF — the standard IVF split: train
+    small, assign at scale."""
+    sample = ivf_sample_plan(corpus, vec_col, sample_size).collect()
+    # collect order follows partition order — sort driver-side (a few k
+    # rows) so centroids are identical across partitionings
+    sample.sort(key=lambda r: (r["_h"], tuple(r["_v"])))
+    sample = sample[:sample_size]
     x = np.array([r["_v"] for r in sample], dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
@@ -259,12 +282,24 @@ def brute_force_topk_pandas(
     vec_col: str,
     k: int = 5,
     exclude_self: bool = True,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Same contract as brute_force_topk, but cosine against ALL queries is
     one numpy matmul per corpus row batch (Arrow-vectorized pandas_udf).
     The Python cost is per-batch, not per-pair — the fast path for wide
-    vectors."""
-    q_rows = queries.select(query_id, vec_col).collect()
+    vectors.
+
+    The query side is collected to the driver and closed over into the UDF
+    (it must be small by contract); ``max_queries`` makes a misuse with a
+    large query side fail loudly instead of OOMing the driver — the
+    limit(max_queries + 1) bounds the collect itself."""
+    q_rows = queries.select(query_id, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_pandas collects the query side to the driver; "
+            f"got > {max_queries} query rows — use brute_force_topk (broadcast "
+            f"join) or an ANN operator for large query sets"
+        )
     q_ids = [r[0] for r in q_rows]
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

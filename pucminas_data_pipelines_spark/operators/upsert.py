@@ -78,17 +78,21 @@ class ParquetVersionedTable:
         are inserted; unmatched target rows are kept.
 
         Implemented as target FULL OUTER JOIN source on the key, taking the
-        source row when present else the target row."""
+        source row when present else the target row. Presence is tracked
+        with a sentinel flag column, NOT by testing the source key for
+        NULL: a source row whose merge key is NULL never equi-matches, and
+        Delta's whenNotMatchedInsertAll inserts it as-is — keying presence
+        off s.<key> would instead emit a garbage all-NULL row."""
         target = self.read()
         cols = target.columns
         if source.columns != cols:
             source = source.select(*cols)  # align schema by name
         src = F.broadcast(source) if broadcast_source else source
         t = target.alias("t")
-        s = src.alias("s")
+        s = src.withColumn("_s_present", F.lit(True)).alias("s")
         merged = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer").select(
             *[
-                F.when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c}"))
+                F.when(F.col("s._s_present").isNotNull(), F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
                 for c in cols
@@ -126,11 +130,74 @@ class ParquetVersionedTable:
         return manifest
 
 
+class DeltaVersionedTable:
+    """Same method surface as ParquetVersionedTable, delegating to real
+    Delta Lake (reference O5/O10/O11/O15/O16,
+    sparkcode/titanic_example_delta.py:25-72). Requires the delta-spark
+    package and a Delta-enabled session (session.get_spark does both when
+    the library is importable)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    def _table(self):
+        from delta.tables import DeltaTable  # O10: DeltaTable.forPath
+
+        return DeltaTable.forPath(self.spark, self.path)
+
+    def latest_version(self) -> int:
+        hist = self._table().history(1).select("version").collect()
+        return int(hist[0][0]) if hist else -1
+
+    def overwrite(self, df: DataFrame) -> int:
+        """O5: delta overwrite (titanic_example_delta.py:25)."""
+        df.write.format("delta").mode("overwrite").save(self.path)
+        return self.latest_version()
+
+    def read(self, version_as_of: int | None = None) -> DataFrame:
+        """O12 scan / O15 time travel (titanic_example_delta.py:56-70)."""
+        reader = self.spark.read.format("delta")
+        if version_as_of is not None:
+            reader = reader.option("versionAsOf", str(version_as_of))
+        return reader.load(self.path)
+
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        broadcast_source: bool = True,
+    ) -> int:
+        """O11: whenMatchedUpdateAll + whenNotMatchedInsertAll
+        (titanic_example_delta.py:43-51); Delta broadcasts a small source
+        on its own, so broadcast_source is accepted for surface parity."""
+        (
+            self._table()
+            .alias("t")
+            .merge(source.alias("s"), f"t.{key} = s.{key}")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return self.latest_version()
+
+    def delete_where(self, condition) -> int:
+        self._table().delete(condition)
+        return self.latest_version()
+
+    def history(self) -> list[int]:
+        rows = self._table().history().select("version").collect()
+        return sorted(int(r[0]) for r in rows)
+
+    def generate_manifest(self) -> str:
+        """O16: symlink manifest (titanic_example_delta.py:72)."""
+        self._table().generate("symlink_format_manifest")
+        return os.path.join(self.path, "_symlink_format_manifest")
+
+
 def versioned_table(spark: SparkSession, path: str):
     """Factory: real Delta table when the library exists, Parquet façade
     otherwise (same method surface)."""
     if delta_available():  # pragma: no cover - delta not in this container
-        raise NotImplementedError(
-            "Delta path: use delta.tables.DeltaTable directly (reference O10)"
-        )
+        return DeltaVersionedTable(spark, path)
     return ParquetVersionedTable(spark, path)

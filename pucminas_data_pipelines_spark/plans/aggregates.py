@@ -82,17 +82,39 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # approximate → no SQL oracle (rows-only)
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_lines,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the single-pass 100 TB path where exact
-    countDistinct's double shuffle is too expensive. No oracle: estimates
-    are engine-specific; pytest bounds the relative error instead."""
+    countDistinct's double shuffle is too expensive. The HLL estimate
+    itself is engine-specific, so the driver-checkable contract is the
+    error BOUND: the query emits the exact count plus a boolean asserting
+    the estimate lands within 5% of it; the oracle computes the exact
+    count and expects the boolean to hold (rsd=0.02 → ~2σ = 4%). pytest
+    additionally pins the raw relative error."""
     l = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", 0.02)
+    exact = F.countDistinct("l_partkey")
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            exact.alias("exact_parts"),
             F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double"))
+                / exact.cast("double")
+                <= 0.05
+            ).alias("approx_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -248,7 +270,8 @@ def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set_sorted",
     oracle="""
     SELECT n_name,
-           array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+           array_to_string(array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment), ',')
+             AS segments_csv,
            COUNT(DISTINCT c_mktsegment) AS n_segments
     FROM nation
     JOIN customer ON n_nationkey = c_nationkey
@@ -260,7 +283,11 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-building aggregation: the distinct set of values per group,
     SORTED — collect_set's element order is partition-dependent, so the
     sort_array wrapper is what makes the result deterministic and
-    engine-comparable (same rule as any array-valued aggregate).
+    engine-comparable (same rule as any array-valued aggregate). The
+    driver-facing output serializes the array as a CSV string
+    (array_join) because array cells are not hashable by the
+    order-insensitive value comparator; the array itself is an
+    intermediate.
 
     Scale: the set is bounded by the value domain (segments), not row
     count, so the shuffled partials stay tiny; unsorted collect_list of
@@ -272,7 +299,9 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments_csv"
+            ),
             F.countDistinct("c_mktsegment").alias("n_segments"),
         )
         .orderBy("n_name")

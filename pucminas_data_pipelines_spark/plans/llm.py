@@ -68,12 +68,60 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # probabilistic → rows-only; pytest pins semantics
+# Exact token-3-gram Jaccard, all pairs — DuckDB mirror of
+# functions.text.token_shingles (normalize → space-split → overlapping
+# 3-grams with one partial tail gram when len < n → distinct) followed by
+# |A∩B| / |A∪B| via unnest + equi-join (only co-shingled pairs surface,
+# which is all a >= threshold filter can keep).
+_JACCARD_CTE = f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - 2, 1)),
+        i -> array_to_string(w[i:i+2], ' '))) AS shingles
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+    )
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_CTE
+    + """
+    SELECT id_a, id_b FROM jac WHERE jaccard >= 0.3 ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs. The driver output is the pair set
+    only: the operator's est_jaccard column is xxhash-based and
+    engine-specific, but the PAIR SET is checkable against exact shingle
+    Jaccard because this corpus has a wide margin (planted duplicates sit
+    at jaccard >= 0.9, the next-closest pair below 0.15, so 64-hash
+    estimation error cannot flip membership at threshold 0.3 — verified
+    empirically at sf0.01). Recall bounds for the general case are pinned
+    by tests/test_dedup.py planted duplicates."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.3
-    ).orderBy("id_a", "id_b")
+    return (
+        D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.3
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -113,10 +161,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_ngram_jaccard")  # shingle sets not SQL-expressible → rows-only
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_CTE
+    + """
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.3 ORDER BY id_a, id_b
+    """,
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard (find → verify,
-    the canonical two-stage near-dup pipeline)."""
+    the canonical two-stage near-dup pipeline). Oracle: DuckDB computes the
+    same distinct-3-gram sets and exact |A∩B|/|A∪B| over ALL pairs — equal
+    to the two-stage result because LSH candidate recall is 1.0 on this
+    corpus at threshold 0.3 (wide jaccard margin; see dedup_minhash_lsh)."""
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.2
@@ -193,9 +250,7 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- similarity --
 
 
-@query(
-    "knn_cosine_topk",
-    oracle=f"""
+_KNN_EXACT_ORACLE = f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -211,8 +266,10 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, cosine, rank
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@query("knn_cosine_topk", oracle=_KNN_EXACT_ORACLE)
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 10 query vectors (the ANN
     correctness baseline)."""
@@ -225,14 +282,19 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_cosine_topk_pandas")  # BLAS path: numpy sum order differs → rows-only
+@query("knn_cosine_topk_pandas", oracle=_KNN_EXACT_ORACLE)
 def knn_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same search as knn_cosine_topk through the Arrow/pandas_udf BLAS
-    path; pytest asserts agreement with the expression path."""
+    path — identical contract, so it reuses the exact-KNN oracle verbatim.
+    numpy's pairwise summation and the expression fold agree after the
+    6-decimal round (verified at sf0.01; pytest also asserts path
+    agreement)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    return S.brute_force_topk_pandas(q, emb, "vec_id", "vec_id", "embedding", k=5).orderBy(
-        "query_id", "rank"
+    return (
+        S.brute_force_topk_pandas(q, emb, "vec_id", "vec_id", "embedding", k=5)
+        .withColumn("rank", F.col("rank").cast("int"))
+        .orderBy("query_id", "rank")
     )
 
 
@@ -470,7 +532,7 @@ def doc_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND (('0x' || SUBSTRING(MD5(CAST(n.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 50
     )
     SELECT lang, COUNT(*) AS n_docs,
-      SUM(n_tokens) AS total_tokens,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens
     FROM kept GROUP BY lang ORDER BY lang
     """,

@@ -112,7 +112,8 @@ def test_minhash_banding_stays_narrow(spark):
     from pucminas_data_pipelines_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text"))
+    # materialize=False keeps the lazy plan so the banding shape is visible
+    plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text", materialize=False))
     # the pair-dedup aggregate must group narrow keys, not array payloads
     assert "minhash" not in plan.split("HashAggregate(keys=[id_a")[1].split("]")[0]
 
@@ -133,3 +134,17 @@ def test_q21_double_correlation_is_hash_joins(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "NestedLoop" not in plan
+
+
+def test_driver_window_covers_every_category():
+    """The driver scores the first 50 registry entries: that window must
+    stay exactly the curated per-category representative set, and every
+    entry except the genuinely non-SQL ops (live streaming, approximate
+    ANN) must carry a DuckDB oracle."""
+    from pucminas_data_pipelines_spark.plans import DRIVER_WINDOW, ORACLES, QUERIES
+
+    assert len(DRIVER_WINDOW) == 50
+    assert list(QUERIES)[:50] == DRIVER_WINDOW
+    rows_only_ok = {"streaming_stream_join_live", "ann_lsh_topk", "ann_ivf_topk"}
+    unoracled = [n for n in DRIVER_WINDOW if n not in ORACLES]
+    assert set(unoracled) == rows_only_ok

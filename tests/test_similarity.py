@@ -90,3 +90,29 @@ def test_ivf_full_probe_is_exact(spark):
         S.ivf_topk(q, emb, "vec_id", "vec_id", "embedding", k=5, n_cells=8, n_probe=8)
     )
     assert exact == full
+
+
+def test_ivf_sample_is_filter_not_sort(spark):
+    """The IVF training sample must be a hash-threshold FILTER — a global
+    orderBy().limit() would total-sort every embedding at 100 TB."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = S.ivf_sample_plan(emb, "embedding", 64)._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan
+    assert "xxhash64" in plan.lower() or "Filter" in plan
+
+
+def test_ivf_sample_deterministic_across_partitionings(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = S.train_ivf_centroids(emb, "embedding", n_cells=4, sample_size=64)
+    b = S.train_ivf_centroids(emb.repartition(13), "embedding", n_cells=4, sample_size=64)
+    assert (a == b).all()
+
+
+def test_brute_force_pandas_guards_large_query_side(spark):
+    import pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="query rows"):
+        S.brute_force_topk_pandas(
+            emb, emb, "vec_id", "vec_id", "embedding", k=5, max_queries=10
+        )

@@ -86,3 +86,57 @@ def test_manifest_generation(spark, table):
     files = open(manifest).read().strip().splitlines()
     assert files and all(f.endswith(".parquet") for f in files)
     assert all(f"v={table.latest_version()}" in f for f in files)
+
+
+def test_merge_null_key_source_row_inserted(spark, table):
+    """Delta MERGE semantics for a NULL merge key: a NULL-key source row
+    never equi-matches, so whenNotMatchedInsertAll inserts it AS-IS — it
+    must not collapse into an all-NULL row (the failure mode of keying
+    presence off the source key instead of a sentinel flag)."""
+    base = from_rows(spark, TITANIC_BASE_ROWS, TITANIC_DDL)
+    table.overwrite(base)
+    null_key_row = [(None, 1, 1, "Ghost, Mr. Null", "male", 30.0, 0, 0,
+                     "NOKEY", 9.99, None, "S")]
+    table.merge(from_rows(spark, null_key_row, TITANIC_DDL), key="PassengerId")
+    rows = table.read().collect()
+    assert len(rows) == len(TITANIC_BASE_ROWS) + 1
+    ghost = [r for r in rows if r["PassengerId"] is None]
+    assert len(ghost) == 1
+    assert ghost[0]["Name"] == "Ghost, Mr. Null"  # inserted as-is
+    assert ghost[0]["Fare"] == 9.99
+    # target rows untouched
+    assert {r["PassengerId"] for r in rows if r["PassengerId"] is not None} == {
+        1, 2, 3, 4, 5, 6
+    }
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "pucminas_data_pipelines_spark.session", fromlist=["delta_available"]
+    ).delta_available(),
+    reason="delta-spark not installed in this container",
+)
+def test_delta_branch_reference_scenario(spark):
+    """Real-Delta delegation: the reference's exact scenario
+    (titanic_example_delta.py:25-72) through DeltaVersionedTable."""
+    from pucminas_data_pipelines_spark.operators.upsert import DeltaVersionedTable
+
+    path = "/root/repo/.tmp/test_delta_upsert"
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        t = DeltaVersionedTable(spark, path)
+        base = from_rows(spark, TITANIC_BASE_ROWS, TITANIC_DDL)
+        assert t.overwrite(base) == 0
+        changed = base.where(F.col("PassengerId").isin(1, 5)).withColumn(
+            "Survived", F.lit(1)
+        )
+        newrows = from_rows(spark, TITANIC_NEW_ROWS, TITANIC_DDL)
+        assert t.merge(changed.union(newrows), key="PassengerId") == 1
+        rows = {r["PassengerId"]: r for r in t.read().collect()}
+        assert set(rows) == {1, 2, 3, 4, 5, 6, 892, 893}
+        assert rows[1]["Survived"] == 1
+        v0 = {r["PassengerId"]: r for r in t.read(version_as_of=0).collect()}
+        assert set(v0) == {1, 2, 3, 4, 5, 6} and v0[1]["Survived"] == 0
+        assert os.path.isdir(t.generate_manifest())
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
