@@ -43,8 +43,8 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 #   streaming: batch-analogue (oracled) + live readStream (rows-only)
 #   UDF surface .. pandas scalar + applyInPandas
 #   mutation O10/O11/O15 .. merge/time-travel/delete
-#   LLM dedup (6), similarity (4: 2 exact-oracled, 2 honest rows-only
-#   ANN), text (3), multimodal (1)
+#   LLM dedup (6), similarity (4: exact KNN both paths + both ANN
+#   indexes via driver-checkable recall bounds), text (3), multimodal (1)
 DRIVER_WINDOW: list[str] = [
     "q1_pricing_summary",
     "source_csv_roundtrip",
@@ -90,8 +90,8 @@ DRIVER_WINDOW: list[str] = [
     "dedup_cluster_collapse",
     "knn_cosine_topk",
     "knn_cosine_topk_pandas",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
     "corpus_curation_pipeline",
     "text_bm25_rank",
     "text_language_id",

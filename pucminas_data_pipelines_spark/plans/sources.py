@@ -68,6 +68,34 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_csv_semicolon_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def sink_csv_semicolon_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side dialect parity for the reference's distinctive sep=';'
+    CSV (O4 reads it; this proves the engine also EMITS it): testdata rows
+    out through the ';' writer, back through the schema'd ';' reader."""
+    path = f"{_TMP}/nation_csv_semicolon"
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.options(header=True, sep=";").mode("overwrite").csv(path)
+    back = io.read_csv(
+        spark,
+        path,
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+        header=True,
+        sep=";",
+    )
+    return back.orderBy("n_nationkey")
+
+
+@query(
     "source_orc_roundtrip",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
