@@ -12,6 +12,7 @@ the FULL registry at sf0.01.
 
 from pucminas_data_pipelines_spark.plans import (  # noqa: F401
     aggregates,
+    curation,
     events,
     llm,
     multimodal,

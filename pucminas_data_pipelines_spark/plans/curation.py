@@ -1,0 +1,399 @@
+"""Corpus-curation operators a large-scale LLM training-data pipeline
+runs between raw crawl and tokenizer: chunking, sequence packing,
+repetition gating, benchmark-contamination screening, composite quality
+rules (Gopher/MassiveText-style), and domain-mixture resampling.
+
+These extend SURVEY.md §2's LLM-data categories (the reference repo —
+a 73-line Titanic ETL, sparkcode/titanic_example_delta.py — has none of
+this; it is the BASELINE.json north-star extension surface). Everything
+is Catalyst expressions + joins; the only shuffles are the stated
+group-bys. Each query carries a full DuckDB oracle: fingerprints use md5
+(bit-identical across engines), ratios divide exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.functions.text import normalize_text
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+_NORM_SQL = (
+    "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+# ------------------------------------------------------------- chunking --
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+
+@query(
+    "curation_doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / {_CHUNK_STRIDE} + 1 AS INT) AS chunk_idx,
+             CAST(s AS INT) AS start_token,
+             w[s:s + {_CHUNK_LEN} - 1] AS chunk
+      FROM toks, unnest(generate_series(1, len(w), {_CHUNK_STRIDE})) AS t(s)
+    )
+    SELECT doc_id, chunk_idx, start_token,
+           CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks
+    WHERE doc_id < 50
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def curation_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (len 64, stride 48) — the RAG /
+    long-doc preprocessing step. Start offsets come from F.sequence (no
+    UDF, no explode-per-token); each chunk's identity is its md5
+    fingerprint so the full chunk CONTENT is oracle-verified without
+    shipping text. Scale: one narrow explode of ~n/stride rows per doc;
+    no shuffle at all (chunking is embarrassingly row-local)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w"), F.lit(_CHUNK_STRIDE))
+            ).alias("start_token"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start_token") - 1) / _CHUNK_STRIDE + 1)
+            .cast("int")
+            .alias("chunk_idx"),
+            F.col("start_token").cast("int"),
+            F.slice(F.col("w"), F.col("start_token"), F.lit(_CHUNK_LEN)).alias(
+                "chunk"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_token",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.col("chunk"), " ").cast("binary")).alias(
+                "chunk_md5"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ----------------------------------------------------- sequence packing --
+
+_CTX_BUDGET = 512
+
+
+@query(
+    "curation_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - 1) / {_CTX_BUDGET})
+                  AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT lang, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed
+    FROM packed
+    GROUP BY lang, bin_id
+    ORDER BY lang, bin_id
+    """,
+)
+def curation_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential sequence packing into 512-token context bins: running
+    token sum per language stream, bin = floor((cumsum-1)/budget) — the
+    deterministic streaming-fill strategy (docs may straddle bins, as
+    packed pretraining batches do). The window partitions by lang, so
+    packing parallelizes across streams instead of serializing the corpus
+    through one global window — the scale shape; finer parallelism comes
+    from sharding the stream key (lang, shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(normalize_text(F.col("text")), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn(
+            "bin_id",
+            F.floor((F.sum("n_tokens").over(w) - 1) / _CTX_BUDGET).cast("bigint"),
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_packed"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+# -------------------------------------------------- repetition detection --
+
+
+@query(
+    "curation_repetition_detection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             greatest(len(w) - 2, 1) AS total_ngrams,
+             len(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' ')))) AS distinct_ngrams
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(total_ngrams AS BIGINT) AS total_ngrams,
+           CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
+           ROUND(1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams, 6)
+             AS rep_ratio
+    FROM grams
+    WHERE 1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams > 0.01
+    ORDER BY doc_id
+    """,
+)
+def curation_repetition_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition gate (the MassiveText/Gopher "repeated
+    n-gram fraction" rule): 1 - distinct/total 3-grams; flag docs above
+    the threshold. Production corpora use ~0.2; this synthetic corpus
+    tops out at 0.07, so the registered gate runs at 0.01 to exercise
+    the filter with non-empty output. Pure expressions per row — no
+    explode, no shuffle; the 100 TB cost is one scan."""
+    from pucminas_data_pipelines_spark.functions.text import token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    total = F.greatest(F.size(toks) - F.lit(2), F.lit(1))
+    distinct = F.size(token_shingles(F.col("text"), 3))
+    rep = F.round(
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+    )
+    return (
+        docs.select(
+            "doc_id",
+            total.cast("bigint").alias("total_ngrams"),
+            distinct.cast("bigint").alias("distinct_ngrams"),
+            rep.alias("rep_ratio"),
+        )
+        .where(
+            F.lit(1.0)
+            - F.col("distinct_ngrams").cast("double") / F.col("total_ngrams")
+            > 0.01
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------- contamination screening --
+
+
+@query(
+    "curation_contamination_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 7, 1)),
+               i -> array_to_string(w[i:i+7], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id < 20),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 20)
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.g) AS n_grams_hit,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs_hit
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def curation_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: corpus documents sharing any
+    8-gram with a held-out benchmark set (here: doc_id < 20 stands in for
+    the eval suite) — the n-gram-collision decontamination step every
+    pretraining pipeline runs before training. Shape: distinct 8-grams
+    per doc, equi-join on the gram (shuffle key = gram string; the
+    benchmark side is tiny → broadcast), two distinct-counts per
+    contaminated doc. Never all-pairs."""
+    from pucminas_data_pipelines_spark.functions.text import token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(token_shingles(F.col("text"), 8)).alias("g")
+    )
+    bench = grams.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = grams.where(F.col("doc_id") >= 20)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_grams_hit"),
+            F.countDistinct("bench_id").alias("n_bench_docs_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- composite quality gate --
+
+
+@query(
+    "curation_quality_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+        len(string_split({_NORM_SQL}, ' ')) AS n_words,
+        CAST(LENGTH(replace({_NORM_SQL}, ' ', '')) AS DOUBLE)
+          / len(string_split({_NORM_SQL}, ' ')) AS mean_word_len,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-z0-9\\s]', '', 'g'))
+             AS DOUBLE) / LENGTH(text) AS symbol_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(symbol_ratio, 6) AS symbol_ratio,
+           (n_words BETWEEN 20 AND 100000) AS words_ok,
+           (mean_word_len BETWEEN 2.0 AND 12.0) AS word_len_ok,
+           (symbol_ratio < 0.2) AS symbols_ok,
+           ((n_words BETWEEN 20 AND 100000)
+            AND (mean_word_len BETWEEN 2.0 AND 12.0)
+            AND (symbol_ratio < 0.2)) AS keep
+    FROM m
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def curation_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style composite quality gate: word-count
+    bounds, mean-word-length bounds, symbol-to-character ratio — each
+    rule emitted as its own boolean plus the conjunctive keep flag, so a
+    curation run can audit WHICH rule dropped a document. Expression-only
+    single scan."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    norm = normalize_text(F.col("text"))
+    n_words = F.size(F.split(norm, " "))
+    mean_wl = F.length(F.replace(norm, F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    sym = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), r"[^a-z0-9\s]", ""))
+    ).cast("double") / F.length(F.col("text"))
+    words_ok = n_words.between(20, 100000)
+    wl_ok = mean_wl.between(2.0, 12.0)
+    sym_ok = sym < 0.2
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym, 6).alias("symbol_ratio"),
+        words_ok.alias("words_ok"),
+        wl_ok.alias("word_len_ok"),
+        sym_ok.alias("symbols_ok"),
+        (words_ok & wl_ok & sym_ok).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------- domain mixture resampling --
+
+_MIX_MOD = 1_000_000
+
+
+@query(
+    "curation_domain_mixture",
+    oracle=f"""
+    WITH counted AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS actual_share
+      FROM documents GROUP BY source
+    ),
+    rated AS (
+      SELECT source, n_docs, actual_share,
+             LEAST(1.0, 0.05 / actual_share) AS keep_prob
+      FROM counted
+    )
+    SELECT d.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           ROUND(r.keep_prob, 6) AS keep_prob,
+           COUNT(*) FILTER (WHERE
+             (('0x' || SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {_MIX_MOD}) < CAST(r.keep_prob * {_MIX_MOD} AS BIGINT)
+           ) AS n_kept
+    FROM documents d JOIN rated r USING (source)
+    GROUP BY d.source, r.n_docs, r.keep_prob
+    ORDER BY d.source
+    """,
+)
+def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: flatten every source to a 5% target
+    share by downsampling over-represented domains with a DETERMINISTIC
+    md5 coin per doc (the engine-portable hash-sample used throughout;
+    re-runs keep identical documents — a reproducibility requirement for
+    training-data lineage). Shape: one groupBy for shares (tiny,
+    broadcast back), one scan applying the coin; no global shuffle of the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    rated = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "keep_prob",
+            F.least(
+                F.lit(1.0), F.lit(0.05) / (F.col("n_docs") / F.lit(float(total)))
+            ),
+        )
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % _MIX_MOD
+    kept = coin < (F.col("keep_prob") * _MIX_MOD).cast("bigint")
+    return (
+        docs.join(F.broadcast(rated), "source")
+        .groupBy("source", "n_docs", "keep_prob")
+        .agg(F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint"),
+            F.round("keep_prob", 6).alias("keep_prob"),
+            F.col("n_kept").cast("bigint"),
+        )
+        .orderBy("source")
+    )

@@ -148,3 +148,19 @@ def test_driver_window_covers_every_category():
     rows_only_ok = {"streaming_stream_join_live"}
     unoracled = [n for n in DRIVER_WINDOW if n not in ORACLES]
     assert set(unoracled) == rows_only_ok
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunking is row-local: the only exchange allowed is the output
+    orderBy's range partitioning — nothing in the chunk computation may
+    shuffle, and nothing may drop to Python."""
+    plan = _plan(QUERIES["curation_doc_chunking"](spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 1
+    assert "EvalPython" not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark n-gram set is tiny by contract: the gram join must
+    broadcast it, never shuffle the full corpus gram stream to align."""
+    plan = _plan(QUERIES["curation_contamination_overlap"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
