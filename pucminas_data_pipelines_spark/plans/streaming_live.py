@@ -1,32 +1,44 @@
-"""Live Structured Streaming queries for the driver (rows-only: streaming
-execution isn't SQL-expressible for DuckDB, but plans.events holds the
-batch-equivalent oracles for the same operators — tests assert the
-streaming and batch results agree)."""
+"""Live Structured Streaming queries for the driver.
+
+Each live job replays the events parquet through readStream with an
+AvailableNow trigger, so every row is processed before termination and no
+in-range data is watermark-dropped — the streaming result is exactly the
+batch twin's result (asserted per-query in tests/test_streaming.py). That
+makes the batch twin's DuckDB oracle a valid oracle for the LIVE run:
+the driver therefore value-checks real streaming execution, not just a
+batch analogue. The one exception is the custom-state job
+(streaming_stateful_totals_live): its float accumulation order differs
+from batch summation, so it stays rows-only with an approx-equality
+pytest.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pucminas_data_pipelines_spark.plans.registry import query
+# importing the batch twins guarantees their oracles are registered before
+# we reference them below (plans/__init__ imports events first anyway)
+from pucminas_data_pipelines_spark.plans import events as _batch_twins  # noqa: F401
+from pucminas_data_pipelines_spark.plans.registry import ORACLES, query
 from pucminas_data_pipelines_spark.streaming import jobs
 
 
-@query("streaming_tumbling_window_live")  # streaming → rows-only
+@query("streaming_tumbling_window_live", oracle=ORACLES["events_tumbling_window"])
 def streaming_tumbling_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream → watermark → 1h tumbling counts → AvailableNow → memory
-    sink. Same semantics as events_tumbling_window (which carries the
-    oracle)."""
+    sink. AvailableNow processes the full replay, so the live result equals
+    events_tumbling_window and shares its oracle."""
     events = jobs.read_events_stream(spark, sf_dir)
     return jobs.run_to_memory(jobs.tumbling_counts(events)).orderBy(
         "window_start", "event_type"
     )
 
 
-@query("streaming_session_window_live")  # streaming → rows-only
+@query("streaming_session_window_live", oracle=ORACLES["events_session_window"])
 def streaming_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream → watermark → session_window(30 min gap) → AvailableNow →
-    memory sink. Same semantics as events_session_window (which carries
-    the gaps-and-islands oracle); filtered to user_id <= 30 to match."""
+    memory sink. Equals events_session_window (gaps-and-islands oracle);
+    filtered to user_id <= 30 to match the batch twin."""
     from pyspark.sql import functions as F
 
     events = jobs.read_events_stream(spark, sf_dir).where(F.col("user_id") <= 30)
@@ -35,12 +47,14 @@ def streaming_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("streaming_stateful_totals_live")  # streaming → rows-only
+@query("streaming_stateful_totals_live")  # float state accumulation → rows-only
 def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     totals held in GroupState. The memory sink accumulates one update row
     per (user, batch); the final state per user is the emission with the
-    highest n_events (monotone per key), recovered with max_by."""
+    highest n_events (monotone per key), recovered with max_by. Rows-only:
+    the per-batch float accumulation order differs from batch summation
+    (pytest asserts agreement at rel=1e-6)."""
     from pyspark.sql import functions as F
 
     events = jobs.read_events_stream(spark, sf_dir)
@@ -57,9 +71,10 @@ def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("streaming_dedup_live")  # streaming → rows-only
+@query("streaming_dedup_live", oracle=ORACLES["events_dedup_by_key"])
 def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked streaming dedup on event_id, counted per type."""
+    """Watermarked streaming dedup on event_id, counted per type — equals
+    the batch dropDuplicates twin (events_dedup_by_key oracle)."""
     from pyspark.sql import functions as F
 
     events = jobs.read_events_stream(spark, sf_dir)
@@ -72,11 +87,11 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_static_join_live")  # streaming → rows-only
+@query("streaming_static_join_live", oracle=ORACLES["events_enriched_by_segment"])
 def streaming_static_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream → broadcast join to the static customer dim → watermarked
-    hourly counts per segment → AvailableNow → memory sink. Same semantics
-    as events_enriched_by_segment (which carries the oracle)."""
+    hourly counts per segment → AvailableNow → memory sink. Equals
+    events_enriched_by_segment and shares its oracle."""
     from pucminas_data_pipelines_spark.tables import load_table
 
     events = jobs.read_events_stream(spark, sf_dir)
@@ -86,12 +101,16 @@ def streaming_static_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_stream_join_live")  # streaming → rows-only
+@query(
+    "streaming_stream_join_live",
+    oracle=ORACLES["events_click_purchase_correlation"],
+)
 def streaming_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream × readStream: watermarked stream-stream inner join
     (clicks ↔ same-user purchases within 30 min) → AvailableNow → memory
-    sink, aggregated to the batch twin's shape
-    (events_click_purchase_correlation carries the oracle)."""
+    sink, aggregated to the batch twin's shape — equals
+    events_click_purchase_correlation and shares its oracle (the µs-integer
+    lag arithmetic is exact, so even MIN(lag) is engine-stable)."""
     from pyspark.sql import functions as F
 
     events = jobs.read_events_stream(spark, sf_dir)

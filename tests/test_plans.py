@@ -139,15 +139,14 @@ def test_q21_double_correlation_is_hash_joins(spark):
 def test_driver_window_covers_every_category():
     """The driver scores the first 50 registry entries: that window must
     stay exactly the curated per-category representative set, and every
-    entry except the genuinely non-SQL ops (live streaming) must carry a
-    DuckDB oracle."""
+    entry must carry a DuckDB oracle (live streaming included: AvailableNow
+    replay makes the batch twin's oracle valid for the live run)."""
     from pucminas_data_pipelines_spark.plans import DRIVER_WINDOW, ORACLES, QUERIES
 
     assert len(DRIVER_WINDOW) == 50
     assert list(QUERIES)[:50] == DRIVER_WINDOW
-    rows_only_ok = {"streaming_stream_join_live"}
     unoracled = [n for n in DRIVER_WINDOW if n not in ORACLES]
-    assert set(unoracled) == rows_only_ok
+    assert unoracled == []
 
 
 def test_chunking_is_shuffle_free(spark):
