@@ -40,16 +40,37 @@ def agg_percentile_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx")  # sketch-based → engine-specific, rows-only
+@query(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           COUNT(*) AS n,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-style sketch) — the single-pass 100 TB path
-    for quantiles; pytest bounds its error against the exact percentile."""
+    """approx_percentile (quantile sketch) — the single-pass 100 TB path
+    for quantiles. The sketch value is engine-specific, so the
+    driver-checkable contract is the error BOUND: the query emits the
+    exact interpolated median plus a boolean asserting the sketch lands
+    within 5% of it; the oracle computes the exact median
+    (quantile_cont ≡ percentile interpolation) and expects the boolean
+    to hold. pytest additionally pins the raw relative error."""
     e = load_table(spark, sf_dir, "events")
+    approx = F.expr("approx_percentile(value, 0.5, 1000)")
+    exact = F.expr("percentile(value, 0.5)")
     return (
         e.groupBy("event_type")
         .agg(
-            F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+            F.round(exact, 6).alias("exact_p50"),
             F.count(F.lit(1)).alias("n"),
+            (F.abs(approx - exact) / F.abs(exact) <= 0.05).alias(
+                "approx_within_5pct"
+            ),
         )
         .orderBy("event_type")
     )

@@ -47,14 +47,23 @@ def streaming_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("streaming_stateful_totals_live")  # float state accumulation → rows-only
+@query(
+    "streaming_stateful_totals_live",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(24,10))) AS DOUBLE), 4)
+             AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
 def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     totals held in GroupState. The memory sink accumulates one update row
     per (user, batch); the final state per user is the emission with the
-    highest n_events (monotone per key), recovered with max_by. Rows-only:
-    the per-batch float accumulation order differs from batch summation
-    (pytest asserts agreement at rel=1e-6)."""
+    highest n_events (monotone per key), recovered with max_by. The
+    streaming float accumulation order differs from a batch sum, but the
+    4-decimal round absorbs it (verified at sf0.01 against DuckDB's exact
+    DECIMAL sum; pytest additionally pins rel=1e-6 agreement)."""
     from pyspark.sql import functions as F
 
     events = jobs.read_events_stream(spark, sf_dir)
