@@ -111,6 +111,49 @@ def streaming_static_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_foreachbatch_upsert_live",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(24,10))) AS DOUBLE), 4)
+             AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_foreachbatch_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming → mutation integration end-to-end: a running per-user
+    aggregate in update mode feeds a foreachBatch sink that MERGEs every
+    micro-batch into a versioned table (first batch overwrites, later
+    batches upsert on user_id). The source is re-laid-out into 4 files
+    read with maxFilesPerTrigger=1, so the table really is built by
+    INCREMENTAL merges, not one overwrite. The final table holds the
+    latest emitted state per key ≡ the whole-stream aggregate, which the
+    oracle computes directly (4-decimal round absorbs float accumulation
+    order vs DuckDB's exact DECIMAL sum)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    base = "/root/repo/.tmp/stream_upsert_live"
+    src, tbl = f"{base}/src", f"{base}/table"
+    shutil.rmtree(base, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    totals = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    table = jobs.run_foreachbatch_upsert(totals, tbl, key="user_id")
+    return table.read().orderBy("user_id")
+
+
+@query(
     "streaming_stream_join_live",
     oracle=ORACLES["events_click_purchase_correlation"],
 )

@@ -156,3 +156,14 @@ def test_checkpointed_file_sink_exactly_once(spark, tmp_path):
     assert first == expected
     run_once()  # restart against the committed checkpoint
     assert spark.read.parquet(out).count() == first
+
+
+def test_foreachbatch_upsert_live_is_incremental(spark):
+    """The registered foreachBatch query must build the table by REAL
+    incremental merges: 4 single-file micro-batches → version history
+    v0 (overwrite) + 3 merge commits."""
+    from pucminas_data_pipelines_spark.operators.upsert import ParquetVersionedTable
+
+    QUERIES["streaming_foreachbatch_upsert_live"](spark, SF_SMOKE).collect()
+    table = ParquetVersionedTable(spark, "/root/repo/.tmp/stream_upsert_live/table")
+    assert table.history() == [0, 1, 2, 3]
