@@ -20,7 +20,10 @@ from pucminas_data_pipelines_spark.fixtures import (
     TITANIC_NEW_ROWS,
 )
 from pucminas_data_pipelines_spark.io import from_rows
-from pucminas_data_pipelines_spark.operators.upsert import ParquetVersionedTable
+from pucminas_data_pipelines_spark.operators.upsert import (
+    ParquetVersionedTable,
+    version_diff,
+)
 from pucminas_data_pipelines_spark.plans.registry import query
 
 _LOWER_COLS = [
@@ -111,6 +114,64 @@ def mutation_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot must be intact."""
     table = _run_scenario(spark, "/root/repo/.tmp/titanic_timetravel")
     return _lowered(table.read(version_as_of=0))
+
+
+_CDC_SELECT = """
+    SELECT CAST(passengerid AS INTEGER) AS passengerid,
+           CAST(survived AS INTEGER) AS survived,
+           CAST(pclass AS INTEGER) AS pclass,
+           CAST(name AS VARCHAR) AS name,
+           CAST(sex AS VARCHAR) AS sex,
+           CAST(age AS DOUBLE) AS age,
+           CAST(sibsp AS INTEGER) AS sibsp,
+           CAST(parch AS INTEGER) AS parch,
+           CAST(ticket AS VARCHAR) AS ticket,
+           CAST(fare AS DOUBLE) AS fare,
+           CAST(cabin AS VARCHAR) AS cabin,
+           CAST(embarked AS VARCHAR) AS embarked,
+           CAST(change_type AS VARCHAR) AS change_type
+    FROM (VALUES {rows}) t(passengerid, survived, pclass, name, sex, age,
+                           sibsp, parch, ticket, fare, cabin, embarked,
+                           change_type)
+    ORDER BY passengerid, change_type
+"""
+
+
+def _expected_cdc() -> list[tuple]:
+    """v0 → v2 change set: keys 1,5 updated (Survived 0→1), key 6 deleted
+    (still Survived=0 at delete time), 892/893 inserted, 2/3/4 unchanged."""
+    rows = []
+    for r in TITANIC_BASE_ROWS:
+        if r[0] in (1, 5):
+            rows.append(r + ("update_preimage",))
+            rows.append((r[0], 1) + r[2:] + ("update_postimage",))
+        elif r[1] == 0:
+            rows.append(r + ("delete",))
+    for r in TITANIC_NEW_ROWS:
+        rows.append(r + ("insert",))
+    return rows
+
+
+@query(
+    "mutation_cdc_version_diff",
+    oracle=_CDC_SELECT.format(rows=_values(_expected_cdc())),
+)
+def mutation_cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed analogue (operators/upsert.py version_diff): the
+    row-level change set between the pre-merge snapshot (v0) and the
+    post-delete snapshot (v2) — inserts, update pre/post pairs, and
+    deletes in one pass, unchanged rows silent. Delta surface this maps
+    to: ``table_changes`` with readChangeFeed."""
+    table = _run_scenario(spark, "/root/repo/.tmp/titanic_cdc")
+    table.delete_where(F.col("Survived") == 0)  # → version 2
+    diff = version_diff(table, key="PassengerId", from_version=0, to_version=2)
+    return (
+        diff.select(
+            *[F.col(c).alias(c.lower()) for c in diff.columns if c != "_change_type"],
+            F.col("_change_type").alias("change_type"),
+        )
+        .orderBy("passengerid", "change_type")
+    )
 
 
 @query(

@@ -276,3 +276,44 @@ def sink_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_schema_evolution_merge",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey > 100 THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 1 is written before the
+    o_orderstatus column existed, batch 2 after; ``mergeSchema=true``
+    unions the file schemas and backfills the missing column with NULLs —
+    the parquet-native form of Delta's additive schema evolution.
+
+    Scale: mergeSchema is a driver-side union over per-file footers —
+    O(#files) metadata work, fine for batch-partitioned layouts; at
+    100 TB / millions of files the production path is pinning the merged
+    schema in a catalog and passing it explicitly. The read path it
+    validates (old files + wider schema → NULL backfill) is identical.
+    """
+    path = f"{_TMP}/orders_evolved"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.where(F.col("o_orderkey") <= 100)
+        .select("o_orderkey", "o_totalprice")
+        .write.parquet(f"{path}/batch=1")
+    )
+    (
+        o.where((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.parquet(f"{path}/batch=2")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.select("o_orderkey", "o_totalprice", "o_orderstatus").orderBy(
+        "o_orderkey"
+    )

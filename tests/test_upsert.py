@@ -110,6 +110,39 @@ def test_merge_null_key_source_row_inserted(spark, table):
     }
 
 
+def test_version_diff_change_types(spark, table):
+    """CDC diff v0→v1 over the merge: updates emit pre+post pairs, new
+    keys emit inserts, untouched rows emit nothing."""
+    from pucminas_data_pipelines_spark.operators.upsert import version_diff
+
+    _scenario(spark, table)
+    changes = {
+        (r["PassengerId"], r["_change_type"])
+        for r in version_diff(table, "PassengerId", 0, 1).collect()
+    }
+    assert changes == {
+        (1, "update_preimage"), (1, "update_postimage"),
+        (5, "update_preimage"), (5, "update_postimage"),
+        (892, "insert"), (893, "insert"),
+    }
+
+
+def test_version_diff_identical_versions_empty(spark, table):
+    from pucminas_data_pipelines_spark.operators.upsert import version_diff
+
+    _scenario(spark, table)
+    assert version_diff(table, "PassengerId", 1, 1).count() == 0
+
+
+def test_version_diff_delete(spark, table):
+    from pucminas_data_pipelines_spark.operators.upsert import version_diff
+
+    _scenario(spark, table)
+    table.delete_where(F.col("PassengerId") == 6)
+    out = version_diff(table, "PassengerId", 1, 2).collect()
+    assert [(r["PassengerId"], r["_change_type"]) for r in out] == [(6, "delete")]
+
+
 @pytest.mark.skipif(
     not __import__(
         "pucminas_data_pipelines_spark.session", fromlist=["delta_available"]
