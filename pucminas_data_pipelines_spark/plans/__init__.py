@@ -17,6 +17,7 @@ from pucminas_data_pipelines_spark.plans import (  # noqa: F401
     llm,
     multimodal,
     mutation,
+    pii,
     relational,
     sampling,
     scalars,
@@ -33,7 +34,8 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # One oracled representative per SURVEY §2 operator/category, in the
 # driver's 50-slot correctness window. Mapping (category → slot):
 #   flagship/O12 parquet scan .. q1_pricing_summary
-#   O4 csv / O8 local rows / O5 sink / extra sources .. slots 2-5
+#   O4 csv / O8 local rows / O5 sink .. source slots
+#   PII redaction (byte-identical masked text via md5) .. pii_redact_text
 #   O6/O13 + predicate family .. filter_*
 #   O7 + projection family .. project_*
 #   O9 set ops .. setop_union_all
@@ -49,7 +51,7 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 DRIVER_WINDOW: list[str] = [
     "q1_pricing_summary",
     "source_csv_roundtrip",
-    "source_json_roundtrip",
+    "pii_redact_text",
     "source_local_rows",
     "sink_partitioned_parquet",
     "filter_isin",

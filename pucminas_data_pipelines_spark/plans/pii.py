@@ -1,0 +1,283 @@
+"""PII scanning / redaction and URL-domain curation queries.
+
+The synthetic ``documents`` testdata carries no PII or URLs (word-salad
+text, verified at build time), so each query PLANTS deterministic tokens —
+an email / phone / IPv4 / URL derived from ``doc_id`` — before scanning.
+The planting is mirrored exactly in the DuckDB oracle, so the driver check
+exercises the actual regex extraction/redaction semantics on both engines
+(non-zero counts, byte-identical redacted text), not a vacuous all-zeros
+pass. The operator layer (functions/pii.py) is data-independent; tests
+also run it over planted fixtures.
+
+Scale: everything is a Catalyst expression over one projection — no UDF,
+no shuffle except the final small groupBy. A 100 TB PII pass is a single
+map stage at parquet-scan speed.
+
+Reference scope: the reference repo has no text/PII surface at all
+(sparkcode/titanic_example_delta.py is the whole data plane); this module
+belongs to the LLM-data extension required by the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.functions import pii as P
+from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
+
+
+def _planted(text: Column, doc_id: Column) -> Column:
+    """text + deterministic PII tokens keyed off doc_id (mirrored in SQL)."""
+    sid = doc_id.cast("string")
+    return F.concat(
+        text,
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                sid,
+                F.lit("@example"),
+                (doc_id % 7).cast("string"),
+                F.lit(".org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 4 == 0,
+            F.concat(F.lit(" call +1-555-"), (doc_id % 9000 + 1000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (doc_id % 256).cast("string"),
+                F.lit(".0."),
+                (doc_id % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 6 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                (doc_id % 13).cast("string"),
+                F.lit(".example.com/p/"),
+                sid,
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+# The exact same planting in DuckDB SQL (|| needs explicit varchar casts).
+_PLANTED_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-'
+            || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN ' see https://site' || CAST(doc_id % 13 AS VARCHAR)
+            || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END
+"""
+
+_EMAIL = P.EMAIL_RE
+_PHONE = P.PHONE_RE
+_IPV4 = P.IPV4_RE
+_URL = P.URL_RE
+
+
+@query(
+    "pii_scan_counts",
+    oracle=f"""
+    WITH planted AS (
+      SELECT lang, source, {_PLANTED_SQL} AS body FROM documents
+    ), per_doc AS (
+      SELECT lang, source,
+             len(regexp_extract_all(body, '{_EMAIL}')) AS e,
+             len(regexp_extract_all(body, '{_PHONE}')) AS p,
+             len(regexp_extract_all(body, '{_IPV4}')) AS i,
+             len(regexp_extract_all(body, '{_URL}')) AS u
+      FROM planted
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(SUM(i) AS BIGINT) AS n_ipv4,
+           CAST(SUM(u) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii
+    FROM per_doc
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def pii_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII inventory: per (lang, source) counts of emails / phones /
+    IPv4s / URLs and how many docs carry any PII.
+
+    One narrow projection (regexp_extract_all stays in codegen) + one
+    small-cardinality groupBy — map-side combined, so at 100 TB the
+    shuffle moves a handful of rows per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = _planted(F.col("text"), F.col("doc_id"))
+    per_doc = docs.select(
+        "lang",
+        "source",
+        P.count_matches(body, _EMAIL).alias("e"),
+        P.count_matches(body, _PHONE).alias("p"),
+        P.count_matches(body, _IPV4).alias("i"),
+        P.count_matches(body, _URL).alias("u"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("i").alias("n_ipv4"),
+            F.sum("u").alias("n_urls"),
+            F.sum(
+                F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
+            ).alias("docs_with_pii"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "pii_redact_text",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, {_PLANTED_SQL} AS body FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{_EMAIL}'))
+              + len(regexp_extract_all(body, '{_PHONE}'))
+              + len(regexp_extract_all(body, '{_IPV4}')) AS INTEGER)
+             AS n_redactions,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+                 body, '{_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PHONE}', '[PHONE]', 'g'),
+                 '{_IPV4}', '[IP]', 'g')) AS redacted_md5
+    FROM planted
+    ORDER BY doc_id
+    """,
+)
+def pii_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: mask emails → [EMAIL], phones → [PHONE], IPv4 → [IP];
+    emit the redaction count and an md5 of the redacted body, so the driver
+    verifies the masked text BYTE-IDENTICALLY across engines.
+
+    Pure map stage — redaction of 100 TB is embarrassingly parallel; the
+    md5 here is only the verification surface, a real pipeline writes the
+    redacted column back to parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = _planted(F.col("text"), F.col("doc_id"))
+    n = (
+        P.count_matches(body, _EMAIL)
+        + P.count_matches(body, _PHONE)
+        + P.count_matches(body, _IPV4)
+    )
+    redacted = P.redact(
+        P.redact(P.redact(body, _EMAIL, "[EMAIL]"), _PHONE, "[PHONE]"),
+        _IPV4,
+        "[IP]",
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_redactions"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "url_domain_stats",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, {_PLANTED_SQL} AS body FROM documents
+    ), hits AS (
+      SELECT doc_id, unnest(regexp_extract_all(body, '{P.URL_DOMAIN_RE}', 1)) AS domain
+      FROM planted
+    )
+    SELECT domain,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_refs
+    FROM hits
+    GROUP BY domain
+    ORDER BY domain
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL host inventory — the first step of domain-level curation
+    (blocklists, per-domain caps, quality weighting by origin).
+
+    explode(regexp_extract_all(group=1)) is a map-side expansion; the
+    groupBy shuffles one (domain) row per hit — at web scale the domain
+    key is zipfian, which AQE skew-join/salting absorbs (session default
+    spark.sql.adaptive enabled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = _planted(F.col("text"), F.col("doc_id"))
+    hits = docs.select(
+        "doc_id", F.explode(P.extract_domains(body)).alias("domain")
+    )
+    return (
+        hits.groupBy("domain")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_refs"),
+        )
+        .orderBy("domain")
+    )
+
+
+_BLOCKED = ("site3.example.com", "site7.example.com", "site11.example.com")
+
+
+@query(
+    "url_blocklist_filter",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source, {_PLANTED_SQL} AS body FROM documents
+    ), flagged AS (
+      SELECT source,
+             len(list_filter(regexp_extract_all(body, '{P.URL_DOMAIN_RE}', 1),
+                             d -> d IN {str(tuple(_BLOCKED))})) > 0 AS blocked
+      FROM planted
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist gate: drop documents that reference a blocked host
+    anywhere in their body; report kept/blocked per source.
+
+    The blocklist is a literal IN-list here; at production scale it is a
+    broadcast join against a blocklist table — same plan shape, the
+    filter side stays on the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = _planted(F.col("text"), F.col("doc_id"))
+    blocked = (
+        F.size(
+            F.filter(
+                P.extract_domains(body),
+                lambda d: d.isin(*_BLOCKED),
+            )
+        )
+        > 0
+    )
+    return (
+        docs.select("source", blocked.alias("blocked"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("blocked"), 0).otherwise(1)).alias("n_kept"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("n_blocked"),
+        )
+        .orderBy("source")
+    )
