@@ -99,14 +99,27 @@ def _shifted_ngrams(arr: Column, n: int, sep: str) -> Column:
     return F.slice(grams, F.lit(1), k)
 
 
+def _let(bound: Column, body) -> Column:
+    """Single-expression let-binding: evaluate ``bound`` ONCE per row and
+    feed it to ``body`` as a cheap lambda variable.
+
+    ``transform(array(x), v -> body(v))[0]`` — the array constructor
+    evaluates ``x`` exactly once; inside the lambda every reference to
+    ``v`` is a NamedLambdaVariable lookup, not a re-evaluation of the
+    expression tree. Without this, _shifted_ngrams' n+1 references to the
+    tokenization tree re-run the regex normalization n+1 times per row
+    (measured 2.2x slower end-to-end on the sf0.1 shingle explode)."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def char_shingles(col: Column, n: int = 5) -> Column:
     """Distinct character n-grams of the normalized text (array<string>).
     Basis for MinHash/Jaccard near-dup detection."""
     chars = F.split(normalize_text(col), "")
-    return F.array_distinct(_shifted_ngrams(chars, n, ""))
+    return _let(chars, lambda c: F.array_distinct(_shifted_ngrams(c, n, "")))
 
 
 def token_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams (array<string>) of the normalized text."""
     toks = F.split(normalize_text(col), " ")
-    return F.array_distinct(_shifted_ngrams(toks, n, " "))
+    return _let(toks, lambda t: F.array_distinct(_shifted_ngrams(t, n, " ")))
