@@ -13,6 +13,8 @@ group-bys. Each query carries a full DuckDB oracle: fingerprints use md5
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -397,3 +399,113 @@ def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- cross-corpus boilerplate --
+
+_BP_W = 2  # chunk width in tokens; production corpora use 8-16 (real
+# paragraphs), but the synthetic word-salad testdata only repeats exact
+# chunks across documents at width 2 — same plan shape, non-empty output.
+_BP_DOC_FRAC = 0.03  # chunk in >= this fraction of docs = boilerplate
+# (relative, not absolute: chunk document-frequency scales with corpus
+# size, so a fixed count degenerates at 10x the data)
+_BP_MAX_RATIO = 0.5  # prune docs whose boilerplate mass exceeds this
+
+
+@query(
+    "curation_boilerplate_prune",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(w[{_BP_W} * i - {_BP_W - 1} : {_BP_W} * i], ' ') AS chunk
+      FROM toks,
+           unnest(generate_series(1, CAST(ceil(len(w) / {_BP_W}.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chunk
+    ),
+    lim AS (
+      SELECT greatest(CAST(ceil({_BP_DOC_FRAC} * COUNT(*)) AS BIGINT), 2)
+               AS min_docs
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_chunks,
+             SUM(CASE WHEN f.n_docs >= (SELECT min_docs FROM lim)
+                 THEN 1 ELSE 0 END) AS n_boiler
+      FROM chunks c JOIN freq f ON c.chunk = f.chunk
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_boiler AS BIGINT) AS n_boiler,
+           round(n_boiler / CAST(n_chunks AS DOUBLE), 6) AS boiler_ratio,
+           n_boiler <= {_BP_MAX_RATIO} * n_chunks AS keep
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def curation_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate pruning (the CCNet/RefinedWeb paragraph-
+    dedup step): split every document into non-overlapping token chunks,
+    count in how many DISTINCT documents each exact chunk occurs, then
+    prune documents whose share of corpus-frequent chunks exceeds a
+    threshold — removing nav-bars, license headers, and templated pages
+    that exact whole-doc dedup misses.
+
+    Shape at 100 TB: chunking is a map-side explode (no regex re-runs —
+    the token array materializes once per row); chunk frequency is one
+    groupBy on the chunk hash with map-side combine; the frequency table
+    re-joins the chunk stream on the same key, so AQE can plan it as a
+    re-used shuffle rather than a second scan. The chunk key is zipfian
+    (that is the point), so the frequency groupBy leans on AQE skew
+    handling — and the per-doc rollup keys by doc_id, which is uniform.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # relative document-frequency cutoff (one cheap count job; at cluster
+    # scale this is a cached catalog statistic, not a scan)
+    min_docs = max(math.ceil(_BP_DOC_FRAC * docs.count()), 2)
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    n_chunks = F.ceil(F.size("w") / F.lit(float(_BP_W))).cast("bigint")
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), (i - 1) * _BP_W + 1, _BP_W)
+                ),
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("n_docs") >= min_docs, 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.col("n_boiler").cast("bigint").alias("n_boiler"),
+        F.round(
+            F.col("n_boiler").cast("double") / F.col("n_chunks").cast("double"), 6
+        ).alias("boiler_ratio"),
+        (
+            F.col("n_boiler").cast("double")
+            <= F.lit(_BP_MAX_RATIO) * F.col("n_chunks").cast("double")
+        ).alias("keep"),
+    ).orderBy("doc_id")
