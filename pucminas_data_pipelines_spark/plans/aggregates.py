@@ -306,3 +306,68 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "agg_hll_sketch_mergeable",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS estimate_within_5pct
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS estimate_within_5pct
+    FROM events
+    ORDER BY event_type
+    """,
+)
+def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches hll_sketch_agg /
+    hll_union_agg) — the incremental-distinct building block at 100 TB:
+    per-partition (here per-event-type) sketches are tiny binary states
+    that union WITHOUT rescanning, so daily distinct-user rollups never
+    recount history. The sketch bytes are engine-specific, so the
+    driver-checkable contract is the bound: exact distinct + a boolean
+    asserting each estimate (and the merged union's) lands within 5%.
+    The ALL row's estimate comes from hll_union_agg over the per-group
+    sketches — merge correctness, not just per-group accuracy."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bound = (
+        F.abs(
+            F.hll_sketch_estimate("sk").cast("double")
+            - F.col("exact_users").cast("double")
+        )
+        / F.col("exact_users")
+        <= 0.05
+    )
+    per_out = per.select(
+        "event_type", "exact_users", "n_events", bound.alias("estimate_within_5pct")
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.hll_sketch_estimate("sk").alias("est")
+    )
+    exact_all = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    all_out = exact_all.crossJoin(merged).select(
+        F.lit("ALL").alias("event_type"),
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_users").cast("double"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("estimate_within_5pct"),
+    )
+    return per_out.unionByName(all_out).orderBy("event_type")

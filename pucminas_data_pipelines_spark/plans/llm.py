@@ -916,3 +916,111 @@ def text_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token"), F.col("next_token"))
         .limit(20)
     )
+
+
+# ------------------------------------------- embedding quantization --
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings
+    ),
+    rng AS (
+      SELECT vec_id, label, vd,
+             list_min(vd) AS mn,
+             (list_max(vd) - list_min(vd)) / 255.0 AS scale
+      FROM v
+    ),
+    coded AS (
+      SELECT vec_id, label, vd, mn, scale,
+             list_transform(vd, x -> CASE WHEN scale = 0 THEN 0
+               ELSE CAST(floor((x - mn) / scale + 0.5) AS INT) - 128 END) AS codes
+      FROM rng
+    )
+    SELECT vec_id, label,
+           round(scale, 6) AS scale,
+           CAST(list_min(codes) AS INT) AS code_min,
+           CAST(list_max(codes) AS INT) AS code_max,
+           round(list_aggregate(list_transform(list_zip(codes, vd),
+             z -> abs((CAST(z[1] AS DOUBLE) + 128) * scale + mn
+                      - CAST(z[2] AS DOUBLE))), 'max'), 6) AS max_abs_err,
+           round(list_aggregate(list_transform(list_zip(codes, vd),
+             z -> ((CAST(z[1] AS DOUBLE) + 128) * scale + mn - CAST(z[2] AS DOUBLE))
+                * ((CAST(z[1] AS DOUBLE) + 128) * scale + mn - CAST(z[2] AS DOUBLE))),
+             'sum') / len(vd), 9) AS mse
+    FROM coded
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (min/max affine, the faiss
+    SQ8 scheme): codes = floor((x - min)/scale + 0.5) - 128, plus the
+    reconstruction-error audit (max abs error bounded by scale/2, MSE).
+    4x memory cut for ANN candidate storage; the audit row is what a
+    production pipeline materializes next to the codes.
+
+    Pure per-row HOF expressions — no shuffle at all; quantizing 100 TB
+    of embeddings is one map pass writing codes+scale+min per vector.
+    floor(v + 0.5) instead of round() because Spark HALF_UP and engine
+    round() tie-break rules differ; floor is bit-deterministic in both."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rng = emb.select(
+        "vec_id",
+        "label",
+        vd.alias("vd"),
+    ).select(
+        "vec_id",
+        "label",
+        "vd",
+        F.array_min("vd").alias("mn"),
+        ((F.array_max("vd") - F.array_min("vd")) / F.lit(255.0)).alias("scale"),
+    )
+    codes = F.transform(
+        F.col("vd"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+            F.floor((x - F.col("mn")) / F.col("scale") + F.lit(0.5)).cast("int")
+            - F.lit(128)
+        ),
+    )
+    coded = rng.select("vec_id", "label", "vd", "mn", "scale", codes.alias("codes"))
+    recon = F.zip_with(
+        F.col("codes"),
+        F.col("vd"),
+        lambda c, x: (c.cast("double") + F.lit(128.0)) * F.col("scale")
+        + F.col("mn")
+        - x,
+    )
+    # metrics in their own projection: re-using the name "scale" for the
+    # rounded output in the SAME select would let Spark's lateral-column-
+    # alias resolution feed the ROUNDED scale back into the reconstruction
+    # (observed: max_abs_err off by ~1e-6 vs the oracle)
+    metrics = coded.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
+        F.array_max(F.transform(recon, lambda d: F.abs(d))).alias("_max_err"),
+        (
+            F.aggregate(
+                F.transform(recon, lambda d: d * d),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+            / F.size("vd")
+        ).alias("_mse"),
+    )
+    return metrics.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        "code_min",
+        "code_max",
+        F.round("_max_err", 6).alias("max_abs_err"),
+        F.round("_mse", 9).alias("mse"),
+    ).orderBy("vec_id")
