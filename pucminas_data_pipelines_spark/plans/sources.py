@@ -317,3 +317,60 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     return back.select("o_orderkey", "o_totalprice", "o_orderstatus").orderBy(
         "o_orderkey"
     )
+
+
+@query(
+    "sink_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def sink_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed table layout + co-located fact-to-fact join: both sides
+    are written bucketBy(8) on the join key, so the sort-merge join reads
+    bucket i against bucket i with NO Exchange on either side — the
+    shuffle moved from every query to a one-time write. This is THE lever
+    for repeated 100 TB fact joins: pay the partitioning once, join for
+    free forever after (tests/test_bucketing.py asserts the plan has no
+    Exchange under the join).
+
+    Works on a vanilla driver session: in-memory catalog, explicit
+    external-table paths under .tmp. The .hint("merge") pins sort-merge
+    (broadcast would also skip the exchange, but for the wrong reason —
+    at real scale neither fact side broadcasts)."""
+    suffix = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    for tbl, src, key in (
+        (f"eng_borders_{suffix}", "orders", "o_orderkey"),
+        (f"eng_blineitem_{suffix}", "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        path = f"{_TMP}/{tbl}"
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, src)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    o = spark.table(f"eng_borders_{suffix}")
+    l = spark.table(f"eng_blineitem_{suffix}")
+    return (
+        o.hint("merge")
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -99,3 +99,19 @@ def test_range_sorted_layout_prunes(spark):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+def test_registered_bucketed_join_query_has_no_exchange(spark):
+    """The driver-registered sink_bucketed_colocated_join must plan as a
+    sort-merge join with NO Exchange on either side (bucket-co-located
+    reads) — the point of paying the bucketed write."""
+    from pucminas_data_pipelines_spark.plans import QUERIES
+
+    df = QUERIES["sink_bucketed_colocated_join"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # children print below their parent: everything after the SMJ node is
+    # its input subtree — the bucketed scans — which must not re-shuffle
+    # (the groupBy's own exchange sits above the join and is expected)
+    join_subtree = plan[plan.index("SortMergeJoin") :]
+    assert "Exchange hashpartitioning" not in join_subtree
