@@ -116,3 +116,34 @@ def test_brute_force_pandas_guards_large_query_side(spark):
         S.brute_force_topk_pandas(
             emb, emb, "vec_id", "vec_id", "embedding", k=5, max_queries=10
         )
+
+
+def test_semantic_dup_pairs_recall_and_precision(spark):
+    """semantic_dup_pairs at 16 cells x 3 assigns: precision exactly 1.0
+    (every pair exact-verified) and recall pinned at the measured
+    deterministic floor on the sf0.01 corpus."""
+    from pucminas_data_pipelines_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    from pucminas_data_pipelines_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+    from pucminas_data_pipelines_spark.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, n_cells=16, n_assign=3
+        ).collect()
+    }
+    assert approx <= exact  # precision 1.0: no false pairs survive verify
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall
