@@ -46,8 +46,10 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 #   streaming: batch-analogue (oracled) + live readStream (rows-only)
 #   UDF surface .. pandas scalar + applyInPandas
 #   mutation O10/O11/O15 .. merge/time-travel/delete
-#   LLM dedup (6), similarity (4: exact KNN both paths + both ANN
-#   indexes via driver-checkable recall bounds), text (3), multimodal (1)
+#   LLM dedup (6 + semantic-recall bound), similarity (4: exact KNN both
+#   paths + both ANN indexes via driver-checkable recall bounds),
+#   text (3), multimodal (1), embedding quantization, boilerplate prune,
+#   bucketed co-located join (physical layout)
 DRIVER_WINDOW: list[str] = [
     "q1_pricing_summary",
     "source_csv_roundtrip",
@@ -56,9 +58,9 @@ DRIVER_WINDOW: list[str] = [
     "sink_partitioned_parquet",
     "filter_isin",
     "filter_sql_string_where",
-    "filter_null_and_between",
+    "dedup_semantic_recall",
     "project_literal_replace",
-    "project_cast_arithmetic",
+    "embedding_quantize_int8",
     "setop_union_all",
     "join_inner",
     "join_left_anti",
@@ -69,13 +71,13 @@ DRIVER_WINDOW: list[str] = [
     "q18_large_orders",
     "q21_sole_blamed_supplier",
     "agg_basic_stats",
-    "agg_grouping_sets",
+    "sink_bucketed_colocated_join",
     "agg_collect_set_sorted",
     "agg_approx_count_distinct",
     "window_rank_family",
     "sort_limit_topk",
     "scalar_json_extract",
-    "scalar_array_suite",
+    "curation_boilerplate_prune",
     "stats_key_skew_profile",
     "split_stratified_by_lang",
     "events_session_window",
