@@ -163,3 +163,44 @@ def test_contamination_broadcasts_benchmark_side(spark):
     broadcast it, never shuffle the full corpus gram stream to align."""
     plan = _plan(QUERIES["curation_contamination_overlap"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom filter (on by default, app-side threshold
+    10 GiB) pre-filters the big fact side of a shuffle join with a bloom
+    built from the selective dim side — at 100 TB this fires
+    automatically on every selective fact-to-fact join and cuts shuffle
+    bytes before the exchange. Test-scale scans sit under the threshold,
+    so the test lowers it (and disables broadcast, which rightly vetoes
+    injection: a broadcast join needs no shuffle-side reduction).
+
+    Conf order matters: load_table re-applies the session's 64 MiB
+    broadcast threshold (configure_session), so the overrides come AFTER
+    the loads and before plan optimization."""
+    from pucminas_data_pipelines_spark.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    o = load_table(spark, SF_ORACLE, "orders").where(
+        F.col("o_totalprice") > 300000
+    )
+    l = load_table(spark, SF_ORACLE, "lineitem")
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        j = (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt[:500]
+        assert "might_contain" in opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
