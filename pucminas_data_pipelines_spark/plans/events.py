@@ -17,7 +17,7 @@ Oracle technique:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pucminas_data_pipelines_spark.plans.registry import query
@@ -453,6 +453,64 @@ def events_click_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataF
             F.min(
                 F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
             ).alias("min_lag_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, value,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) -
+             epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(CAST(dt_us AS BIGINT)) AS BIGINT) AS total_us,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * dt_us) AS DOUBLE)
+                 / SUM(dt_us), 6) AS twa_value
+    FROM deltas
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a measurement per user: each reading is
+    held until the next one (step interpolation), so its weight is the
+    gap to the successor — the standard downsampling/TWA operator for
+    sensor/metric streams that plain AVG gets wrong when sampling is
+    irregular.
+
+    Shape: one window (LEAD over user, time) = one shuffle on user_id,
+    then a map-combined groupBy on the same key — AQE reuses the
+    partitioning, so the second shuffle is free. Weighted sums run in
+    DECIMAL (exact, associative) per the repo's float-parity discipline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("total_us"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)") * F.col("dt_us")).cast(
+                    "double"
+                )
+                / F.sum("dt_us"),
+                6,
+            ).alias("twa_value"),
         )
         .orderBy("user_id")
     )

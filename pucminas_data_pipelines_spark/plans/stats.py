@@ -509,3 +509,69 @@ def explode_tokens_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
     ).orderBy("doc_id", "pos")
+
+
+@query(
+    "quality_referential_integrity",
+    oracle="""
+    SELECT 'customer->nation' AS relation,
+           (SELECT COUNT(*) FROM customer) AS n_child,
+           (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey))
+    ORDER BY relation
+    """,
+)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for every FK edge via left-anti joins. The pre-load data-quality gate
+    every warehouse runs; a non-zero orphan count here poisons every
+    downstream inner join silently (rows just vanish).
+
+    Scale: each anti join shuffles only on its FK — and every parent side
+    here is dimension-sized, so Catalyst plans broadcast-anti (no shuffle
+    at all) for all four edges under the session's 64 MiB threshold; the
+    counts are map-side-combined scalars."""
+    edges = [
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in edges:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        orphans = c.join(p, c[fk] == p[pk], "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        row = (
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans)
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")
