@@ -374,3 +374,65 @@ def sink_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sink_zorder_layout",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) file layout over (o_custkey, o_orderdate):
+    both keys are scaled to 16-bit ranks, bit-interleaved into one sort
+    key, and the sink range-partitions on it — so selective filters on
+    EITHER dimension prune most files via parquet min/max stats, where a
+    1-D sort helps only its own key. Expression-only Delta
+    OPTIMIZE ZORDER BY; tests/test_bucketing.py quantifies the per-file
+    spread shrink on both dimensions.
+
+    Data equality is the oracle (layout must never change content). The
+    rank bounds come from one tiny min/max aggregate — at warehouse scale
+    those are catalog statistics, not a scan."""
+    from pucminas_data_pipelines_spark.functions import zorder as Z
+
+    path = f"{_TMP}/orders_zorder"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_custkey").alias("ck_lo"),
+        F.max("o_custkey").alias("ck_hi"),
+        F.min(F.unix_date(F.to_date("o_orderdate"))).alias("d_lo"),
+        F.max(F.unix_date(F.to_date("o_orderdate"))).alias("d_hi"),
+    ).first()
+    z = Z.interleave2(
+        Z.to_rank(F.col("o_custkey"), F.lit(b["ck_lo"]), F.lit(b["ck_hi"])),
+        Z.to_rank(
+            F.unix_date(F.to_date("o_orderdate")),
+            F.lit(b["d_lo"]),
+            F.lit(b["d_hi"]),
+        ),
+    )
+    (
+        o.withColumn("_z", z)
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

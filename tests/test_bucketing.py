@@ -115,3 +115,47 @@ def test_registered_bucketed_join_query_has_no_exchange(spark):
     # (the groupBy's own exchange sits above the join and is expected)
     join_subtree = plan[plan.index("SortMergeJoin") :]
     assert "Exchange hashpartitioning" not in join_subtree
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    """Z-order files must cluster BOTH keys: per-file spread of custkey
+    AND orderdate each well under the global range (a 1-D sort gives
+    ~full-range spread on the non-sorted key)."""
+    import glob
+
+    from pucminas_data_pipelines_spark.plans import QUERIES
+
+    QUERIES["sink_zorder_layout"](spark, SF_SMOKE).collect()
+    files = glob.glob("/root/repo/.tmp/orders_zorder/*.parquet")
+    assert len(files) >= 4
+    g = (
+        spark.read.parquet("/root/repo/.tmp/orders_zorder")
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+            (
+                F.unix_date(F.to_date(F.max("o_orderdate")))
+                - F.unix_date(F.to_date(F.min("o_orderdate")))
+            ).alias("d"),
+        )
+        .first()
+    )
+    spreads = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                (
+                    F.unix_date(F.to_date(F.max("o_orderdate")))
+                    - F.unix_date(F.to_date(F.min("o_orderdate")))
+                ).alias("d"),
+            )
+            .first()
+        )
+        spreads.append((r["ck"] / g["ck"], r["d"] / g["d"]))
+    avg_ck = sum(s[0] for s in spreads) / len(spreads)
+    avg_d = sum(s[1] for s in spreads) / len(spreads)
+    # 8 z-range files over a 16x16-rank grid: each file covers a fraction
+    # of both axes; 1-D sorting would put one of these at ~1.0
+    assert avg_ck < 0.75, (avg_ck, avg_d)
+    assert avg_d < 0.75, (avg_ck, avg_d)
