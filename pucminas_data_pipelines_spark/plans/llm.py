@@ -1073,3 +1073,106 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+# ------------------------------------------- LM-quality (perplexity proxy) --
+
+
+@query(
+    "text_lm_quality_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS arr
+      FROM documents
+    ),
+    positioned AS (
+      SELECT doc_id, g.i AS pos, arr[g.i] AS token
+      FROM toks, UNNEST(generate_series(1, len(arr))) AS g(i)
+    ),
+    bigr AS (
+      SELECT doc_id, token AS w1,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM positioned
+    ),
+    pairs AS (SELECT doc_id, w1, w2 FROM bigr WHERE w2 IS NOT NULL),
+    lm12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    lm1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT token) AS v FROM positioned),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(round(-ln((l12.c12 + 1.0) / (l1.c1 + vocab.v)), 9)
+                  AS DECIMAL(18,9)) AS nll
+      FROM pairs p
+      JOIN lm12 l12 ON p.w1 = l12.w1 AND p.w2 = l12.w2
+      JOIN lm1 l1 ON p.w1 = l1.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring (the CCNet/RefinedWeb filter, with the
+    corpus itself as the LM): train add-1-smoothed bigram statistics over
+    the corpus, then score each document by its average negative
+    log-likelihood — gibberish and boilerplate sit in the tails of the
+    avg_nll distribution, and a real pipeline thresholds on it.
+
+    Shape at 100 TB: bigram extraction is one LEAD window per doc (one
+    shuffle on doc_id); the LM tables are two zipfian-key group-bys that
+    map-combine hard (the head of the bigram distribution collapses
+    map-side); scoring re-joins the bigram stream to the LM on (w1, w2)
+    — at web scale the LM head fits a broadcast, the tail join leans on
+    AQE skew splitting. Per-bigram NLL is rounded then summed in DECIMAL
+    so the per-doc mean is engine-exact (double summation order is not
+    associative; this discipline is repo-wide)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    positioned = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        positioned.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    lm12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lm1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = positioned.agg(F.countDistinct("token").alias("v"))
+    scored = (
+        pairs.join(lm12, ["w1", "w2"])
+        .join(lm1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.col("c12") + F.lit(1.0))
+                    / (F.col("c1") + F.col("v"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_nll"
+            ),
+        )
+        .orderBy("doc_id")
+    )
