@@ -179,3 +179,12 @@ def streaming_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query("streaming_sliding_window_live", oracle=ORACLES["events_sliding_window"])
+def streaming_sliding_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → watermark → 1h/30min sliding windows → AvailableNow →
+    memory sink. AvailableNow processes the full replay, so the live
+    result equals events_sliding_window and shares its oracle."""
+    events = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_memory(jobs.sliding_counts(events)).orderBy("window_start")

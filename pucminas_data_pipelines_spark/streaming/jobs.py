@@ -229,3 +229,23 @@ def stream_stream_click_purchase(
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}")),
     )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour windows sliding every 30 min with late-data watermark — the
+    streaming twin of plans.events.events_sliding_window. Each event
+    lands in 2 windows; watermark bounds the open-window state to
+    (window + watermark) / slide entries per key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "n_events", "sum_value"
+        )
+    )
