@@ -1176,3 +1176,69 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH comps AS (
+      SELECT label, g.i - 1 AS pos,
+             CAST(SUM(CAST(embedding[g.i] AS DECIMAL(20,10))) AS DOUBLE)
+               / COUNT(*) AS comp,
+             COUNT(*) AS n_vecs
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+      GROUP BY label, g.i
+    )
+    SELECT label,
+           CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS INT) AS dim,
+           round(CAST(SUM(CAST(round(comp * comp, 12) AS DECIMAL(24,12)))
+                      AS DOUBLE), 8) AS centroid_sq_norm
+    FROM comps
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-group centroid: elementwise mean embedding per
+    label — the aggregation primitive behind k-means refresh, SemDeDup
+    cluster centers, and class prototypes. Summarized per label as
+    (n_vecs, dim, squared centroid norm) for the driver check.
+
+    Shape at 100 TB: posexplode keys the shuffle by (label, position) —
+    |labels| × dim groups, each a map-combined decimal sum, so the
+    shuffle moves one row per partition × group regardless of corpus
+    size. No driver-side vectors at any point (contrast: the IVF
+    quantizer trains on a SAMPLE driver-side; this is the full-data
+    path). Component sums run in DECIMAL, and comp² is rounded before
+    the final decimal sum, so both engine's results are bit-equal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("comp"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+    return (
+        comps.groupBy("label")
+        .agg(
+            F.max("n_vecs").cast("bigint").alias("n_vecs"),
+            F.count(F.lit(1)).cast("int").alias("dim"),
+            F.round(
+                F.sum(
+                    F.round(F.col("comp") * F.col("comp"), 12).cast(
+                        "decimal(24,12)"
+                    )
+                ).cast("double"),
+                8,
+            ).alias("centroid_sq_norm"),
+        )
+        .orderBy("label")
+    )
