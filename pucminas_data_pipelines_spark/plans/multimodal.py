@@ -114,3 +114,48 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("asset_id", "width", "height", "resized_width", "resized_height")
         .orderBy("asset_id")
     )
+
+
+@query(
+    "multimodal_payload_dedup",
+    oracle="""
+    SELECT md5(text) AS checksum,
+           MIN(doc_id) AS representative_id,
+           COUNT(*) AS n_copies,
+           CAST(MIN(octet_length(encode(text))) AS INTEGER) AS byte_len,
+           CAST((COUNT(*) - 1) * MIN(octet_length(encode(text))) AS BIGINT)
+             AS reclaimable_bytes
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY checksum
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset dedup by content checksum with storage accounting:
+    the same image/audio blob referenced by many documents collapses to
+    one stored copy (reclaimable_bytes = what a content-addressed store
+    saves). The multimodal twin of exact text dedup — the groupBy key is
+    the 16-byte checksum, never the payload, so the shuffle moves hashes
+    and counts, not blobs (the invariant that matters when payloads are
+    megabytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.attach_binary_payload(docs, "doc_id", "text")
+    return (
+        assets.select(
+            F.col("meta.checksum").alias("checksum"),
+            "asset_id",
+            F.col("meta.byte_len").alias("byte_len"),
+        )
+        .groupBy("checksum")
+        .agg(
+            F.min("asset_id").alias("representative_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("byte_len").cast("int").alias("byte_len"),
+            ((F.count(F.lit(1)) - 1) * F.min("byte_len"))
+            .cast("bigint")
+            .alias("reclaimable_bytes"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("checksum")
+    )
