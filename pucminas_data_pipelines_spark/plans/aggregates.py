@@ -371,3 +371,56 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("estimate_within_5pct"),
     )
     return per_out.unionByName(all_out).orderBy("event_type")
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             (epoch_us(ts) - (SELECT MIN(epoch_us(ts)) FROM events))
+               / 86400000000.0 AS x_days,
+             value AS y
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           round(regr_slope(y, x_days), 6) AS slope_per_day,
+           round(regr_intercept(y, x_days), 6) AS intercept,
+           round(corr(y, x_days), 6) AS corr_xy
+    FROM base
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in OLS regression aggregates per group (regr_slope /
+    regr_intercept / corr): trend-per-day of the event value — drift
+    detection, metric forecasting, A/B slope comparison, all without
+    leaving the JVM aggregate path.
+
+    Single-pass co-moment aggregates: one map-combined shuffle on
+    event_type, O(groups) output — the 100 TB trend scan is exactly the
+    q1 shape. Time is rebased to days-since-corpus-start so slope
+    magnitudes survive round(6) (epoch-microsecond x would round to
+    zero); co-moment accumulation order differs across engines by
+    ~1e-12 relative, far inside the rounding margin."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    base = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        ((F.unix_micros("ts") - F.col("t0")) / F.lit(86400000000.0)).alias(
+            "x_days"
+        ),
+        F.col("value").alias("y"),
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("y", "x_days"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("y", "x_days"), 6).alias("intercept"),
+            F.round(F.corr("y", "x_days"), 6).alias("corr_xy"),
+        )
+        .orderBy("event_type")
+    )
