@@ -204,3 +204,30 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pii_queries_are_single_scan_udf_free(spark):
+    """PII scan/redaction must stay a pure-codegen map pass: one parquet
+    scan, no Python eval anywhere (the property that makes a 100 TB PII
+    pass one map stage)."""
+    for name in ("pii_redact_text", "pii_scan_counts"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert plan.count("Scan parquet") == 1, name
+
+
+def test_lm_quality_broadcasts_corpus_scalars(spark):
+    """text_lm_quality_score: the vocab-size scalar joins by broadcast
+    (never a shuffle for a 1-row frame), and scoring stays UDF-free."""
+    plan = _plan(QUERIES["text_lm_quality_score"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_label_centroids_two_phase_aggregate(spark):
+    """embedding_label_centroids: both aggregations map-combine (partial +
+    final HashAggregate pairs) — the shuffle carries one row per
+    partition x (label, pos), independent of corpus size."""
+    plan = _plan(QUERIES["embedding_label_centroids"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
