@@ -23,6 +23,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--list", action="store_true", help="list queries")
     parser.add_argument("--show", type=int, default=20, help="rows to show")
     parser.add_argument("--explain", action="store_true", help="print the plan")
+    parser.add_argument(
+        "--verify",
+        action="store_true",
+        help="also run the query's DuckDB oracle and compare (exit 1 on mismatch)",
+    )
     args = parser.parse_args(argv)
 
     from pucminas_data_pipelines_spark.plans import ORACLES, QUERIES
@@ -47,6 +52,24 @@ def main(argv: list[str] | None = None) -> int:
         df.explain(mode="formatted")
     n = df.count()
     df.show(args.show, truncate=False)
+    verified: bool | None = None
+    if args.verify:
+        if args.query not in ORACLES:
+            print(f"{args.query}: rows-only (no oracle registered)")
+        else:
+            import duckdb
+
+            from pucminas_data_pipelines_spark.tables import TABLE_NAMES
+
+            con = duckdb.connect()
+            for t in TABLE_NAMES:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{args.sf_dir.rstrip('/')}/{t}.parquet'"
+                )
+            duck = sorted(con.sql(ORACLES[args.query]).fetchall())
+            ours = sorted(tuple(r) for r in df.collect())
+            verified = duck == ours
     print(
         json.dumps(
             {
@@ -54,11 +77,12 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": n,
                 "seconds": round(time.perf_counter() - t0, 3),
                 "sf_dir": args.sf_dir,
+                **({} if verified is None else {"oracle_match": verified}),
             }
         )
     )
     spark.stop()
-    return 0
+    return 0 if verified in (None, True) else 1
 
 
 if __name__ == "__main__":
