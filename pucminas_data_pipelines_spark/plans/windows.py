@@ -241,3 +241,47 @@ def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w_full).alias("priciest_order"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+      COUNT(*) OVER w AS n_last_30m,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        AS value_last_30m
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME range frame: per user, activity in the trailing 30
+    minutes of each event (rate limiting, rolling exposure, trailing
+    spend). A RANGE frame bounds by the ORDER value, not row count —
+    the semantics ROWS frames cannot express on irregular streams; ties
+    on the same second are frame-peers in both engines, so the result
+    is deterministic under any shuffle order.
+
+    One shuffle on user_id; the frame scan is partition-local and
+    incremental (Spark's sliding aggregation over sorted runs)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_last_30m"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("value_last_30m"),
+        )
+        .orderBy("event_id")
+    )
