@@ -575,3 +575,46 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relation")
+
+
+@query(
+    "stats_observed_gate_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS pass_rate
+    FROM documents
+    """,
+)
+def stats_observed_gate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-API pipeline instrumentation: audit counters (rows in,
+    rows passing a gate) ride ON the filtering scan via df.observe — at
+    100 TB the alternative is a second full scan just to report the drop
+    rate. The observed metrics are collected after one action and
+    re-emitted as a 1-row DataFrame for the driver check.
+
+    The observe() accumulators are exact (not sampled) and attach to the
+    same WholeStageCodegen pass as the gate itself."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.col("n_chars") >= 200
+    obs = Observation("gate")
+    gated = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+    ).where(keep)
+    gated.count()  # one action populates the observation
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_total"]), int(m["n_kept"]))], "n_total bigint, n_kept bigint"
+    ).select(
+        "n_total",
+        "n_kept",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("pass_rate"),
+    )
