@@ -255,3 +255,70 @@ def versioned_table(spark: SparkSession, path: str):
     if delta_available():  # pragma: no cover - delta not in this container
         return DeltaVersionedTable(spark, path)
     return ParquetVersionedTable(spark, path)
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: apply ``updates`` to the
+    ``current`` snapshot, emitting a HISTORY table instead of overwriting
+    — changed keys get their old row closed (valid_to = to_version,
+    is_current = false) plus a new open row; unchanged keys keep their
+    open row; brand-new keys open at to_version. The canonical warehouse
+    extension of the reference's MERGE (titanic_example_delta.py:63-72
+    overwrites state; SCD2 preserves it for point-in-time joins).
+
+    Pure batch transform: one full-outer join on the dimension key (the
+    same shuffle/broadcast shape as merge()), then row emission per
+    match case — no iteration, no driver loops. Dimension-sized inputs
+    broadcast; the history output is append-only at scale.
+
+    Presence is keyed by sentinel flags (NULL-key-proof, same discipline
+    as merge()); a key counts as CHANGED when any tracked attribute
+    differs null-safely."""
+    c = current.select(
+        F.col(key), *[F.col(t) for t in tracked], F.lit(1).alias("_c_present")
+    ).alias("c")
+    u = updates.select(
+        F.col(key).alias("_u_key"),
+        *[F.col(t).alias(f"_u_{t}") for t in tracked],
+        F.lit(1).alias("_u_present"),
+    ).alias("u")
+    j = c.join(u, F.col(key).eqNullSafe(F.col("_u_key")), "full_outer")
+
+    changed = F.lit(False)
+    for t in tracked:
+        changed = changed | ~F.col(t).eqNullSafe(F.col(f"_u_{t}"))
+    in_both = F.col("_c_present").isNotNull() & F.col("_u_present").isNotNull()
+    only_current = F.col("_u_present").isNull()
+    only_update = F.col("_c_present").isNull()
+
+    key_out = F.coalesce(F.col(key), F.col("_u_key")).alias(key)
+    old_vals = [F.col(t).alias(t) for t in tracked]
+    new_vals = [F.col(f"_u_{t}").alias(t) for t in tracked]
+    vf, vt = F.lit(from_version), F.lit(to_version)
+    null_v = F.lit(None).cast("int")
+
+    # unchanged / closed / reopened / inserted — four disjoint row shapes
+    unchanged = j.where(only_current | (in_both & ~changed)).select(
+        key_out, *old_vals, vf.alias("valid_from"), null_v.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = j.where(in_both & changed).select(
+        key_out, *old_vals, vf.alias("valid_from"),
+        vt.cast("int").alias("valid_to"), F.lit(False).alias("is_current"),
+    )
+    reopened = j.where(in_both & changed).select(
+        key_out, *new_vals, vt.alias("valid_from"), null_v.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    inserted = j.where(only_update).select(
+        key_out, *new_vals, vt.alias("valid_from"), null_v.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(reopened).unionByName(inserted)

@@ -25,6 +25,7 @@ from pucminas_data_pipelines_spark.operators.upsert import (
     version_diff,
 )
 from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.tables import load_table
 
 _LOWER_COLS = [
     "passengerid", "survived", "pclass", "name", "sex", "age",
@@ -186,3 +187,72 @@ def mutation_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _run_scenario(spark, "/root/repo/.tmp/titanic_delete")
     table.delete_where(F.col("Survived") == 0)
     return _lowered(table.read())
+
+
+@query(
+    "mutation_scd2_history",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DOUBLE) AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT -1, CAST(111.11 AS DOUBLE), 'NEWSEG'
+      UNION ALL
+      SELECT -2, CAST(222.22 AS DOUBLE), 'NEWSEG'
+    )
+    SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+           1 AS valid_from, CAST(NULL AS INTEGER) AS valid_to, TRUE AS is_current
+    FROM cur c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, 1, 2, FALSE
+    FROM cur c JOIN upd u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment, 2, NULL, TRUE
+    FROM cur c JOIN upd u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment, 2, NULL, TRUE
+    FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur)
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def mutation_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history from a dimension update batch
+    (operators/upsert.scd2_apply): changed customers get their old row
+    closed at version 2 plus a new open row; untouched customers stay
+    open at version 1; new keys open at version 2. Point-in-time joins
+    (``valid_from <= v AND (valid_to IS NULL OR valid_to > v)``) then
+    reconstruct any version — the history the reference's overwriting
+    MERGE destroys. The update batch is planted deterministically
+    (every 7th customer's balance +100 exactly, via DECIMAL, plus two
+    new keys) and mirrored in the oracle."""
+    from pucminas_data_pipelines_spark.operators.upsert import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    changed = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(12,2)") + 100)
+        .cast("double")
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    new_rows = spark.createDataFrame(
+        [(-1, 111.11, "NEWSEG"), (-2, 222.22, "NEWSEG")],
+        "c_custkey bigint, c_acctbal double, c_mktsegment string",
+    )
+    updates = changed.unionByName(new_rows)
+    hist = scd2_apply(
+        cust,
+        updates,
+        "c_custkey",
+        ["c_acctbal", "c_mktsegment"],
+        from_version=1,
+        to_version=2,
+    )
+    return hist.orderBy("c_custkey", "valid_from")
