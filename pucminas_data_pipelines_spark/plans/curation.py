@@ -509,3 +509,69 @@ def curation_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_BP_MAX_RATIO) * F.col("n_chunks").cast("double")
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------- training shards --
+
+_N_SHARDS = 16
+
+
+@query(
+    "curation_shard_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {_N_SHARDS}) AS shard,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM assigned GROUP BY shard
+    )
+    SELECT shard, n_docs, n_tokens,
+           round(n_tokens / (SELECT AVG(n_tokens) FROM per), 6)
+             AS tokens_vs_mean
+    FROM per
+    ORDER BY shard
+    """,
+)
+def curation_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit: docs
+    hash (md5 — engine-portable, reshuffle-proof) into N shards, with
+    per-shard token mass reported against the mean — the write-side
+    layout step before dataloader consumption, where shard skew becomes
+    stragglers in every training epoch.
+
+    One scan + one {_N_SHARDS}-group aggregate; the mean is a broadcast
+    scalar. Reassignment under corpus growth only moves new docs (hash
+    is content-addressed by id, not position)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _N_SHARDS
+    )
+    n_tokens = F.size(F.split(normalize_text(F.col("text")), " "))
+    per = (
+        docs.select(shard.alias("shard"), n_tokens.alias("n_tokens"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    mean = per.agg(F.avg("n_tokens").alias("_mean"))
+    return (
+        per.crossJoin(F.broadcast(mean))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_mean"), 6).alias(
+                "tokens_vs_mean"
+            ),
+        )
+        .orderBy("shard")
+    )
