@@ -575,3 +575,75 @@ def curation_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_TOKEN_BUDGET = 20_000
+
+
+@query(
+    "curation_token_budget_fill",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+               AS n_tokens,
+             round(CAST(AVG(n_chars) AS DOUBLE), 6) AS priority
+      FROM documents
+      GROUP BY source
+    ),
+    filled AS (
+      SELECT source, n_tokens, priority,
+             CAST(SUM(n_tokens) OVER (ORDER BY priority DESC, source
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM per_source
+    )
+    SELECT source, n_tokens, priority, cum_tokens,
+           CAST(CASE
+             WHEN cum_tokens <= {_TOKEN_BUDGET} THEN n_tokens
+             ELSE greatest({_TOKEN_BUDGET} - (cum_tokens - n_tokens), 0)
+           END AS BIGINT) AS kept_tokens
+    FROM filled
+    ORDER BY priority DESC, source
+    """,
+)
+def curation_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture fill: sources ranked by priority (here: mean
+    doc length as the quality proxy) fill a fixed training-token budget
+    greedily; the source straddling the budget is taken partially, the
+    rest contribute zero — the dataset-mixing step that decides what a
+    fixed-compute training run actually sees.
+
+    The global window runs over SOURCE-level aggregates (tens of rows at
+    any corpus size), not documents — ordering the corpus itself never
+    happens. One groupBy(source) + one tiny window."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(normalize_text(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        # round BEFORE the window order so both engines rank identical keys
+        F.round(F.avg("n_chars").cast("double"), 6).alias("priority"),
+    )
+    w = (
+        Window.orderBy(F.col("priority").desc(), "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = per_source.select(
+        "source",
+        "n_tokens",
+        "priority",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
+    kept = (
+        F.when(F.col("cum_tokens") <= _TOKEN_BUDGET, F.col("n_tokens"))
+        .otherwise(
+            F.greatest(
+                F.lit(_TOKEN_BUDGET) - (F.col("cum_tokens") - F.col("n_tokens")),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+    )
+    return filled.withColumn("kept_tokens", kept).orderBy(
+        F.col("priority").desc(), "source"
+    )
