@@ -4,7 +4,7 @@ explode/posexplode (UDTF-style expansion)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pucminas_data_pipelines_spark.plans.registry import query
@@ -617,4 +617,106 @@ def stats_observed_gate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_kept").cast("double") / F.col("n_total").cast("double"), 6
         ).alias("pass_rate"),
+    )
+
+
+@query(
+    "stats_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           round(MIN(o_totalprice), 2) AS lo,
+           round(MAX(o_totalprice), 2) AS hi
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row count per bucket, boundaries fall
+    where the data is dense) — the profile that drives range-partition
+    boundaries and skew detection, where the fixed-width histogram
+    (stats_value_histogram) hides density. NTILE ties broken by key so
+    both engines bucket identically.
+
+    Scale note: a global NTILE is a total sort — correct for profiling
+    runs (Spark plans it as one rangepartition sort); the streaming-scale
+    alternative is approx_percentile boundaries (stats_percentiles)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "stats_user_anomaly_zscore",
+    oracle="""
+    WITH peruser AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(24,10))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(24,10))
+                      * CAST(value AS DECIMAL(24,10))) AS DOUBLE) AS ss
+      FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT user_id, n, s / n AS mean,
+             sqrt(greatest(ss / n - (s / n) * (s / n), 0)) AS std
+      FROM peruser WHERE n >= 10
+    )
+    SELECT e.event_id, e.user_id,
+           round((e.value - st.mean) / st.std, 6) AS zscore
+    FROM events e JOIN stats st ON e.user_id = st.user_id
+    WHERE st.std > 0 AND abs((e.value - st.mean) / st.std) > 3
+    ORDER BY e.event_id
+    """,
+)
+def stats_user_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly detection: events whose value sits more than
+    3 population-σ from that user's own mean — fraud/quality flagging
+    against each entity's baseline rather than a global threshold.
+
+    Moments (Σv, Σv²) run in exact DECIMAL so mean/σ are bit-equal
+    across engines (stddev_pop's streaming accumulation is not); the
+    stats re-join on user_id reuses the aggregation's partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(24,10)")
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("s"),
+            F.sum(dec * dec).cast("double").alias("ss"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    stats = per.select(
+        "user_id",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("ss") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                F.lit(0.0),
+            )
+        ).alias("std"),
+    ).where(F.col("std") > 0)
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(stats, "user_id")
+        .where(F.abs(z) > 3)
+        .select("event_id", "user_id", F.round(z, 6).alias("zscore"))
+        .orderBy("event_id")
     )
