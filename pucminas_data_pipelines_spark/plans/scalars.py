@@ -427,3 +427,43 @@ def scalar_map_construction_suite(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sort_array(F.map_keys(m)).alias("sorted_keys"),
         F.array_contains(F.map_keys(m), "name").cast("int").alias("has_name_key"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "scalar_variant_shredding",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VariantType: parse_json
+    once into the binary variant encoding, then typed variant_get paths —
+    the modern replacement for per-field get_json_object string re-parsing
+    (one parse per row instead of one per extracted field, and the
+    variant column shreds columnar in parquet at rest).
+
+    Aggregated per event_type so the oracle checks the extracted values
+    end-to-end; variant decode stays in codegen — no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
