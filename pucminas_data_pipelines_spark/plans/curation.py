@@ -484,6 +484,13 @@ def curation_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk"),
     )
+    # The chunk stream feeds BOTH the frequency groupBy and the re-join;
+    # left lazy, Spark scans+explodes the corpus twice (the two exchange
+    # subplans project different columns, so ReuseExchange cannot fire).
+    # persist() materializes it once; the tiny per-doc rollup is eagerly
+    # checkpointed below so the cache can be released before returning
+    # (same storage-lifetime discipline as minhash_lsh_pairs).
+    chunks = chunks.persist()
     freq = chunks.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -496,7 +503,9 @@ def curation_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("n_docs") >= min_docs, 1).otherwise(0)
             ).alias("n_boiler"),
         )
+        .localCheckpoint(eager=True)
     )
+    chunks.unpersist()
     return per_doc.select(
         "doc_id",
         F.col("n_chunks").cast("bigint").alias("n_chunks"),
