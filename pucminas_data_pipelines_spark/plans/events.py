@@ -514,3 +514,60 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_session_window_dynamic_gap",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'purchase' THEN 7200000000
+                  ELSE 1800000000 END AS gap_us
+      FROM events WHERE user_id <= 30
+    ),
+    marked AS (
+      SELECT user_id, ts, t,
+             MAX(t + gap_us) OVER (PARTITION BY user_id ORDER BY ts, t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM base
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_max_end IS NULL OR t >= prev_max_end
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, t
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (F.session_window with a gap
+    expression): purchases hold the session open 2 h, everything else
+    30 min — the dynamic-gap sessionization real funnels need (checkout
+    flows idle longer than browsing). Spark merges overlapping
+    [ts, ts+gap) intervals; the oracle mirrors that exactly with a
+    running-max-of-interval-end gaps-and-islands rewrite (a session
+    breaks when an event starts at or after every previous interval's
+    end)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 30)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("2 hours")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -720,3 +720,36 @@ def stats_user_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.round(z, 6).alias("zscore"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "explode_outer_empty_arrays",
+    oracle="""
+    WITH filtered AS (
+      SELECT doc_id,
+             list_filter(string_split(TRIM(text), ' '), t -> len(t) >= 9)
+               AS long_toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT f.doc_id, u.tok
+    FROM filtered f
+    LEFT JOIN (
+      SELECT doc_id, unnest(long_toks) AS tok FROM filtered
+    ) u USING (doc_id)
+    ORDER BY doc_id, tok
+    """,
+)
+def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: rows whose array is EMPTY survive with a
+    NULL element (plain explode silently drops them — losing every doc
+    with no match, a classic silent-data-loss bug in expansion
+    pipelines). The oracle reproduces outer semantics via LEFT JOIN to
+    the unnest, since DuckDB's unnest is inner-style."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    long_toks = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda t: F.length(t) >= 9
+    )
+    return (
+        docs.select("doc_id", F.explode_outer(long_toks).alias("tok"))
+        .orderBy("doc_id", "tok")
+    )
