@@ -14,6 +14,7 @@ from pucminas_data_pipelines_spark.plans import (  # noqa: F401
     aggregates,
     curation,
     events,
+    graph,
     llm,
     multimodal,
     mutation,

@@ -1,0 +1,55 @@
+"""Unit tests for operators/graph.py (iterative PageRank)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pucminas_data_pipelines_spark.operators.graph import pagerank
+
+
+def test_pagerank_two_node_cycle(spark):
+    """A ⇄ B symmetric cycle: ranks stay uniform at 0.5 every iteration."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert out["a"] == pytest.approx(0.5, abs=1e-12)
+    assert out["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_star_favors_hub(spark):
+    """Spokes → hub with hub → one spoke: hub accumulates the most rank,
+    and the pointed-at spoke beats the unpointed ones. The hub↔s1 2-cycle
+    oscillates on alternating iterations (damping^k envelope), so this
+    asserts at 30 iterations, inside the converged regime."""
+    edges = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iterations=30).collect()}
+    assert out["hub"] > out["s1"] > out["s2"]
+    assert out["s2"] == pytest.approx(out["s3"], abs=1e-12)
+
+
+def test_pagerank_weighted_split(spark):
+    """One iteration from uniform: a splits 3:1 between b and c, so after
+    iteration 1 rank(b) - rank(c) == d * (1/3) * (0.75 - 0.25)."""
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, weight="w", iterations=1).collect()
+    }
+    assert out["b"] - out["c"] == pytest.approx(0.85 * (1 / 3) * 0.5, abs=1e-12)
+
+
+def test_pagerank_mass_conserved_without_dangling(spark):
+    """With every node having an out-edge, total rank mass stays 1.0."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    total = sum(r["rank"] for r in pagerank(edges, iterations=5).collect())
+    assert total == pytest.approx(1.0, abs=1e-9)
