@@ -347,8 +347,8 @@ def semantic_dup_pairs(
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: every vector is
     assigned to its ``n_assign`` nearest IVF cells (multi-assignment buys
-    recall across cell boundaries — measured 0.93 at 16 cells x 3 assigns
-    vs 0.34 at 1 assign on the test corpus), candidate pairs form only
+    recall across cell boundaries — measured 1.0 at 16 cells × 4 assigns
+    at sf0.01, 0.966 at sf0.1, vs 0.34 at 1 assign), candidate pairs form only
     WITHIN a cell, and each candidate is verified by exact cosine at
     ``threshold``. Returns (id_a, id_b, cosine), id_a < id_b, distinct.
     Precision is 1.0 by construction (exact verify); recall is the
@@ -371,22 +371,32 @@ def semantic_dup_pairs(
         top = np.argsort(-sims, axis=1)[:, :n_assign]
         return pd.Series(list(top.astype(np.int32)))
 
-    tagged = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "cell", F.explode(assign(F.col(vec_col)))
-    )
-    a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell"
-    )
-    b = tagged.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell"
-    )
+    tagged = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("cell", F.explode(assign(F.col("_v"))))
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    # Exact verify as ONE matmul per cell (not an expression per pair):
+    # a cell of c rows costs one c×c BLAS product — the per-pair HOF
+    # cosine it replaces was ~30 s at sf0.1 for the same result.
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0.0] = np.nan
+        m = m / n
+        sims = np.round(m @ m.T, 6)
+        xi, yi = np.triu_indices(len(pdf), k=1)
+        c = sims[xi, yi]
+        mask = c >= threshold
+        ids = pdf[id_col].to_numpy()
+        ida, idb = ids[xi[mask]], ids[yi[mask]]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": c[mask]})
+
     return (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
-        )
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        tagged.groupBy("cell")
+        .applyInPandas(cell_pairs, out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )

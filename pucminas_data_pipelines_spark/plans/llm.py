@@ -1044,16 +1044,18 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup quantified against the exact
     cosine pair list: semantic_dup_pairs (IVF-cell bucketed + exact
     verify, operators/similarity.py) must retrieve >= 90% of all true
-    pairs at threshold 0.4 (measured 55/59 = 0.93, deterministic — seeded
-    centroids, hash-threshold sample). The oracle computes the exact pair
-    count in DuckDB and asserts the bound; precision needs no bound — it
-    is 1.0 by construction (every candidate is exact-cosine verified).
+    pairs at threshold 0.4 (measured 59/59 = 1.0 at sf0.01 and 889/920 =
+    0.966 at sf0.1 with 16 cells × 4 assigns — 3 assigns held at sf0.01
+    but dipped to 0.857 at sf0.1; deterministic — seeded centroids,
+    hash-threshold sample). The oracle computes the exact pair count in
+    DuckDB and asserts the bound; precision needs no bound — it is 1.0
+    by construction (every candidate is exact-cosine verified).
 
     The exact all-pairs baseline here is the verification harness, not
     the operator: at 100 TB only the cell-bucketed operator runs."""
     emb = load_table(spark, sf_dir, "embeddings")
     approx = S.semantic_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, n_cells=16, n_assign=3
+        emb, "vec_id", "embedding", threshold=0.4, n_cells=16, n_assign=4
     ).select("id_a", "id_b")
     exact = D.embedding_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.4
