@@ -78,3 +78,56 @@ def pagerank(
         )
     e.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Count triangles in the undirected simple graph induced by ``edges``
+    (direction, self-loops, and multi-edges are discarded). Returns a
+    single row (n_triangles bigint).
+
+    Standard distributed scheme: orient every undirected edge low→high by
+    TOTAL DEGREE (ties by node id), join oriented edges head-to-tail for
+    wedges, then close each wedge against the oriented edge set. Degree
+    orientation caps every node's out-degree at O(sqrt(|E|)), so the wedge
+    join — the quadratic step — stays bounded even on zipfian degree
+    graphs; all three joins shuffle on node/edge keys only."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = und.join(
+        deg.select(
+            F.col("node").alias("a"), F.col("deg").alias("deg_a")
+        ),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+        "b",
+    )
+    # orient by (degree, id): u -> v iff deg(u) < deg(v) or tie with u < v
+    oriented = ranked.select(
+        F.when(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    return wedges.join(closing, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -1,10 +1,10 @@
-"""Unit tests for operators/graph.py (iterative PageRank)."""
+"""Unit tests for operators/graph.py (iterative PageRank, triangles)."""
 
 from __future__ import annotations
 
 import pytest
 
-from pucminas_data_pipelines_spark.operators.graph import pagerank
+from pucminas_data_pipelines_spark.operators.graph import pagerank, triangle_count
 
 
 def test_pagerank_two_node_cycle(spark):
@@ -53,3 +53,37 @@ def test_pagerank_mass_conserved_without_dangling(spark):
     )
     total = sum(r["rank"] for r in pagerank(edges, iterations=5).collect())
     assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_count_bowtie(spark):
+    """Two triangles sharing node c; direction/duplicates/self-loops must
+    not affect the count."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),          # triangle 1
+            ("c", "d"), ("d", "e"), ("e", "c"),          # triangle 2
+            ("b", "a"),                                   # reverse dup
+            ("a", "a"),                                   # self-loop
+            ("c", "a"),                                   # exact dup
+        ],
+        "src string, dst string",
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 2
+
+
+def test_triangle_count_square_has_none(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 0
+
+
+def test_triangle_count_k4(spark):
+    """Complete graph on 4 nodes has exactly C(4,3)=4 triangles."""
+    nodes = ["a", "b", "c", "d"]
+    edges = spark.createDataFrame(
+        [(x, y) for x in nodes for y in nodes if x < y],
+        "src string, dst string",
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
