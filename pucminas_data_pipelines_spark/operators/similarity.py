@@ -108,36 +108,45 @@ def lsh_ann_topk(
     vectors (neighbor cosine ~0.4, like random embeddings) 4 planes × 8
     tables gives ~0.75 expected top-k recall at ~16x fewer comparisons than
     brute force per table; sharper clusters tolerate more planes."""
-    tables = [
-        _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
-    ]
+    # All tables' hyperplanes as one (n_tables*n_planes, dim) matrix: the
+    # 32 sign bits per vector are ONE Arrow-batched matmul, not 4k
+    # interpreted HOF ops/row (same seeds/planes as the per-table
+    # lsh_bucket expression form, kept for single-plane uses).
+    plane_mat = np.concatenate(
+        [
+            np.asarray(_hyperplanes(n_planes, dim, seed + 1000 * t))
+            for t in range(n_tables)
+        ]
+    ).T  # dim x (n_tables*n_planes)
+    shifts = np.tile(1 << np.arange(n_planes), n_tables)  # bit weight per col
 
-    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        out = df.select(
-            F.col("_id").alias(id_alias), F.col("_vec").alias(vec_alias), "_bkts"
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (m @ plane_mat) >= 0  # batch x (n_tables*n_planes)
+        weighted = (bits * shifts).reshape(len(m), n_tables, n_planes)
+        return pd.Series(list(weighted.sum(axis=2).astype(np.int64)))
+
+    def tagged(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_alias), F.col(vec_alias), buckets(F.col(vec_alias)).alias("_bk")
+            )
+            .select(id_alias, vec_alias, F.posexplode("_bk").alias("table", "bucket"))
         )
-        return out.select(
-            id_alias,
-            vec_alias,
-            F.explode("_bkts").alias("tb"),
-        ).select(id_alias, vec_alias, "tb.table", "tb.bucket")
 
-    def tagged(df: DataFrame, id_col: str) -> DataFrame:
-        bkts = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    lsh_bucket(F.col("_vec"), tables[t]).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-        ).withColumn("_bkts", bkts)
-
-    q = with_buckets(tagged(queries, query_id), "query_id", "q_vec")
-    c = with_buckets(tagged(corpus, corpus_id), "neighbor_id", "c_vec")
+    q = tagged(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+    )
+    c = tagged(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "neighbor_id",
+        "c_vec",
+    )
 
     cands = (
         q.join(c, ["table", "bucket"])

@@ -14,7 +14,7 @@ from pucminas_data_pipelines_spark.plans import (  # noqa: F401
     aggregates,
     curation,
     events,
-    graph,
+    graph,  # noqa: F401  (registers graph_pagerank/_triangle queries)
     llm,
     multimodal,
     mutation,
@@ -41,7 +41,8 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 #   O7 + projection family .. project_*
 #   O9 set ops .. setop_union_all
 #   join family (incl. asof/range/skew) .. join_*
-#   multi-join TPC-H shapes .. q3/q18/q21
+#   graph analytics (iterative pagerank; unrolled-CTE oracle) .. graph_*
+#   multi-join TPC-H shapes .. q18/q21 (q3 + 19 more TPC-H via pytest parity)
 #   aggregation family (incl. fixed collect_set + bounded approx) .. agg_*
 #   windows / sort-topk / scalars / stats / sampling .. one each
 #   streaming: batch-analogue (oracled) + live readStream (rows-only)
@@ -68,7 +69,7 @@ DRIVER_WINDOW: list[str] = [
     "join_range",
     "join_asof",
     "join_salted_skew",
-    "q3_shipping_priority",
+    "graph_pagerank_transitions",
     "q18_large_orders",
     "q21_sole_blamed_supplier",
     "agg_basic_stats",
