@@ -9,7 +9,7 @@ sample never could.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pucminas_data_pipelines_spark.operators.sampling import (
@@ -140,4 +140,88 @@ def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
         .orderBy("lang")
+    )
+
+
+@query(
+    "sample_capped_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked WHERE rk <= 10
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most 10 documents per source, chosen by
+    md5(doc_id) rank — the standard anti-over-representation gate in
+    web-corpus curation (cap docs per domain before mixing), with a
+    DETERMINISTIC keep set: same docs survive on every engine, run, and
+    partitioning (a rand()-based cap could never be oracled).
+
+    Scale: one row_number window partitioned by source — shuffle keyed
+    by the capped dimension only, no global sort. Zipfian sources are
+    exactly the hot partitions AQE splits; the md5 rank key is computed
+    map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 10)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "agg_freq_items_superset",
+    oracle="""
+    WITH freq AS (
+      SELECT lang, COUNT(*) AS n
+      FROM documents GROUP BY lang
+    ), total AS (SELECT SUM(n) AS t FROM freq)
+    SELECT lang, TRUE AS in_sketch
+    FROM freq, total WHERE n > 0.1 * t
+    ORDER BY lang
+    """,
+)
+def agg_freq_items_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.freqItems (Karp-Papadimitriou-Shenker one-pass heavy
+    hitters) checked against its guarantee: every value with frequency
+    > support MUST appear in the sketch result (the sketch may
+    over-report, never under-report). Output = the exact frequent
+    langs with a boolean asserting sketch membership — the oracle pins
+    the exact side and TRUE.
+
+    Scale: the KPS sketch is one pass, constant memory per partition,
+    merged at the driver — the cheap pre-screen before an exact count
+    of only the candidate heavy hitters."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketch = set(docs.stat.freqItems(["lang"], support=0.1).collect()[0][0])
+    n_total = docs.count()
+    exact = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 0.1 * n_total)
+    )
+    return (
+        exact.select(
+            "lang", F.col("lang").isin(list(sketch)).alias("in_sketch")
+        ).orderBy("lang")
     )
