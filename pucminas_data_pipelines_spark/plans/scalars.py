@@ -467,3 +467,39 @@ def scalar_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scalar_bitwise_suite",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(o_orderkey << 3 AS BIGINT) AS key_shl3,
+      CAST(o_orderkey >> 2 AS BIGINT) AS key_shr2,
+      CAST(o_orderkey & 255 AS BIGINT) AS key_and_ff,
+      CAST(o_orderkey | 4096 AS BIGINT) AS key_or_1000,
+      CAST(xor(o_orderkey, 21845) AS BIGINT) AS key_xor_5555,
+      CAST(~o_orderkey AS BIGINT) AS key_not,
+      CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INTEGER) AS key_popcount
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: shifts, and/or/xor, complement, popcount —
+    the primitives the engine's own SimHash/Z-order operators are built
+    from, exposed as a user-facing suite. All JVM expressions inside
+    whole-stage codegen; zero shuffles beyond the output sort."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(k, 3).cast("bigint").alias("key_shl3"),
+        F.shiftright(k, 2).cast("bigint").alias("key_shr2"),
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("key_and_ff"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("key_or_1000"),
+        k.bitwiseXOR(F.lit(21845)).cast("bigint").alias("key_xor_5555"),
+        F.bitwise_not(k).cast("bigint").alias("key_not"),
+        F.bit_count(k.cast("bigint")).alias("key_popcount"),
+    ).orderBy("o_orderkey")
