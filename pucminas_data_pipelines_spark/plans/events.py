@@ -571,3 +571,86 @@ def events_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "events_gap_fill_ffill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             SUM(CAST(value AS DECIMAL(18,2))) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, g.hr
+      FROM spans s, UNNEST(generate_series(s.lo, s.hi, INTERVAL '1 hour')) AS g(hr)
+    ),
+    joined AS (
+      SELECT g.user_id, g.hr, h.hv,
+             last_value(h.hv IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS filled
+      FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN hv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(filled) AS DOUBLE) AS sum_filled
+    FROM joined
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: resample each user's event stream onto a
+    regular hourly grid (sequence + explode between the user's observed
+    span) and forward-fill missing hours with the last observed hourly
+    value (last(ignoreNulls) over an UNBOUNDED PRECEDING frame) — the
+    hypertable resample/locf primitive. Hourly values are DECIMAL sums
+    (exact, order-independent) so the filled series is bit-identical
+    across engines; output summarizes per user.
+
+    Scale: the grid explode emits span-hours rows per user (bounded,
+    time-window × users — never |events|²); both the fill window and
+    the final rollup partition by user_id, one shuffle shared via AQE
+    exchange reuse. Skewed users are span-bounded, not event-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("hv"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        "hv",
+        F.last("hv", ignorenulls=True).over(w).alias("filled"),
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("hv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_filled"),
+            F.sum("filled").cast("double").alias("sum_filled"),
+        )
+        .orderBy("user_id")
+    )
