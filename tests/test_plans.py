@@ -231,3 +231,39 @@ def test_label_centroids_two_phase_aggregate(spark):
     plan = _plan(QUERIES["embedding_label_centroids"](spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 4
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_capped_sample_pushes_group_limit_map_side(spark):
+    """sample_capped_per_source: Spark's rank-limit pushdown must emit a
+    Partial WindowGroupLimit BEFORE the shuffle — top-10-per-source runs
+    map-side, so the exchange carries ≤10 rows per source per task, not
+    the corpus."""
+    plan = _plan(QUERIES["sample_capped_per_source"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_embedding_allpairs_is_blocked_blas_not_cross_join(spark):
+    """embedding_neardup_pairs: the exact all-pairs path is block-pair
+    matmuls (FlatMapGroupsInPandas), never a nested-loop/cartesian join
+    with a per-pair expression."""
+    plan = _plan(QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_scans_events_once(spark):
+    """events_gap_fill_ffill: the hourly rollup is checkpointed, so the
+    span derivation and the grid join share it — the raw events table is
+    scanned exactly once (the checkpoint replaces it with an RDD scan)."""
+    plan = _plan(QUERIES["events_gap_fill_ffill"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 0  # only the checkpointed RDD
+    assert "Scan ExistingRDD" in plan
+
+
+def test_simhash_aggregates_map_side(spark):
+    """dedup_simhash: the 60 bit sums are plain codegen'd aggregates with
+    a partial (map-side) phase — no higher-order-function fold in the
+    per-token path."""
+    plan = _plan(QUERIES["dedup_simhash"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
