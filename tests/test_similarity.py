@@ -147,3 +147,34 @@ def test_semantic_dup_pairs_recall_and_precision(spark):
     assert approx <= exact  # precision 1.0: no false pairs survive verify
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_neardup_pairs_edge_cases(spark):
+    """Blocked-BLAS all-pairs: tiny inputs (fewer rows than blocks), a
+    planted exact duplicate, and a zero vector (NaN cosine → excluded)."""
+    from pucminas_data_pipelines_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),      # exact dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [0.0, 0.0, 0.0]),      # zero vector: must never pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, n_blocks=8
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    assert (
+        embedding_neardup_pairs(
+            empty, "vec_id", "embedding", threshold=0.5
+        ).count()
+        == 0
+    )
