@@ -161,3 +161,46 @@ def sample_frames(
             )
         ).alias("frame"),
     ).select("asset_id", "frame.frame_no", "frame.offset")
+
+
+BYTE_STATS_SCHEMA = (
+    "asset_id bigint, n_bytes bigint, n_space bigint, "
+    "first_byte int, last_byte int"
+)
+
+
+def payload_byte_stats(assets: DataFrame) -> DataFrame:
+    """Per-asset raw byte statistics via mapInArrow — the zero-copy batch
+    path for binary columns (no pandas conversion: pyarrow compute kernels
+    read the Arrow buffers directly, which is the right interface when
+    payloads are megabytes of opaque bytes).
+
+    Emits (asset_id, n_bytes, n_space, first_byte, last_byte); byte-empty
+    payloads yield NULL first/last. A real pipeline computes magic-number
+    sniffing / corruption checks in exactly this shape."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("asset_id"))
+            payload = batch.column(batch.schema.get_field_index("payload"))
+            n_bytes = pc.cast(pc.binary_length(payload), pa.int64())
+            n_space = pc.cast(
+                pc.count_substring(payload.cast(pa.binary()), b" "), pa.int64()
+            )
+            raw = payload.to_pylist()
+            first = pa.array(
+                [(b[0] if b else None) for b in raw], type=pa.int32()
+            )
+            last = pa.array(
+                [(b[-1] if b else None) for b in raw], type=pa.int32()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()), n_bytes, n_space, first, last],
+                ["asset_id", "n_bytes", "n_space", "first_byte", "last_byte"],
+            )
+
+    return assets.select("asset_id", "payload").mapInArrow(
+        stats, BYTE_STATS_SCHEMA
+    )

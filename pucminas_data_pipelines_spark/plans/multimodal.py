@@ -159,3 +159,28 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .orderBy("checksum")
     )
+
+
+@query(
+    "multimodal_bytes_stats_arrow",
+    oracle="""
+    SELECT doc_id AS asset_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+      CASE WHEN length(text) = 0 THEN NULL
+           ELSE CAST(ord(substring(text, 1, 1)) AS INTEGER) END AS first_byte,
+      CASE WHEN length(text) = 0 THEN NULL
+           ELSE CAST(ord(substring(text, length(text), 1)) AS INTEGER) END
+        AS last_byte
+    FROM documents
+    ORDER BY asset_id
+    """,
+)
+def multimodal_bytes_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw payload byte stats via mapInArrow (zero-copy Arrow kernels on
+    the binary column — no pandas materialization). Oracle relies on the
+    corpus being pure ASCII (verified: octet_length == char length at
+    every SF), so char ops on text mirror byte ops on the payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.attach_binary_payload(docs, "doc_id", "text")
+    return M.payload_byte_stats(assets).orderBy("asset_id")
