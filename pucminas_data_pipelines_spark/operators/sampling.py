@@ -93,3 +93,27 @@ def weighted_sample(df: DataFrame, id_col: str, weight: Column) -> DataFrame:
     """
     w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
     return df.where(hash_unit(F.col(id_col)) < w)
+
+
+def weighted_sample_exact_k(
+    df: DataFrame, id_col: str, weight: Column, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``k`` rows
+    (Efraimidis–Spirakis A-ES): per-row key u^(1/w) from the
+    deterministic uniform draw u = hash_unit(id), take the k largest
+    keys. Inclusion probability is proportional to weight, the selected
+    SET is stable across engines/runs/partitionings, and — unlike the
+    Bernoulli ``weighted_sample`` — the output size is exact, which is
+    what token-budget mixture fills need.
+
+    Scale: global top-k by key plans as TakeOrdered (no total sort);
+    weights <= 0 are excluded (their key is NULL)."""
+    w = F.when(weight > 0, weight)
+    key = F.pow(hash_unit(F.col(id_col)), F.lit(1.0) / w)
+    return (
+        df.withColumn("_es_key", key)
+        .where(F.col("_es_key").isNotNull())
+        .orderBy(F.col("_es_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_es_key")
+    )

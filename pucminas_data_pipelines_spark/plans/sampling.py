@@ -225,3 +225,50 @@ def agg_freq_items_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", F.col("lang").isin(list(sketch)).alias("in_sketch")
         ).orderBy("lang")
     )
+
+
+@query(
+    "sample_weighted_exact_k",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, n_chars,
+             POW({_UNIT_SQL}, 400.0 / n_chars) AS es_key, doc_id
+      FROM documents WHERE n_chars > 0
+    ),
+    picked AS (
+      SELECT lang, n_chars FROM keyed
+      ORDER BY es_key DESC, doc_id LIMIT 100
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM picked GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-document weighted sample without replacement
+    (Efraimidis–Spirakis key u^(1/w), w = n_chars/400): longer docs are
+    proportionally likelier, the output size is exact (unlike the
+    Bernoulli weighted_sample), and the selected set is engine-stable —
+    the md5-derived u makes the A-ES keys reproducible, so the oracle
+    re-derives the identical selection.
+
+    Scale: one map pass computes keys; the global top-k plans as
+    TakeOrdered (per-partition heaps + driver merge), never a full
+    sort."""
+    from pucminas_data_pipelines_spark.operators.sampling import (
+        weighted_sample_exact_k,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    picked = weighted_sample_exact_k(
+        docs, "doc_id", F.col("n_chars") / F.lit(400.0), k=100
+    )
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
