@@ -503,3 +503,68 @@ def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitwise_not(k).cast("bigint").alias("key_not"),
         F.bit_count(k.cast("bigint")).alias("key_popcount"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_map_transform_suite",
+    oracle="""
+    SELECT event_id,
+      CAST(2 * CAST(json_extract(props, '$.k') AS INTEGER) AS INTEGER)
+        AS k_doubled,
+      TRUE AS renamed_has_k2,
+      CAST(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+                THEN 1 ELSE 0 END AS INTEGER) AS n_large
+    FROM events
+    WHERE event_id <= 500
+    ORDER BY event_id
+    """,
+)
+def scalar_map_transform_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values, transform_keys,
+    map_filter, map_contains_key — the mutation side of the MapType
+    surface (scalar_map_suite covers the read side). All Catalyst
+    expressions; the oracle mirrors them through DuckDB JSON extraction
+    on the raw props column."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    m = F.from_json("props", "map<string,int>")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    renamed = F.transform_keys(m, lambda k, v: F.concat(k, F.lit("2")))
+    large = F.map_filter(m, lambda k, v: v > 50)
+    return e.select(
+        "event_id",
+        F.element_at(doubled, "k").alias("k_doubled"),
+        F.map_contains_key(renamed, "k2").alias("renamed_has_k2"),
+        F.size(large).alias("n_large"),
+    ).orderBy("event_id")
+
+
+@query(
+    "scalar_arrays_zip_inline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS arr
+      FROM documents WHERE doc_id <= 50
+    )
+    SELECT doc_id, g.i AS pos, arr[g.i] AS token,
+           CAST(length(arr[g.i]) AS INTEGER) AS token_len
+    FROM toks, UNNEST(generate_series(1, len(arr))) AS g(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def scalar_arrays_zip_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrays_zip + inline: zip a token array with its 1-based ordinal and
+    per-token length arrays, then lateral-inline the struct array into
+    rows — the generic 'explode N parallel arrays in lockstep' pattern
+    (posexplode only handles one array + its index)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    zipped = F.arrays_zip(
+        F.sequence(F.lit(1), F.size(toks)).alias("pos"),
+        toks.alias("token"),
+        F.transform(toks, lambda t: F.length(t).cast("int")).alias("token_len"),
+    )
+    return (
+        docs.select("doc_id", F.inline(zipped))
+        .select("doc_id", "pos", "token", "token_len")
+        .orderBy("doc_id", "pos")
+    )
