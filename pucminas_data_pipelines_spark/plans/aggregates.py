@@ -424,3 +424,56 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_argminmax_suite",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, user_id, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rk_max,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rk_min
+      FROM events
+    ),
+    extremes AS (
+      SELECT event_type,
+             MAX(CASE WHEN rk_max = 1 THEN user_id END) AS top_user,
+             MAX(CASE WHEN rk_min = 1 THEN user_id END) AS bottom_user
+      FROM ranked GROUP BY event_type
+    ),
+    flags AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_large,
+             BOOL_AND(value >= 0) AS all_nonneg,
+             BOOL_OR(value > 99) AS any_gt99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.top_user, e.bottom_user,
+           f.n_large, f.all_nonneg, f.any_gt99
+    FROM extremes e JOIN flags f USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def agg_argminmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extremum / conditional aggregate family: max_by, min_by (with a
+    struct ordering key including the unique event_id so ties are
+    deterministic across engines), count_if, bool_and, bool_or. The
+    oracle re-derives max_by/min_by via ROW_NUMBER — same semantics in
+    portable SQL.
+
+    Scale: all are single-pass hash aggregates with map-side partials —
+    max_by carries (ord, value) per group per partition, not rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", F.struct("value", "event_id")).alias("top_user"),
+            F.min_by("user_id", F.struct("value", "event_id")).alias("bottom_user"),
+            F.count_if(F.col("value") > 50).alias("n_large"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 99).alias("any_gt99"),
+        )
+        .orderBy("event_type")
+    )
