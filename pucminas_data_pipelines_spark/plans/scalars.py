@@ -568,3 +568,36 @@ def scalar_arrays_zip_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos", "token", "token_len")
         .orderBy("doc_id", "pos")
     )
+
+
+@query(
+    "scalar_regexp_suite",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS INTEGER)
+        AS n_double_vowels,
+      regexp_extract(text, '\\b([a-z]{7})\\b', 1) AS first_seven_letter,
+      regexp_matches(text, 'ing\\b') AS has_ing_word,
+      md5(regexp_replace(text, '\\s+', '_', 'g')) AS normalized_md5
+    FROM documents
+    WHERE doc_id <= 300
+    ORDER BY doc_id
+    """,
+)
+def scalar_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar family: regexp_count, regexp_substr (first match of
+    a capture pattern), rlike, global regexp_replace — verified
+    byte-identically via md5 of the rewritten text. Each engine uses its
+    own dialect spelling of the SAME pattern semantics; the planted-PII
+    module covers extraction-heavy cases, this suite covers the generic
+    match/count/rewrite surface."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[aeiou]{2}")).alias("n_double_vowels"),
+        F.regexp_extract("text", r"\b([a-z]{7})\b", 1).alias("first_seven_letter"),
+        F.col("text").rlike(r"ing\b").alias("has_ing_word"),
+        F.md5(F.regexp_replace("text", r"\s+", "_").cast("binary")).alias(
+            "normalized_md5"
+        ),
+    ).orderBy("doc_id")
