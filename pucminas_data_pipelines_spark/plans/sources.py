@@ -436,3 +436,58 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    WITH rows_src AS (
+      SELECT g.i AS id, CAST(g.i % 7 AS INTEGER) AS bucket,
+             (g.i * 31 % 97) / 10.0 AS score
+      FROM UNNEST(generate_series(0, 999)) AS g(i)
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(score AS DECIMAL(18,1))) AS DOUBLE) AS sum_score,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM rows_src GROUP BY bucket ORDER BY bucket
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API
+    (sources/synthetic.py): register the format, read 1000 deterministic
+    rows across 4 InputPartitions (executor-parallel, no driver
+    bottleneck), aggregate per bucket. The oracle reproduces the row
+    function with generate_series — a full value-level check of a
+    user-defined connector.
+
+    Scale: partition planning is metadata-only; each partition streams
+    its range independently — the same contract a REST/queue/wire-format
+    connector implements at 1000 executors."""
+    from pucminas_data_pipelines_spark.sources.synthetic import (
+        SyntheticRowsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticRowsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    src = (
+        spark.read.format("synthetic_rows")
+        .option("rows", 1000)
+        .option("partitions", 4)
+        .load()
+    )
+    return (
+        src.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("score").cast("decimal(18,1)")).cast("double").alias(
+                "sum_score"
+            ),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,62 @@
+"""Custom Python DataSource (Spark 4 pyspark.sql.datasource API): a
+deterministic synthetic-rows connector, the pattern for wrapping any
+external system (REST API, message queue, proprietary format) as a
+first-class `spark.read.format(...)` source with partition-parallel
+reads.
+
+Rows are a pure function of the id, so the connector is oracle-checkable
+(DuckDB generate_series reproduces it exactly) — and, at scale, each
+InputPartition is read independently by its executor: parallelism is the
+`partitions` option, no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA = "id bigint, bucket int, score double"
+
+
+def row_for(i: int) -> tuple[int, int, float]:
+    """The deterministic row function — mirrored by the SQL oracle."""
+    return (i, i % 7, (i * 31 % 97) / 10.0)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticRowsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+
+    def partitions(self) -> list[InputPartition]:
+        step = -(-self.n_rows // self.n_parts)  # ceil division
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield row_for(i)
+
+
+class SyntheticRowsDataSource(DataSource):
+    """Usage: spark.dataSource.register(SyntheticRowsDataSource);
+    spark.read.format("synthetic_rows").option("rows", N).load()."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_rows"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> SyntheticRowsReader:
+        return SyntheticRowsReader(self.options)
