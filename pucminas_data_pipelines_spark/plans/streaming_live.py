@@ -188,3 +188,62 @@ def streaming_sliding_window_live(spark: SparkSession, sf_dir: str) -> DataFrame
     result equals events_sliding_window and shares its oracle."""
     events = jobs.read_events_stream(spark, sf_dir)
     return jobs.run_to_memory(jobs.sliding_counts(events)).orderBy("window_start")
+
+
+@query(
+    "streaming_python_source_live",
+    oracle=ORACLES["source_python_datasource"],
+)
+def streaming_python_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live readStream from the CUSTOM Python data source
+    (sources/synthetic.py SimpleDataSourceStreamReader): four 250-row
+    micro-batches, complete-mode aggregate into a memory sink, polled
+    until the bounded stream drains — then the result equals the batch
+    connector read, so the batch oracle value-checks a live run of a
+    user-defined streaming connector. (AvailableNow is not supported for
+    Python stream sources — Spark falls back to single-batch — so the
+    drain is driven by a processingTime trigger + row-count poll.)"""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.sources.synthetic import (
+        SyntheticRowsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticRowsDataSource)
+    except Exception:
+        pass
+    src = (
+        spark.readStream.format("synthetic_rows")
+        .option("rows", 1000)
+        .option("chunk", 250)
+        .load()
+    )
+    agg = src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("score").cast("decimal(18,1)")).cast("double").alias("sum_score"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+    table = f"py_src_live_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = spark.table(table).agg(F.sum("n_rows")).collect()[0][0]
+            if rows == 1000:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(table).orderBy("bucket")

@@ -60,3 +60,31 @@ class SyntheticRowsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticRowsReader:
         return SyntheticRowsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticRowsStreamReader":
+        return SyntheticRowsStreamReader(self.options)
+
+
+class SyntheticRowsStreamReader:
+    """SimpleDataSourceStreamReader: replays the same deterministic rows
+    as the batch reader in fixed-size micro-batch chunks, then reports
+    no-new-data — so an AvailableNow run drains exactly rows [0, rows)
+    and the BATCH oracle checks the live streaming result."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+        self.chunk = int(options.get("chunk", 250))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.chunk, self.n_rows)
+        return iter([row_for(i) for i in range(lo, hi)]), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([row_for(i) for i in range(start["pos"], end["pos"])])
+
+    def commit(self, end: dict) -> None:
+        pass
