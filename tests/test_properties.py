@@ -148,3 +148,55 @@ def test_cluster_collapse_is_valid_partition(spark, edges):
         for r in D.dedup_clusters(pairs, max_iters=40).collect()
     }
     assert got == expected
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1,
+    max_size=16,
+)
+
+
+@_SETTINGS
+@given(_edges)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-oriented distributed count == O(n^3) python brute force on
+    the same undirected simple graph."""
+    from pucminas_data_pipelines_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    expect = sum(
+        1
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1 :]
+        for c in nodes
+        if c > b
+        and (a, b) in und
+        and tuple(sorted((b, c))) in und
+        and tuple(sorted((a, c))) in und
+    )
+    assert got == expect, (sorted(und), got, expect)
+
+
+@_SETTINGS
+@given(_edges)
+def test_pagerank_mass_and_floor(spark, edges):
+    """On any graph: every rank >= teleport floor, and when no node is
+    dangling (all nodes have out-edges) total mass == 1."""
+    from pucminas_data_pipelines_spark.operators.graph import pagerank
+
+    clean = [e for e in edges if e[0] != e[1]]
+    if not clean:
+        return
+    df = spark.createDataFrame(clean, "src int, dst int")
+    ranks = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    n = len(ranks)
+    floor = 0.15 / n
+    assert all(v >= floor - 1e-12 for v in ranks.values())
+    srcs = {e[0] for e in clean}
+    if all(node in srcs for node in ranks):  # no dangling nodes
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
