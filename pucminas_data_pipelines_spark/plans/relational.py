@@ -554,3 +554,44 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label")
     )
+
+
+@query(
+    "sql_lateral_topk_per_order",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber,
+           CAST(t.l_extendedprice AS DOUBLE) AS l_extendedprice
+    FROM orders o,
+    LATERAL (
+      SELECT l_linenumber, l_extendedprice
+      FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+    ) t
+    WHERE o.o_orderkey <= 500
+    ORDER BY o_orderkey, l_linenumber
+    """,
+)
+def sql_lateral_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL surface): top-2 priciest lineitems
+    per order — the per-row dependent subquery users reach for before
+    learning window functions; both engines support the identical SQL.
+
+    Scale: Catalyst decorrelates the LATERAL into a ranked join (no
+    per-row re-execution) — semantically the window top-k
+    (window_topk_orders_per_customer) with SQL-standard spelling."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber,
+               CAST(t.l_extendedprice AS DOUBLE) AS l_extendedprice
+        FROM orders o,
+        LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) t
+        WHERE o.o_orderkey <= 500
+        ORDER BY o_orderkey, l_linenumber
+        """
+    )
