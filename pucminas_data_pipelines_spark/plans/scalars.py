@@ -601,3 +601,30 @@ def scalar_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "normalized_md5"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "scalar_codec_suite",
+    oracle="""
+    SELECT doc_id,
+      to_base64(encode(substring(text, 1, 24))) AS head_b64,
+      sha256(substring(text, 1, 24)) AS head_sha256,
+      lower(hex(encode(substring(text, 1, 12)))) AS head_hex
+    FROM documents
+    WHERE doc_id <= 300
+    ORDER BY doc_id
+    """,
+)
+def scalar_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec/digest scalar family: base64, SHA-256, hex — the
+    content-addressing primitives (cache keys, payload integrity,
+    dedup digests beyond md5). Byte-identical across engines by
+    construction; pure map-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    head24 = F.substring("text", 1, 24)
+    return docs.select(
+        "doc_id",
+        F.base64(head24.cast("binary")).alias("head_b64"),
+        F.sha2(head24.cast("binary"), 256).alias("head_sha256"),
+        F.lower(F.hex(F.substring("text", 1, 12).cast("binary"))).alias("head_hex"),
+    ).orderBy("doc_id")
