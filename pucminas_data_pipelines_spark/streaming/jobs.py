@@ -22,26 +22,33 @@ from pyspark.sql import functions as F
 from pucminas_data_pipelines_spark.operators.upsert import ParquetVersionedTable
 from pucminas_data_pipelines_spark.session import configure_session
 
-# Disk schema of events.parquet (ts = nanos-since-epoch long; see tables.py).
-_EVENTS_DISK_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with the canonical
-    logical schema (ts converted to TimestampType)."""
+    logical schema (ts converted to TimestampType).
+
+    readStream needs an explicit schema, but the physical type of ``ts``
+    varies by testdata generator version (nanos-long vs real timestamp —
+    see tables._normalize_ts), so probe it with a batch scan of the parquet
+    footer (metadata-only) and mirror the batch normalization."""
     configure_session(spark)
+    from pucminas_data_pipelines_spark.tables import _normalize_ts
+
+    disk_ts = dict(
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").dtypes
+    )["ts"]
+    schema = (
+        f"event_id bigint, ts {disk_ts}, user_id bigint, event_type string, "
+        "value double, props string"
+    )
     # the testdata table is a single file; the streaming file source wants
     # a directory, so point at the dir and glob-filter to this table
     raw = (
-        spark.readStream.schema(_EVENTS_DISK_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
