@@ -80,6 +80,49 @@ def pagerank(
     return ranks
 
 
+def hop_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source unweighted shortest-path (hop) distances, capped at
+    ``max_hops``: distance 0 for rows of ``sources``, then ``max_hops``
+    Bellman-Ford relaxation rounds over the directed edge list. Nodes not
+    reached within the cap are absent from the output.
+
+    Returns (node, dist int).
+
+    Scale design (same discipline as pagerank above): per-round state is
+    one (node, dist) row per *reached* node — the frontier grows toward
+    |V| while the edge list stays the dominant side; each round is one
+    join keyed on node id (AQE splits hub skew) plus a min-groupBy with
+    map-side partial mins; lineage is truncated per round with an eager
+    localCheckpoint so the plan stays O(1) per round instead of doubling.
+    A fixed round count keeps the DuckDB oracle expressible as unrolled
+    CTEs; convergence-driven runs reuse the same body with a frontier-
+    empty check."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
+    dist = sources.select(
+        F.col(node).alias("node"), F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        relaxed = (
+            e.join(dist, e["_src"] == dist["node"])
+            .select(F.col("_dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return dist
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Count triangles in the undirected simple graph induced by ``edges``
     (direction, self-loops, and multi-edges are discarded). Returns a
