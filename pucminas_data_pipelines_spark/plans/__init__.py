@@ -32,77 +32,82 @@ from pucminas_data_pipelines_spark.plans import (  # noqa: F401
 )
 from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 
-# One oracled representative per SURVEY §2 operator/category, in the
-# driver's 50-slot correctness window. Mapping (category → slot):
-#   flagship/O12 parquet scan .. q1_pricing_summary
-#   O4 csv / O8 local rows / O5 sink .. source slots
-#   PII redaction (byte-identical masked text via md5) .. pii_redact_text
-#   O6/O13 + predicate family .. filter_*
-#   O7 + projection family .. project_*
-#   O9 set ops .. setop_union_all
-#   join family (incl. asof/range/skew) .. join_*
-#   graph analytics (iterative pagerank; unrolled-CTE oracle) .. graph_*
-#   multi-join TPC-H shapes .. q18/q21 (q3 + 19 more TPC-H via pytest parity)
-#   aggregation family (incl. fixed collect_set + bounded approx) .. agg_*
-#   windows / sort-topk / scalars / stats / sampling .. one each
-#   streaming: batch-analogue (oracled) + live readStream (rows-only)
-#   UDF surface .. pandas scalar + applyInPandas
-#   mutation O10/O11/O15 .. merge/time-travel/delete
-#   LLM dedup (6 + semantic-recall bound), similarity (4: exact KNN both
-#   paths + both ANN indexes via driver-checkable recall bounds),
-#   text (3), multimodal (1), embedding quantization, boilerplate prune,
-#   bucketed co-located join (physical layout)
+# ROUND-4 ROTATION (VERDICT r03 "Next round #1"): the driver scores only
+# the first 50 registry entries, so driver-green coverage accumulates by
+# rotating a DIFFERENT representative set each round. Round 3's window
+# (one per operator family, 50/50 green — see CORRECTNESS_r03.json) is
+# now hard evidence; round 4's window carries the queries that so far
+# rest on pytest parity only:
+#   - the 19 remaining TPC-H shapes (q2-q17, q19, q20, q22; q1/q18/q21
+#     were driver-green in r03) — correlated scalar subqueries, EXISTS /
+#     NOT EXISTS, disjunctive predicates, multi-join pipelines
+#   - all 17 scalar function suites (string/date/math/null/json/array/
+#     map/variant/bitwise/regexp/codec/...)
+#   - the 7 remaining window-function queries (rank family was green r03)
+#   - graph k-hop distances (VERDICT #7) + O16 manifest export
+#     (VERDICT #2, the last reference operator without a driver row)
+#   - 5 regression canaries kept from round 3's window (flagship scan,
+#     MinHash LSH, as-of join, MERGE upsert, session window) so a
+#     regression in already-verified territory is still caught.
+# Rotated-out names remain fully pinned by tests/test_oracle_parity.py
+# (parametrized over ALL oracles at sf0.01).
 DRIVER_WINDOW: list[str] = [
+    # canaries from round 3 (driver-green in CORRECTNESS_r02+r03)
     "q1_pricing_summary",
-    "source_csv_roundtrip",
-    "pii_redact_text",
-    "source_local_rows",
-    "sink_partitioned_parquet",
-    "filter_isin",
-    "filter_sql_string_where",
-    "dedup_semantic_recall",
-    "project_literal_replace",
-    "embedding_quantize_int8",
-    "setop_union_all",
-    "join_inner",
-    "join_left_anti",
-    "join_range",
-    "join_asof",
-    "join_salted_skew",
-    "graph_pagerank_transitions",
-    "q18_large_orders",
-    "q21_sole_blamed_supplier",
-    "agg_basic_stats",
-    "sink_bucketed_colocated_join",
-    "agg_collect_set_sorted",
-    "agg_approx_count_distinct",
-    "window_rank_family",
-    "sort_limit_topk",
-    "scalar_json_extract",
-    "curation_boilerplate_prune",
-    "stats_key_skew_profile",
-    "split_stratified_by_lang",
-    "events_session_window",
-    "streaming_stream_join_live",
-    "udf_pandas_scalar",
-    "udf_apply_in_pandas",
-    "mutation_merge_upsert",
-    "mutation_time_travel",
-    "mutation_delete_where",
-    "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster_collapse",
-    "knn_cosine_topk",
-    "knn_cosine_topk_pandas",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
-    "corpus_curation_pipeline",
-    "text_bm25_rank",
-    "text_language_id",
-    "multimodal_frame_sample",
+    "join_asof",
+    "mutation_merge_upsert",
+    "events_session_window",
+    # O16 manifest export — last reference operator without a driver row
+    "mutation_manifest_export",
+    # graph k-hop (unrolled-CTE oracle)
+    "graph_hop_distance_histogram",
+    # TPC-H shapes q2..q22 (the 19 not yet driver-green)
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_returnflag",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q22_idle_rich_customers",
+    # all 17 scalar function suites
+    "scalar_string_suite",
+    "scalar_string_extended_suite",
+    "scalar_date_suite",
+    "scalar_date_calendar_suite",
+    "scalar_math_suite",
+    "scalar_bitwise_suite",
+    "scalar_null_handling",
+    "scalar_json_schema",
+    "scalar_array_suite",
+    "scalar_array_construction_suite",
+    "scalar_arrays_zip_inline",
+    "scalar_map_suite",
+    "scalar_map_construction_suite",
+    "scalar_map_transform_suite",
+    "scalar_variant_shredding",
+    "scalar_regexp_suite",
+    "scalar_codec_suite",
+    # the 7 remaining window-function queries
+    "window_lag_lead",
+    "window_running_sum",
+    "window_sliding_frame",
+    "window_ntile",
+    "window_topk_orders_per_customer",
+    "window_distribution_family",
+    "window_time_range_frame",
 ]
 
 

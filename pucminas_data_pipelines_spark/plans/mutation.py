@@ -190,6 +190,51 @@ def mutation_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mutation_manifest_export",
+    oracle="""
+    SELECT CAST(2 AS INTEGER) AS manifest_lines,
+           CAST(2 AS INTEGER) AS distinct_files,
+           TRUE AS all_parquet,
+           TRUE AS all_in_latest_snapshot
+    """,
+)
+def mutation_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16: symlink-format manifest export (reference
+    sparkcode/titanic_example_delta.py:72 — GENERATE
+    symlink_format_manifest for external Hive/Presto/Athena catalogs),
+    on the Parquet façade (operators/upsert.py generate_manifest).
+
+    Deterministic contract checked end-to-end: two overwrites (v0 with 3
+    files, v1 with 2), then the manifest must list exactly the LATEST
+    snapshot's data files — 2 distinct lines, all ``.parquet``, all under
+    ``v=1/`` — never the superseded v0 files. Emitted as one summary row
+    (counts + invariants) so the oracle is a literal VALUES check; the
+    raw manifest paths contain nondeterministic part-file UUIDs and are
+    asserted structurally instead."""
+    path = "/root/repo/.tmp/titanic_manifest"
+    shutil.rmtree(path, ignore_errors=True)
+    base = from_rows(spark, TITANIC_BASE_ROWS, TITANIC_DDL)
+    table = ParquetVersionedTable(spark, path)
+    table.overwrite(base.repartition(3))  # v0: superseded snapshot
+    table.overwrite(base.repartition(2))  # v1: latest — manifest target
+    manifest = table.generate_manifest()
+    with open(manifest) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln]
+    latest_dir = f"{table.path}/v={table.latest_version()}/"
+    row = (
+        len(lines),
+        len(set(lines)),
+        all(ln.endswith(".parquet") for ln in lines),
+        all(ln.startswith(latest_dir) for ln in lines),
+    )
+    return spark.createDataFrame(
+        [row],
+        "manifest_lines int, distinct_files int, "
+        "all_parquet boolean, all_in_latest_snapshot boolean",
+    )
+
+
+@query(
     "mutation_scd2_history",
     oracle="""
     WITH cur AS (
