@@ -46,13 +46,27 @@ def delta_available() -> bool:
     return importlib.util.find_spec("delta") is not None
 
 
-def configure_session(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine configs to an existing session.
+# Sentinel conf marking a session as already engine-configured: applying
+# _RUNTIME_CONFS is once-per-session, so a query's deliberate per-run conf
+# override (e.g. autoBroadcastJoinThreshold=-1 to force a shuffle join)
+# survives subsequent load_table calls instead of being silently clobbered.
+_CONFIGURED_SENTINEL = "spark.pucminas.runtimeConfsApplied"
+
+
+def configure_session(spark: SparkSession, force: bool = False) -> SparkSession:
+    """Apply runtime-settable engine configs to an existing session — once.
 
     Used both by :func:`get_spark` and by driver-owned sessions that our
     ``queries()`` receive (the driver builds its own ``SparkSession``; we may
-    only tune runtime confs on it, never static ones).
+    only tune runtime confs on it, never static ones). Idempotent via a
+    sentinel conf; pass ``force=True`` to re-baseline a session whose confs
+    were intentionally changed.
     """
+    try:
+        if not force and spark.conf.get(_CONFIGURED_SENTINEL, None) == "true":
+            return spark
+    except Exception:
+        pass
     for key, value in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
@@ -60,6 +74,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # e.g. config removed in a future Spark or marked static — the
             # engine must keep working with defaults rather than die here.
             pass
+    try:
+        spark.conf.set(_CONFIGURED_SENTINEL, "true")
+    except Exception:
+        pass
     return spark
 
 

@@ -147,7 +147,11 @@ def test_version_diff_delete(spark, table):
     not __import__(
         "pucminas_data_pipelines_spark.session", fromlist=["delta_available"]
     ).delta_available(),
-    reason="delta-spark not installed in this container",
+    reason=(
+        "delta-spark not installed in this container and package installs "
+        "are prohibited by the build environment (recorded constraint; the "
+        "DeltaVersionedTable branch runs when the sandbox ever ships it)"
+    ),
 )
 def test_delta_branch_reference_scenario(spark):
     """Real-Delta delegation: the reference's exact scenario
