@@ -123,3 +123,13 @@ def token_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams (array<string>) of the normalized text."""
     toks = F.split(normalize_text(col), " ")
     return _let(toks, lambda t: F.array_distinct(_shifted_ngrams(t, n, " ")))
+
+
+def ordered_token_ngrams(col: Column, n: int) -> Column:
+    """Overlapping word n-grams of the normalized text IN DOCUMENT ORDER
+    (no distinct), so ``posexplode`` recovers each gram's token offset —
+    the basis of position-aware operators like duplicated-span detection.
+    Same shifted-copy shape as token_shingles (the tokenization tree is
+    bound once via _let; no per-element re-evaluation)."""
+    toks = F.split(normalize_text(col), " ")
+    return _let(toks, lambda t: _shifted_ngrams(t, n, " "))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pucminas_data_pipelines_spark.functions.text import (
     normalize_text,
+    ordered_token_ngrams,
     token_shingles,
 )
 from pucminas_data_pipelines_spark.functions.vector import cosine_similarity
@@ -296,6 +297,66 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicated-span detection: per document, the maximal
+    token spans whose every ``span_tokens``-gram also appears in at least
+    ``min_docs - 1`` OTHER documents — the operator behind
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022), which removes repeated 50-token substrings rather than
+    whole near-dup documents. Returns (id, span_start, span_len_tokens,
+    n_dup_grams) with span_start a 0-based token offset into the
+    normalized text.
+
+    Distributed shape (the suffix-array of the paper is single-node; the
+    cluster-scale analogue is a shingle inverted index):
+      1. ordered n-grams with positions (narrow map, posexplode);
+      2. cross-document frequency per gram HASH — groupBy on an 8-byte
+         xxhash64 key with map-side partial count-distinct, never the
+         gram text;
+      3. LEFT SEMI join back (gram-hash keyed — the only wide shuffle,
+         volume = total token count, same order as any inverted index);
+      4. gaps-and-islands per document (pos - row_number over a per-doc
+         window) to merge overlapping duplicated grams into maximal
+         spans — per-doc state only, bounded by document length.
+    The |docs|² pair space never materializes; cost is linear in corpus
+    tokens. 64-bit gram-hash collisions can in principle merge two
+    distinct grams (~n_grams²/2⁶⁵); at trillion-gram scale switch the
+    semi-join key to (hash, length) or a 128-bit hash.
+    """
+    n = span_tokens
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(ordered_token_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).where(
+        # drop the single partial tail gram emitted for docs shorter than n
+        F.size(F.split(F.col("gram"), " ")) == n
+    )
+    hashed = grams.select(id_col, "pos", F.xxhash64("gram").alias("gram_hash"))
+    dup = (
+        hashed.groupBy("gram_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    dup_pos = hashed.join(dup.select("gram_hash"), "gram_hash", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + n).alias("span_len_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("grp")
     )
 
 

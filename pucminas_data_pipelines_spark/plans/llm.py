@@ -183,6 +183,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+      FROM toks, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    dp AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dp
+    )
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) - MIN(pos) + 8 AS span_len_tokens,
+           COUNT(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicated spans (Lee et al. 2022 style): maximal
+    8-token spans shared verbatim across >= 2 documents, per document with
+    token offsets (operators/dedup.duplicated_spans — shingle inverted
+    index + gaps-and-islands; the distributed analogue of the paper's
+    suffix array). Oracle recomputes the same grams/positions/islands on
+    gram TEXT; the engine groups on xxhash64(gram) — identical up to
+    64-bit collisions, absent at oracle scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, "doc_id", "text", span_tokens=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 _DOT_SQL = (
     "list_aggregate(list_transform(list_zip({a}, {b}), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"

@@ -108,3 +108,32 @@ def test_dedup_clusters_converges_on_long_chain(spark):
     got = D.dedup_clusters(pairs, max_iters=n + 2).collect()
     assert all(r["cluster_rep"] == 0 for r in got)
     assert len(got) == n + 1
+
+
+def test_duplicated_spans_planted(spark):
+    # docs 1,2 share an 10-token sentence in the middle at different
+    # offsets; doc 3 is unrelated — exactly one maximal span per sharer,
+    # none for doc 3. Normalization strips punctuation before gramming.
+    shared = "the quick brown fox jumps over the lazy sleeping dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta epsilon"),
+            (2, f"one two three four {shared}, zeta!"),
+            (3, "completely different content with no overlap at all "
+                "whatsoever in any of these particular filler tokens"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_len_tokens"], r["n_dup_grams"])
+        for r in D.duplicated_spans(docs, "doc_id", "text", span_tokens=8).collect()
+    }
+    # 10 shared tokens -> 3 duplicated 8-grams, merged into one span of 10
+    assert rows == {1: (2, 10, 3), 2: (4, 10, 3)}
+
+
+def test_duplicated_spans_short_docs_no_partial_grams(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id bigint, text string"
+    )
+    assert D.duplicated_spans(docs, "doc_id", "text", span_tokens=8).count() == 0
