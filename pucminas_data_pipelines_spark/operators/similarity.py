@@ -409,3 +409,166 @@ def semantic_dup_pairs(
         .applyInPandas(cell_pairs, out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    k_sub: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks, shape (m, k_sub, dim/m): per-subspace
+    k-means (L2) trained driver-side on the deterministic hash-threshold
+    sample (ivf_sample_plan — a filter, never a global sort), over
+    UNIT-NORMALIZED vectors so summed sub-space inner products against the
+    codebooks reconstruct cosine (asymmetric distance computation).
+
+    The codebook tensor is tiny (m * k_sub * dim/m = dim * k_sub floats)
+    and is closed over / broadcast into the encode and ADC UDFs — train
+    small, encode at scale, exactly like the IVF coarse quantizer."""
+    sample = ivf_sample_plan(corpus, vec_col, sample_size).collect()
+    sample.sort(key=lambda r: (r["_h"], tuple(r["_v"])))
+    sample = sample[:sample_size]
+    x = np.array([r["_v"] for r in sample], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k_sub, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=min(k_sub, len(xs)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, : len(cent)] = cent
+        if len(cent) < k_sub:  # degenerate tiny-sample guard
+            books[j, len(cent):] = cent[0]
+    return books
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_sub: int = 16,
+    refine: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the memory-scale ANN path (FAISS
+    IndexIVFPQ + refine shape): corpus vectors are stored as m small-int
+    codes (m bytes vs dim*4 — 32x compression at dim=64/m=8), candidates
+    come from the query's n_probe nearest IVF cells, candidates are ranked
+    by asymmetric distance (per-query lookup table against the PQ
+    codebooks — the raw corpus vector is never read), and only the top
+    k*refine survivors are re-ranked exactly by joining the original
+    vectors back BY ID.
+
+    100 TB design: the candidate stream carries (cell, id, codes) — codes
+    being 32x smaller than vectors is the difference between an index that
+    fits executor memory and one that doesn't. Shuffle keys are cell ids
+    (skew split by AQE) plus a per-query applyInPandas regroup whose state
+    is one cell-candidate list per query; the ADC lookup table is computed
+    ONCE per query (not per pair) inside the grouped kernel. The final
+    exact refine join touches k*refine rows per query — narrow by
+    construction. Returns (query_id, neighbor_id, cosine, rank).
+    """
+    cent = train_ivf_centroids(corpus, vec_col, n_cells, sample_size, seed=seed)
+    books = train_pq_codebooks(corpus, vec_col, m, k_sub, sample_size, seed=seed)
+    dsub = books.shape[2]
+
+    @pandas_udf("cell int, codes array<int>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        cells = (v @ cent.T).argmax(axis=1).astype(np.int32)
+        codes = np.empty((len(v), m), dtype=np.int32)
+        for j in range(m):
+            xs = v[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (xs**2).sum(axis=1)[:, None]
+                - 2.0 * (xs @ books[j].T)
+                + (books[j] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame({"cell": cells, "codes": list(codes)})
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        top = np.argsort(-(mat @ cent.T), axis=1)[:, :n_probe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    c = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .withColumn("_enc", encode(F.col("_cv")))
+        .select("neighbor_id", F.col("_enc.cell").alias("cell"),
+                F.col("_enc.codes").alias("codes"))
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("cell", F.explode(probes(F.col("q_vec"))))
+
+    cands = q.join(c, "cell").select("query_id", "q_vec", "neighbor_id", "codes")
+    if exclude_self:
+        cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
+
+    id_type = corpus.schema[corpus_id].dataType.simpleString()
+    shortlist_schema = f"query_id {id_type}, neighbor_id {id_type}, approx_ip double"
+    shortlist_n = k * max(refine, 1)
+
+    # per-query ADC: ONE (m x k_sub) lookup table per query, gathered over
+    # the candidate code matrix — never a per-pair table
+    def adc_shortlist(pdf: pd.DataFrame) -> pd.DataFrame:
+        qv = np.asarray(pdf["q_vec"].iloc[0], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        lut = np.stack(
+            [qv[j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)]
+        )  # m x k_sub
+        codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # n x m
+        score = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        order = np.lexsort((pdf["neighbor_id"].to_numpy(), -score))[:shortlist_n]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy()[order],
+                "neighbor_id": pdf["neighbor_id"].to_numpy()[order],
+                "approx_ip": score[order],
+            }
+        )
+
+    shortlist = cands.groupBy("query_id").applyInPandas(
+        adc_shortlist, shortlist_schema
+    )
+
+    # exact refine: fetch the original vectors for the shortlist only
+    qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -428,6 +428,25 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_pq_recall", oracle=_ANN_RECALL_ORACLE)
+def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (m=8 subspaces x 16 codes = 32x vector compression,
+    ADC shortlist + exact refine of the top 4k) quantified against the
+    exact baseline: >= 1 of 5 true neighbors per query (measured floor
+    1-3/5, mean recall 0.34 at 16 cells / 4 probes on this
+    weakly-clustered corpus — the operating point where the index is 32x
+    smaller than IVF-Flat; recall recovers with n_probe and refine)."""
+    return _ann_recall(
+        spark,
+        sf_dir,
+        lambda q, c: S.ivf_pq_topk(
+            q, c, "vec_id", "vec_id", "embedding",
+            k=5, n_cells=16, n_probe=4, m=8, k_sub=16, refine=4,
+        ),
+        min_hits=1,
+    )
+
+
 # -------------------------------------------------------- text analysis --
 
 _PAD = "(' ' || LOWER(text) || ' ')"

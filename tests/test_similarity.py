@@ -178,3 +178,29 @@ def test_neardup_pairs_edge_cases(spark):
         ).count()
         == 0
     )
+
+
+def test_ivf_pq_planted_copies_rank_first(spark):
+    # exact copies of corpus vectors (shifted ids) must come back at
+    # rank 1 with cosine 1.0: identical vectors share cell + codes, so the
+    # copy survives the ADC shortlist and the exact refine pins it at top
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    copies = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.union(copies)
+    q = corpus.where(F.col("vec_id") >= 10_000)
+    top = S.ivf_pq_topk(
+        q, corpus, "vec_id", "vec_id", "embedding",
+        k=3, n_cells=8, n_probe=2, m=8, k_sub=16, refine=4,
+    )
+    first = {r["query_id"]: (r["neighbor_id"], r["cosine"]) for r in top.collect() if r["rank"] == 1}
+    assert first == {i + 10_000: (i, 1.0) for i in range(5)}
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    b1 = S.train_pq_codebooks(emb, "embedding", m=8, k_sub=16, sample_size=256)
+    b2 = S.train_pq_codebooks(emb, "embedding", m=8, k_sub=16, sample_size=256)
+    assert b1.shape == (8, 16, 8)
+    assert (b1 == b2).all()  # hash-threshold sample + fixed seed => stable
