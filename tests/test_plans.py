@@ -267,3 +267,12 @@ def test_simhash_aggregates_map_side(spark):
     per-token path."""
     plan = _plan(QUERIES["dedup_simhash"](spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_duplicated_spans_semi_join_no_cartesian(spark):
+    # the inverted-index shape: gram-hash LeftSemi join back (never a pair
+    # cross product) and map-side partial count-distinct on the 8-byte key
+    plan = _plan(QUERIES["dedup_substring_spans"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_count(distinct" in plan
