@@ -491,3 +491,106 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink roundtrip (spark.read/write.text) — the raw
+    line-oriented ingestion path LLM corpora arrive through (one document
+    record per line). Engine writes `doc_id|lang|source` lines, reads
+    them back as a single `value` column, and re-derives the per-(lang,
+    source) profile with split(); the oracle computes the same profile
+    from the parquet table, so the whole text write->read->parse path is
+    value-checked.
+
+    Scale: the text scan is splittable per file and carries one string
+    column; the parse is codegen'd split/cast — the standard shape for
+    100 TB of raw .txt/.jsonl shards before schema-on-read."""
+    path = f"{_TMP}/documents_text"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        F.format_string("%d|%s|%s", "doc_id", "lang", "source").alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.split("value", r"\|").alias("p")
+    ).select(
+        F.col("p")[0].cast("bigint").alias("doc_id"),
+        F.col("p")[1].alias("lang"),
+        F.col("p")[2].alias("source"),
+    )
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_BINARY_FIXTURE = [
+    ("a.bin", b"alpha\n"),
+    ("b.bin", b"beta\n"),
+    ("c.bin", b"gamma gamma\n"),
+]
+
+# md5 digests precomputed host-side: DuckDB plain string literals do not
+# interpret backslash escapes, so embedding b"...\n" payloads in SQL would
+# hash the two-character sequence backslash+n instead of a newline byte
+_BINARY_VALUES = ", ".join(
+    f"('{name}', CAST({len(payload)} AS BIGINT), "
+    f"'{__import__('hashlib').md5(payload).hexdigest()}')"
+    for name, payload in _BINARY_FIXTURE
+)
+
+
+@query(
+    "source_binary_files",
+    oracle=f"""
+    SELECT * FROM (VALUES {_BINARY_VALUES})
+    t(file_name, n_bytes, content_md5)
+    ORDER BY file_name
+    """,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via the built-in `binaryFile` source —
+    the entry point of every multimodal pipeline (images/audio arrive as
+    opaque files, metadata + bytes in one scan; operators/multimodal.py
+    consumes exactly this shape). Three planted files are read back and
+    fingerprinted (name, byte length, md5) against a literal oracle, so
+    path handling, length metadata and full content bytes are all
+    value-checked.
+
+    Scale: binaryFile lists files with a distributed file index and reads
+    each file on one executor — right for many small-to-medium objects;
+    pack huge corpora into parquet binary columns (multimodal_binary_meta)
+    once files exceed partition granularity."""
+    import os
+
+    path = f"{_TMP}/binary_files"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    for name, payload in _BINARY_FIXTURE:
+        with open(os.path.join(path, name), "wb") as fh:
+            fh.write(payload)
+    back = spark.read.format("binaryFile").load(path)
+    return (
+        back.select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("file_name")
+    )
