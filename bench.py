@@ -51,6 +51,11 @@ def main() -> None:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+        # local-mode default heap (1g) cannot hold the storage blocks that
+        # accumulate across a 200+-query sweep (localCheckpoint'd iteration
+        # state, broadcast builds) — size it like the executor it stands
+        # in for; measured: the sf0.1 sweep broadcast-OOMs at 1g.
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "8g")},
     )
 
     names = [n for n in HEADLINE if n in QUERIES]
@@ -87,10 +92,15 @@ def main() -> None:
     # steady-state full-registry sweep: one timed pass over EVERY
     # registered query (warm JVM, cold data). Coarse by design — it is the
     # breadth signal (does the whole surface stay fast), complementing the
-    # headline depth signal above.
+    # headline depth signal above. Fault-isolated per query: one failing
+    # query must cost one entry in sweep_failed, never the JSON line.
+    sweep_failed: list[str] = []
     sweep_start = time.perf_counter()
     for name, fn in QUERIES.items():
-        fn(spark, sf_dir).count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception:
+            sweep_failed.append(name)
     sweep_sec = round(time.perf_counter() - sweep_start, 1)
 
     total = round(sum(timings.values()), 4)
@@ -106,6 +116,7 @@ def main() -> None:
                 "noise_ratio_per_query": noise,
                 "registry_sweep_sec": sweep_sec,
                 "registry_sweep_queries": len(QUERIES),
+                "registry_sweep_failed": sweep_failed,
             }
         )
     )
