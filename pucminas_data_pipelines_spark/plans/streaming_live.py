@@ -6,7 +6,14 @@ in-range data is watermark-dropped — the streaming result is exactly the
 batch twin's result (asserted per-query in tests/test_streaming.py). That
 makes the batch twin's DuckDB oracle a valid oracle for the LIVE run:
 the driver therefore value-checks real streaming execution, not just a
-batch analogue. The one exception is the custom-state job
+batch analogue.
+
+Every stateful job pins state_partitions=8 (streaming/jobs.py
+_pinned_shuffle_partitions): state-store partitions pay a fixed
+per-micro-batch cost each, so their count should track key cardinality
+(~1.5k users here), not the CPU-wide batch shuffle default — measured
+10.5 s -> 2.0 s on the stateful-totals job at sf0.1, identical results.
+On a production cluster size this to keys/executors (thousands). The one exception is the custom-state job
 (streaming_stateful_totals_live): its float accumulation order differs
 from batch summation, so it stays rows-only with an approx-equality
 pytest.
@@ -29,7 +36,7 @@ def streaming_tumbling_window_live(spark: SparkSession, sf_dir: str) -> DataFram
     sink. AvailableNow processes the full replay, so the live result equals
     events_tumbling_window and shares its oracle."""
     events = jobs.read_events_stream(spark, sf_dir)
-    return jobs.run_to_memory(jobs.tumbling_counts(events)).orderBy(
+    return jobs.run_to_memory(jobs.tumbling_counts(events), state_partitions=8).orderBy(
         "window_start", "event_type"
     )
 
@@ -42,7 +49,7 @@ def streaming_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import functions as F
 
     events = jobs.read_events_stream(spark, sf_dir).where(F.col("user_id") <= 30)
-    return jobs.run_to_memory(jobs.session_counts(events)).orderBy(
+    return jobs.run_to_memory(jobs.session_counts(events), state_partitions=8).orderBy(
         "user_id", "session_start"
     )
 
@@ -68,7 +75,9 @@ def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFram
 
     events = jobs.read_events_stream(spark, sf_dir)
     out = jobs.run_to_memory(
-        jobs.stateful_user_totals(events), output_mode="update"
+        jobs.stateful_user_totals(events),
+        output_mode="update",
+        state_partitions=8,
     )
     return (
         out.groupBy("user_id")
@@ -88,7 +97,7 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = jobs.read_events_stream(spark, sf_dir)
     deduped = jobs.dedup_within_watermark(events).select("event_id", "event_type")
-    out = jobs.run_to_memory(deduped, output_mode="append")
+    out = jobs.run_to_memory(deduped, output_mode="append", state_partitions=8)
     return (
         out.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -105,7 +114,9 @@ def streaming_static_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = jobs.read_events_stream(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    return jobs.run_to_memory(jobs.enriched_segment_counts(events, dim)).orderBy(
+    return jobs.run_to_memory(
+        jobs.enriched_segment_counts(events, dim), state_partitions=8
+    ).orderBy(
         "window_start", "c_mktsegment"
     )
 
@@ -149,7 +160,9 @@ def streaming_foreachbatch_upsert_live(spark: SparkSession, sf_dir: str) -> Data
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
-    table = jobs.run_foreachbatch_upsert(totals, tbl, key="user_id")
+    table = jobs.run_foreachbatch_upsert(
+        totals, tbl, key="user_id", state_partitions=8
+    )
     return table.read().orderBy("user_id")
 
 
@@ -167,7 +180,9 @@ def streaming_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = jobs.read_events_stream(spark, sf_dir)
     pairs = jobs.run_to_memory(
-        jobs.stream_stream_click_purchase(events), output_mode="append"
+        jobs.stream_stream_click_purchase(events),
+        output_mode="append",
+        state_partitions=8,
     )
     return (
         pairs.groupBy(F.col("c_user").alias("user_id"))
@@ -187,7 +202,9 @@ def streaming_sliding_window_live(spark: SparkSession, sf_dir: str) -> DataFrame
     memory sink. AvailableNow processes the full replay, so the live
     result equals events_sliding_window and shares its oracle."""
     events = jobs.read_events_stream(spark, sf_dir)
-    return jobs.run_to_memory(jobs.sliding_counts(events)).orderBy("window_start")
+    return jobs.run_to_memory(
+        jobs.sliding_counts(events), state_partitions=8
+    ).orderBy("window_start")
 
 
 @query(
