@@ -87,6 +87,7 @@ def hop_distances(
     dst: str = "dst",
     node: str = "node",
     max_hops: int = 4,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Multi-source unweighted shortest-path (hop) distances, capped at
     ``max_hops``: distance 0 for rows of ``sources``, then ``max_hops``
@@ -103,14 +104,24 @@ def hop_distances(
     localCheckpoint so the plan stays O(1) per round instead of doubling.
     A fixed round count keeps the DuckDB oracle expressible as unrolled
     CTEs; convergence-driven runs reuse the same body with a frontier-
-    empty check."""
+    empty check.
+
+    ``broadcast_state``: the per-round state is localCheckpoint'd, which
+    erases its size statistics — Catalyst then refuses to broadcast it
+    and shuffles the (cached, much larger) edge list EVERY round. The
+    explicit hint keeps each round a broadcast join over an unshuffled
+    edge scan (measured 9.2 -> 2.6 s warm at sf0.1). Right whenever the
+    reached set is dimension-sized (hop-capped BFS from seed sets);
+    disable for frontiers approaching |V| on billion-node graphs, where
+    the rounds become node-id-keyed shuffle joins instead."""
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
     dist = sources.select(
         F.col(node).alias("node"), F.lit(0).cast("int").alias("dist")
     ).localCheckpoint(eager=True)
     for _ in range(max_hops):
+        d = F.broadcast(dist) if broadcast_state else dist
         relaxed = (
-            e.join(dist, e["_src"] == dist["node"])
+            e.join(d, e["_src"] == d["node"])
             .select(F.col("_dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
         dist = (
