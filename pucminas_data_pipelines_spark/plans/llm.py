@@ -183,9 +183,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_substring_spans",
-    oracle=f"""
+# duplicated-8-gram span derivation, shared by the span listing and the
+# span-coverage curation gate (mirrors operators/dedup.duplicated_spans)
+_SPAN_CTE = f"""
     WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
     grams AS (
       SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
@@ -198,12 +198,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, pos,
              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
       FROM dp
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) - MIN(pos) + 8 AS span_len_tokens,
+             COUNT(*) AS n_dup_grams
+      FROM isl GROUP BY doc_id, grp
     )
-    SELECT doc_id, MIN(pos) AS span_start,
-           MAX(pos) - MIN(pos) + 8 AS span_len_tokens,
-           COUNT(*) AS n_dup_grams
-    FROM isl GROUP BY doc_id, grp
-    ORDER BY doc_id, span_start
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_SPAN_CTE
+    + """
+    SELECT doc_id, span_start, span_len_tokens, n_dup_grams
+    FROM spans ORDER BY doc_id, span_start
     """,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,6 +227,79 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicated_spans(docs, "doc_id", "text", span_tokens=8).orderBy(
         "doc_id", "span_start"
+    )
+
+
+@query(
+    "curation_span_coverage_gate",
+    oracle=_SPAN_CTE
+    + """
+    , cov AS (
+      SELECT doc_id, COUNT(DISTINCT tp) AS dup_tokens
+      FROM (
+        SELECT doc_id,
+               unnest(generate_series(span_start,
+                                      span_start + span_len_tokens - 1)) AS tp
+        FROM spans
+      ) GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(c.dup_tokens, 0) AS dup_tokens,
+           COALESCE(c.dup_tokens, 0) * 2 <= b.n_tokens AS kept
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    ORDER BY doc_id
+    """.format(norm=_NORM_SQL),
+)
+def curation_span_coverage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation gate on duplicated-span coverage: a document is dropped
+    when more than half of its tokens sit inside spans shared verbatim
+    with other documents — the document-level removal policy layered on
+    the Lee-et-al-style span index (dedup_substring_spans). Token
+    coverage counts DISTINCT positions (adjacent islands' 8-token tails
+    overlap, so summing span lengths would overcount); the keep rule is
+    integer arithmetic (2*dup <= n) for engine-stable boundaries.
+
+    Scale: reuses the span index (linear in corpus tokens); the coverage
+    explode is bounded by duplicated-token count; the final join is
+    doc-keyed."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = D.duplicated_spans(docs, "doc_id", "text", span_tokens=8)
+    cov = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("span_start"),
+                    F.col("span_start") + F.col("span_len_tokens") - 1,
+                )
+            ).alias("tp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(T.normalize_text(F.col("text")), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            (F.coalesce(F.col("dup_tokens"), F.lit(0)) * 2 <= F.col("n_tokens")).alias(
+                "kept"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 

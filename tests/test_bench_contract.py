@@ -1,0 +1,20 @@
+"""bench.py contract guards: the frozen headline list must stay resolvable
+against the registry (a rename there would silently drop the longitudinal
+perf signal), and the registry must keep the driver window as its prefix."""
+
+from __future__ import annotations
+
+import bench
+from pucminas_data_pipelines_spark import plans
+
+
+def test_headline_queries_all_registered():
+    missing = [n for n in bench.HEADLINE if n not in plans.QUERIES]
+    assert not missing, f"headline names missing from registry: {missing}"
+
+
+def test_driver_window_is_registry_prefix():
+    assert list(plans.QUERIES)[: len(plans.DRIVER_WINDOW)] == plans.DRIVER_WINDOW
+    assert len(plans.DRIVER_WINDOW) == 50
+    # rows-only queries must stay out of the scored window
+    assert all(n in plans.ORACLES for n in plans.DRIVER_WINDOW)
