@@ -51,6 +51,16 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 #     regression in already-verified territory is still caught.
 # Rotated-out names remain fully pinned by tests/test_oracle_parity.py
 # (parametrized over ALL oracles at sf0.01).
+#
+# ROTATION PLAN for future rounds (keep ~5 canaries each time; never put
+# the two rows-only ann_*_topk entries in the window):
+#   round 5: events family (11) + streaming_live (8) + curation (9 incl.
+#            span_coverage_gate) + sampling/splits (6) + set ops & sorts
+#            (5) + remaining sources/sinks (8) + canaries
+#   round 6: text analysis (9) + stats/quality (12) + multimodal (5) +
+#            joins not yet green (8) + aggregates not yet green (10) +
+#            udf/udtf (3) + graph_triangle_count + canaries
+# After round 6 every registered query has at least one driver-green row.
 DRIVER_WINDOW: list[str] = [
     # canaries from round 3 (driver-green in CORRECTNESS_r02+r03)
     "q1_pricing_summary",

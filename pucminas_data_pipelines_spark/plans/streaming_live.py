@@ -246,21 +246,26 @@ def streaming_python_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("id").alias("max_id"),
     )
     table = f"py_src_live_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            rows = spark.table(table).agg(F.sum("n_rows")).collect()[0][0]
-            if rows == 1000:
-                break
-            time.sleep(0.3)
-    finally:
-        q.stop()
-        q.awaitTermination(30)
+    # pin state partitions for the poll-driven stream too: every
+    # micro-batch (including the empty ones processed between poll ticks)
+    # pays the per-state-partition cost, and the complete-mode aggregate
+    # has 7 keys (see jobs._pinned_shuffle_partitions)
+    with jobs._pinned_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                rows = spark.table(table).agg(F.sum("n_rows")).collect()[0][0]
+                if rows == 1000:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
     return spark.table(table).orderBy("bucket")
