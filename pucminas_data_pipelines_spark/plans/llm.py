@@ -50,6 +50,73 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT md5({_NORM_SQL}) AS h FROM documents WHERE doc_id < 400
+    ),
+    incoming AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 10000, md5({_NORM_SQL}) FROM documents WHERE doc_id < 20
+    )
+    SELECT i.doc_id,
+           i.h NOT IN (SELECT h FROM corpus) AS is_new,
+           CAST(COUNT(*) OVER (PARTITION BY i.h) AS BIGINT) AS copies_in_batch
+    FROM incoming i
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup — the production shape for a corpus
+    that grows batch by batch: the incoming batch (doc_id >= 400 here) is
+    screened against the ALREADY-INGESTED corpus (doc_id < 400) by
+    normalized content hash, flagging which incoming documents are new
+    plus their within-batch copy count. Downstream, `is_new AND
+    copies_in_batch handling` drives the actual append.
+
+    Scale: the existing corpus contributes only its 16-byte hash column
+    (in production: a stored hash index, not a rescan); the membership
+    probe is a hash left-semi/anti shape on that key — broadcast when the
+    day's batch is small, shuffle-on-hash otherwise, and a Bloom filter
+    of corpus hashes replaces the exact probe when the corpus side
+    outgrows memory (runtime bloom joins inject automatically at
+    production scan sizes — see PERFORMANCE.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(T.normalize_text(F.col("text")).cast("binary"))
+    corpus_h = (
+        docs.where(F.col("doc_id") < 400)
+        .select(h.alias("h"))
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    # the incoming batch: genuinely new docs plus a planted re-crawl of 20
+    # already-ingested documents (shifted ids), so the corpus probe has
+    # real positives to catch — this corpus has no natural exact dups
+    incoming = (
+        docs.where(F.col("doc_id") >= 400)
+        .select("doc_id", h.alias("h"))
+        .unionByName(
+            docs.where(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), h.alias("h")
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h")
+    return (
+        incoming.join(corpus_h, "h", "left")
+        .select(
+            "doc_id",
+            F.col("_seen").isNull().alias("is_new"),
+            F.count(F.lit(1)).over(w).alias("copies_in_batch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "dedup_exact_normalized",
     oracle=f"""
     SELECT md5({_NORM_SQL}) AS content_hash,
