@@ -276,3 +276,26 @@ def test_duplicated_spans_semi_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "partial_count(distinct" in plan
+
+
+def test_ivf_pq_grouped_adc_no_cartesian(spark):
+    # candidates come from cell equi-joins and the ADC shortlist runs as a
+    # grouped Arrow kernel — never a pair cross product
+    plan = _plan(QUERIES["ann_ivf_pq_recall"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # per-query ADC kernel
+
+
+def test_incremental_dedup_broadcasts_hash_probe(spark):
+    # the corpus-hash membership probe is a broadcast hash join on the
+    # 16-byte key at this scale; a sort-merge join would mean the whole
+    # incoming batch shuffled for a dimension-sized probe side
+    plan = _plan(QUERIES["dedup_incremental_batch"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_coverage_gate_no_cartesian(spark):
+    plan = _plan(QUERIES["curation_span_coverage_gate"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
