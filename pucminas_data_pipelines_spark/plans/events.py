@@ -660,3 +660,72 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_first_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+               OR LAG(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ),
+    ft AS (
+      SELECT *, FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING)
+                  AS first_touch
+      FROM sessions
+    )
+    SELECT first_touch, COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM ft WHERE event_type = 'purchase'
+    GROUP BY first_touch ORDER BY first_touch
+    """,
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase is credited to the FIRST
+    event type of its 30-minute-gap session (the marketing-analytics twin
+    of sessionization — 'which entry action leads to conversions').
+    Gaps-and-islands sessionization, then one more window over the same
+    (user, session) partitioning for the first touch — Catalyst reuses
+    the user-keyed exchange across the chained windows, so the whole
+    query is one shuffle plus the final small aggregate. Exact µs integer
+    gap arithmetic and (ts, event_id) tie-breaks keep both engines
+    deterministic; DECIMAL sums keep the revenue column bit-stable."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) >= 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ft = sess.withColumn("first_touch", F.first("event_type").over(ws))
+    return (
+        ft.where(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("first_touch")
+    )
