@@ -10,7 +10,7 @@ approx_count_distinct (HLL++) stays single-pass and is the 100 TB path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pucminas_data_pipelines_spark.plans.registry import query
@@ -476,4 +476,104 @@ def agg_argminmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_or(F.col("value") > 99).alias("any_gt99"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counted AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, k, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, k ASC) AS rk
+      FROM counted
+    )
+    SELECT event_type, k AS modal_k, n AS n_occurrences
+    FROM ranked WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value, smallest-value tie-break) of a
+    JSON-extracted property — the categorical summary statistic Spark has
+    no direct aggregate for, built as count-then-rank: groupBy (group,
+    value) with map-side combine, then one row_number window per group.
+
+    Scale: the first shuffle carries (group, value) pairs — bounded by
+    value cardinality, not row count; the window partitions on the group
+    key only over that reduced set. The deterministic tie-break makes the
+    result engine-stable (a bare max_by would tie-break arbitrarily)."""
+    ev = load_table(spark, sf_dir, "events")
+    counted = (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("k").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("k").alias("modal_k"),
+            F.col("n").alias("n_occurrences"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stats_correlation_matrix",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 6) AS pearson_r FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax',
+           round(corr(l_quantity, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax',
+           round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_tax',
+           round(corr(l_discount, l_tax), 6) FROM lineitem
+    ORDER BY col_a, col_b
+    """,
+)
+def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem numeric measures —
+    the feature-redundancy screen run before model training. ONE scan and
+    one map-combined aggregate computes all six co-moment pairs
+    simultaneously (a per-pair loop would rescan the fact six times);
+    the wide aggregate row is then unpivoted to tidy (col_a, col_b, r)
+    rows via stack. Co-moment accumulation differs across engines by
+    ~1e-12 relative — inside the round(6) margin (same argument as
+    agg_linear_regression)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    agg = li.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"{a}__{b}") for a, b in pairs]
+    )
+    stack_expr = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, pearson_r)"
+            )
+        )
+        .orderBy("col_a", "col_b")
     )
