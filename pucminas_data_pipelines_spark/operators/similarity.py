@@ -32,6 +32,22 @@ from pucminas_data_pipelines_spark.functions.vector import (
     normalize,
 )
 
+# Norm clamp for every numpy unit-normalization: an all-zero embedding
+# would otherwise produce NaN rows/codes/scores that silently poison a
+# whole Arrow batch. The exact-KNN expression path maps zero vectors to
+# NULL cosine (functions/vector.py cosine_similarity nullif); clamping
+# to eps gives the numpy paths the same "scores ~0, never NaN" outcome.
+_NORM_EPS = 1e-12
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize, zero-vector-safe (2-D matrix or 1-D vector)."""
+    if mat.ndim == 1:
+        return mat / max(float(np.linalg.norm(mat)), _NORM_EPS)
+    return mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), _NORM_EPS
+    )
+
 
 def brute_force_topk(
     queries: DataFrame,
@@ -212,7 +228,7 @@ def train_ivf_centroids(
     sample.sort(key=lambda r: (r["_h"], tuple(r["_v"])))
     sample = sample[:sample_size]
     x = np.array([r["_v"] for r in sample], dtype=np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    x = _unit(x)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
@@ -221,7 +237,7 @@ def train_ivf_centroids(
             members = x[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
-        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        cent = _unit(cent)
     return cent
 
 
@@ -253,7 +269,7 @@ def ivf_topk(
         @pandas_udf("array<int>")
         def probes(vecs: pd.Series) -> pd.Series:
             m = np.stack(vecs.to_numpy()).astype(np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m = _unit(m)
             sims = m @ cent.T
             top = np.argsort(-sims, axis=1)[:, :n]
             return pd.Series(list(top.astype(np.int32)))
@@ -311,13 +327,13 @@ def brute_force_topk_pandas(
         )
     q_ids = [r[0] for r in q_rows]
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _unit(q_mat)
     bq_ids = np.array(q_ids)
 
     @pandas_udf("array<double>")
     def sims(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # batch_rows x dim
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        m = _unit(m)
         return pd.Series(list(m @ q_mat.T))
 
     c = corpus.select(
@@ -375,7 +391,7 @@ def semantic_dup_pairs(
     @pandas_udf("array<int>")
     def assign(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        m = _unit(m)
         sims = m @ cent.T
         top = np.argsort(-sims, axis=1)[:, :n_assign]
         return pd.Series(list(top.astype(np.int32)))
@@ -433,7 +449,7 @@ def train_pq_codebooks(
     sample.sort(key=lambda r: (r["_h"], tuple(r["_v"])))
     sample = sample[:sample_size]
     x = np.array([r["_v"] for r in sample], dtype=np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    x = _unit(x)
     dim = x.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -497,7 +513,7 @@ def ivf_pq_topk(
     @pandas_udf("cell int, codes array<int>")
     def encode(vecs: pd.Series) -> pd.DataFrame:
         v = np.stack(vecs.to_numpy()).astype(np.float64)
-        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        v = _unit(v)
         cells = (v @ cent.T).argmax(axis=1).astype(np.int32)
         codes = np.empty((len(v), m), dtype=np.int32)
         for j in range(m):
@@ -513,7 +529,7 @@ def ivf_pq_topk(
     @pandas_udf("array<int>")
     def probes(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _unit(mat)
         top = np.argsort(-(mat @ cent.T), axis=1)[:, :n_probe]
         return pd.Series(list(top.astype(np.int32)))
 
@@ -531,15 +547,21 @@ def ivf_pq_topk(
     if exclude_self:
         cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
 
-    id_type = corpus.schema[corpus_id].dataType.simpleString()
-    shortlist_schema = f"query_id {id_type}, neighbor_id {id_type}, approx_ip double"
+    # query_id is typed from the QUERIES side, neighbor_id from the CORPUS
+    # side — the API allows them to differ, and a mistyped Arrow schema
+    # would fail or silently truncate at serialization time.
+    q_id_type = queries.schema[query_id].dataType.simpleString()
+    c_id_type = corpus.schema[corpus_id].dataType.simpleString()
+    shortlist_schema = (
+        f"query_id {q_id_type}, neighbor_id {c_id_type}, approx_ip double"
+    )
     shortlist_n = k * max(refine, 1)
 
     # per-query ADC: ONE (m x k_sub) lookup table per query, gathered over
     # the candidate code matrix — never a per-pair table
     def adc_shortlist(pdf: pd.DataFrame) -> pd.DataFrame:
         qv = np.asarray(pdf["q_vec"].iloc[0], dtype=np.float64)
-        qv = qv / np.linalg.norm(qv)
+        qv = _unit(qv)
         lut = np.stack(
             [qv[j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)]
         )  # m x k_sub

@@ -491,7 +491,7 @@ def agg_argminmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT event_type, k, n,
              ROW_NUMBER() OVER (PARTITION BY event_type
-                                ORDER BY n DESC, k ASC) AS rk
+                                ORDER BY n DESC, k ASC NULLS LAST) AS rk
       FROM counted
     )
     SELECT event_type, k AS modal_k, n AS n_occurrences
@@ -517,7 +517,12 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "k")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("k").asc())
+    # asc_nulls_last mirrors the oracle's NULLS LAST: Spark sorts NULL
+    # first on ASC, DuckDB last — a NULL k tying at max count would
+    # otherwise pick different mode rows per engine.
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("k").asc_nulls_last()
+    )
     return (
         counted.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)

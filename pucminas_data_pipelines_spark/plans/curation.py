@@ -656,3 +656,100 @@ def curation_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.withColumn("kept_tokens", kept).orderBy(
         F.col("priority").desc(), "source"
     )
+
+
+@query(
+    "curation_quality_percentile_gate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+        CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    th AS (
+      SELECT source, quantile_cont(n_tokens, 0.25) AS p25 FROM t GROUP BY source
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, ROUND(th.p25, 6) AS p25_tokens
+    FROM t JOIN th USING (source)
+    WHERE t.n_tokens >= th.p25
+    ORDER BY doc_id
+    """,
+)
+def curation_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality gate: drop each source's shortest
+    quartile (token count below that source's own 25th percentile) — the
+    FineWeb/Gopher-style pattern where thresholds are relative to the
+    domain, not global (a threshold right for web text guts code or
+    reference material). Spark `percentile` interpolates identically to
+    DuckDB quantile_cont, so the gate boundary is engine-exact.
+
+    Scale: one corpus scan computes tokens map-side; the per-source
+    threshold table is |sources| rows, explicitly broadcast back — the
+    corpus itself never shuffles (contrast a per-source window, which
+    would serialize each source through one partition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    th = t.groupBy("source").agg(
+        F.expr("percentile(n_tokens, 0.25)").alias("p25")
+    )
+    return (
+        t.join(F.broadcast(th), "source")
+        .where(F.col("n_tokens") >= F.col("p25"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("p25", 6).alias("p25_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "curation_train_order_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS hx,
+             ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+               AS shard_id
+      FROM documents
+    )
+    SELECT doc_id, shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY hx, doc_id)
+                AS INTEGER) AS shard_pos
+    FROM h ORDER BY doc_id
+    """,
+)
+def curation_train_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    (shard_id, shard_pos) from its id's md5 — the materialized "shuffled
+    dataset" step before sequence packing. Hash ordering decorrelates
+    neighbors (crawl order, domain runs) without rand(): the same corpus
+    always shuffles identically across engines, reruns, and partitionings,
+    which is what makes training runs reproducible.
+
+    Scale: shard assignment is a map-side expression (zero shuffle); the
+    within-shard position is one row_number per shard — shards are the
+    write-parallelism unit, so at 100 TB you size n_shards to thousands
+    and each window stays executor-sized. The md5 sort key is computed
+    once, map-side, before the shuffle."""
+    from pucminas_data_pipelines_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    h = docs.select(
+        "doc_id",
+        hx.alias("hx"),
+        hash_bucket(F.col("doc_id"), 8).alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("hx", "doc_id")
+    return (
+        h.withColumn("shard_pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard_id", "shard_pos")
+        .orderBy("doc_id")
+    )

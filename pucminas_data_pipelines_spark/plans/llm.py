@@ -61,7 +61,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id + 10000, md5({_NORM_SQL}) FROM documents WHERE doc_id < 20
     )
     SELECT i.doc_id,
-           i.h NOT IN (SELECT h FROM corpus) AS is_new,
+           CASE WHEN i.h IS NULL THEN TRUE
+                ELSE i.h NOT IN (SELECT h FROM corpus WHERE h IS NOT NULL)
+           END AS is_new,
            CAST(COUNT(*) OVER (PARTITION BY i.h) AS BIGINT) AS copies_in_batch
     FROM incoming i
     ORDER BY doc_id
@@ -81,7 +83,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's batch is small, shuffle-on-hash otherwise, and a Bloom filter
     of corpus hashes replaces the exact probe when the corpus side
     outgrows memory (runtime bloom joins inject automatically at
-    production scan sizes — see PERFORMANCE.md)."""
+    production scan sizes — see PERFORMANCE.md).
+
+    NULL-text documents hash to NULL: a NULL join key never matches, so
+    the engine flags them new; the oracle's CASE mirrors that (a bare
+    NOT IN would yield NULL, a silent parity break)."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(T.normalize_text(F.col("text")).cast("binary"))
     corpus_h = (
@@ -1449,4 +1455,56 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_sq_norm"),
         )
         .orderBy("label")
+    )
+
+
+@query(
+    "dedup_minhash_clusters",
+    oracle=_JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.3),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+    ),
+    lab AS (SELECT id AS member_id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+    sz AS (SELECT cluster_rep, COUNT(*) AS cs FROM lab GROUP BY cluster_rep)
+    SELECT l.member_id, l.cluster_rep, CAST(s.cs AS BIGINT) AS cluster_size
+    FROM lab l JOIN sz s USING (cluster_rep)
+    ORDER BY member_id
+    """,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs collapsed into duplicate CLUSTERS — the
+    production end-state of text dedup: pairs alone don't say which copies
+    to drop when duplicates chain a~b~c, so the pair graph is reduced to
+    connected components (operators/dedup.dedup_clusters: iterative
+    min-label propagation, localCheckpoint per round) and each member is
+    tagged with its cluster representative (the row to KEEP) and cluster
+    size. Oracle: DuckDB recursive transitive closure over the exact
+    shingle-Jaccard pair set, valid because LSH pair recall is 1.0 on this
+    corpus at threshold 0.3 (wide jaccard margin; see dedup_minhash_lsh).
+
+    Scale: pair generation is the banded-LSH shuffle (never all-pairs);
+    label propagation is one narrow (id, label) shuffle round per graph
+    diameter — near-dup clusters are shallow stars, 3-5 rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.3
+    ).select("id_a", "id_b")
+    labels = D.dedup_clusters(pairs)
+    w = Window.partitionBy("cluster_rep")
+    return (
+        labels.withColumn(
+            "cluster_size", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+        .select("member_id", "cluster_rep", "cluster_size")
+        .orderBy("member_id")
     )

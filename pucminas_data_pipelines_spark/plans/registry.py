@@ -10,7 +10,14 @@ Comparability rules enforced by convention here (FIXTURES.md):
 - money/double aggregates go through DECIMAL(18,2/6) sums then cast back to
   double, so both engines produce bit-identical results (double summation
   order is nondeterministic; decimal summation is exact and associative);
-- timestamps truncated before output; session timezone UTC everywhere.
+- timestamps truncated before output; session timezone UTC everywhere;
+- output schemas are scalar-only at top level (no ArrayType/MapType —
+  serialize via to_json on BOTH engines) and oracle aggregates are CAST
+  out of DuckDB's HUGEINT, or the driver's hash check breaks;
+- a query that sets a session runtime conf MUST restore it (context
+  manager, like streaming/jobs._pinned_shuffle_partitions): sessions are
+  baselined once per process (session.configure_session sentinel), so a
+  leaked conf silently poisons every query that runs after it.
 """
 
 from __future__ import annotations

@@ -595,3 +595,52 @@ def sql_lateral_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey, l_linenumber
         """
     )
+
+
+@query(
+    "join_asof_forward_tolerance",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_id <= 500),
+    j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate ASC, o.o_orderkey DESC
+             ) AS rn
+      FROM e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey
+       AND o.o_orderdate >= e.ts
+       AND o.o_orderdate <= e.ts + INTERVAL 30 DAY
+    )
+    SELECT event_id, user_id, o_orderkey, o_orderdate
+    FROM j WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance bound (operators/asof.py): the
+    EARLIEST order within 30 days AFTER each event, per user — the other
+    half of the as-of contract (join_asof covers backward/unbounded).
+    Tolerance is the production-critical part: an unbounded forward as-of
+    against a growing fact table matches ever more rows per key, while the
+    tolerance caps the join's time range (and at 100 TB enables time-bucket
+    partition pruning on the right side). Ties on o_orderdate break by max
+    o_orderkey so the result is deterministic across engines."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return (
+        asof_join(
+            e.select("event_id", "user_id", "ts"),
+            o,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="o_orderdate",
+            direction="forward",
+            tolerance=F.expr("INTERVAL 30 DAYS"),
+            broadcast_right=True,
+            tiebreak=["o_orderkey"],
+        )
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    )

@@ -116,7 +116,7 @@ _UNIT_SQL = "(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 
 @query(
     "sample_weighted_by_length",
     oracle=f"""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     WHERE {_UNIT_SQL} < LEAST(GREATEST(n_chars / 400.0, 0.0), 1.0)
     GROUP BY lang

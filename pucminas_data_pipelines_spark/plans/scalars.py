@@ -273,11 +273,11 @@ def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part WHERE p_partkey < 200
     )
     SELECT p_partkey,
-           seq,
-           seq[2:3] AS sliced,
-           flatten([seq, seq[2:3]]) AS flat,
+           to_json(seq) AS seq,
+           to_json(seq[2:3]) AS sliced,
+           to_json(flatten([seq, seq[2:3]])) AS flat,
            list_contains(seq, 3) AS has_three,
-           list_sort(list_distinct(seq || seq[2:3])) AS merged_distinct
+           to_json(list_sort(list_distinct(seq || seq[2:3]))) AS merged_distinct
     FROM base
     ORDER BY p_partkey
     """,
@@ -289,6 +289,10 @@ def scalar_array_construction_suite(spark: SparkSession, sf_dir: str) -> DataFra
     engine-comparable). Complements scalar_array_suite's higher-order
     functions.
 
+    Array-typed results are serialized through to_json on BOTH engines:
+    the driver's pandas canonicalizer cannot hash raw arrays (r4 `err`
+    row), and JSON text is the portable at-the-API-edge representation.
+
     Scale: all pure map-side Catalyst expressions inside whole-stage
     codegen; no shuffle, no UDFs.
     """
@@ -298,11 +302,13 @@ def scalar_array_construction_suite(spark: SparkSession, sf_dir: str) -> DataFra
     sliced = F.slice(F.col("seq"), 2, 2)
     return base.select(
         "p_partkey",
-        "seq",
-        sliced.alias("sliced"),
-        F.flatten(F.array(F.col("seq"), sliced)).alias("flat"),
+        F.to_json(F.col("seq")).alias("seq"),
+        F.to_json(sliced).alias("sliced"),
+        F.to_json(F.flatten(F.array(F.col("seq"), sliced))).alias("flat"),
         F.array_contains(F.col("seq"), 3).alias("has_three"),
-        F.sort_array(F.array_union(F.col("seq"), sliced)).alias("merged_distinct"),
+        F.to_json(
+            F.sort_array(F.array_union(F.col("seq"), sliced))
+        ).alias("merged_distinct"),
     ).orderBy("p_partkey")
 
 
@@ -397,7 +403,7 @@ def scalar_string_extended_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS seg_lookup,
       CAST(cardinality(map(['seg', 'name'], [c_mktsegment, c_name])) AS INTEGER)
         AS n_entries,
-      list_sort(map_keys(map(['seg', 'name'], [c_mktsegment, c_name])))
+      to_json(list_sort(map_keys(map(['seg', 'name'], [c_mktsegment, c_name]))))
         AS sorted_keys,
       CAST(list_contains(map_keys(map(['seg', 'name'], [c_mktsegment, c_name])), 'name')
         AS INTEGER) AS has_name_key
@@ -409,8 +415,9 @@ def scalar_string_extended_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_map_construction_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction and access: create_map, element_at lookup,
     cardinality, key listing (sorted — map key order is
-    implementation-defined), and key membership. Output columns are
-    scalars/arrays, never raw maps: map-typed results render
+    implementation-defined, serialized via to_json: the driver's pandas
+    canonicalizer cannot hash raw arrays), and key membership. Output
+    columns are scalars, never raw maps/arrays: non-scalar results render
     differently across clients, so comparable queries project OUT of
     the map (the same rule production pipelines follow at API edges).
 
@@ -424,7 +431,7 @@ def scalar_map_construction_suite(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_custkey",
         F.element_at(m, "seg").alias("seg_lookup"),
         F.size(m).alias("n_entries"),
-        F.sort_array(F.map_keys(m)).alias("sorted_keys"),
+        F.to_json(F.sort_array(F.map_keys(m))).alias("sorted_keys"),
         F.array_contains(F.map_keys(m), "name").cast("int").alias("has_name_key"),
     ).orderBy("c_custkey")
 

@@ -297,9 +297,9 @@ def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
-                      OR e.value > q3 + 1.5 * (q3 - q1)
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
+                           OR e.value > q3 + 1.5 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY e.event_type
     ORDER BY e.event_type
@@ -752,4 +752,94 @@ def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", F.explode_outer(long_toks).alias("tok"))
         .orderBy("doc_id", "tok")
+    )
+
+
+@query(
+    "stats_mutual_information",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 AS kb
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    joint AS (SELECT event_type, kb, COUNT(*) AS c FROM base GROUP BY 1, 2),
+    mx AS (SELECT event_type, SUM(c) AS cx FROM joint GROUP BY 1),
+    my AS (SELECT kb, SUM(c) AS cy FROM joint GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM joint),
+    mi AS (
+      SELECT ROUND(SUM(
+        (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * LN(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))), 6) AS mi_nats
+      FROM joint JOIN mx USING (event_type) JOIN my USING (kb) CROSS JOIN tot
+    ),
+    hx AS (
+      SELECT ROUND(-SUM((CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * LN(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        AS hx_nats
+      FROM mx CROSS JOIN tot
+    ),
+    hy AS (
+      SELECT ROUND(-SUM((CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+                        * LN(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        AS hy_nats
+      FROM my CROSS JOIN tot
+    )
+    SELECT mi_nats, hx_nats, hy_nats, CAST(n AS BIGINT) AS n_events
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns
+    (event_type x k-bucket) plus both marginal entropies — the
+    feature-selection / dataset-audit statistic for "does this field
+    carry signal about that one". MI = sum p(x,y) ln(p(x,y)/(p(x)p(y))),
+    computed from ONE scan's joint contingency table; marginals and the
+    total derive from the joint, never from a rescan.
+
+    Cross-engine determinism: every probability ratio is formed as
+    c*n/(cx*cy) — exact integer products up to 2^53 — so both engines
+    feed LN identical doubles; the final 6-digit round absorbs summation
+    order. Scale: the only shuffle carries (x, y) pairs, bounded by
+    category-pair cardinality; everything after is |cells| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    base = ev.select("event_type", (k % 4).alias("kb")).where(
+        F.col("kb").isNotNull()
+    )
+    joint = base.groupBy("event_type", "kb").agg(F.count(F.lit(1)).alias("c"))
+    mx = joint.groupBy("event_type").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("kb").agg(F.sum("c").alias("cy"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    mi = (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "kb")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    (d("c") / d("n"))
+                    * F.log(d("c") * d("n") / (d("cx") * d("cy")))
+                ),
+                6,
+            ).alias("mi_nats")
+        )
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum((d("cx") / d("n")) * F.log(d("cx") / d("n"))), 6).alias(
+            "hx_nats"
+        )
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum((d("cy") / d("n")) * F.log(d("cy") / d("n"))), 6).alias(
+            "hy_nats"
+        )
+    )
+    return (
+        mi.crossJoin(hx)
+        .crossJoin(hy)
+        .crossJoin(tot.select(F.col("n").cast("bigint").alias("n_events")))
     )

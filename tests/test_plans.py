@@ -149,6 +149,44 @@ def test_driver_window_covers_every_category():
     assert unoracled == []
 
 
+def test_driver_window_rotation_contract():
+    """Rotation invariants (VERDICT r04 #7): every window name is
+    registered, the window is exactly 50 with no duplicates, it carries
+    >=5 canaries that were fully green in the PREVIOUS round's
+    CORRECTNESS file (so a regression in already-verified territory is
+    still caught), and it never wastes slots on the two rows-only
+    ann_*_topk entries (their recall-bound twins carry the oracles)."""
+    import glob
+    import json
+    import os
+
+    from pucminas_data_pipelines_spark.plans import DRIVER_WINDOW, QUERIES
+
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert all(n in QUERIES for n in DRIVER_WINDOW)
+    assert "ann_lsh_topk" not in DRIVER_WINDOW
+    assert "ann_ivf_topk" not in DRIVER_WINDOW
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:  # round 1: no previous round to canary against
+        return
+    prev = json.load(open(files[-1]))
+    green = {
+        n
+        for n, v in prev.items()
+        if v.get("rows_match")
+        and v.get("schema_match")
+        and v.get("hash_match")
+        and not v.get("err")
+    }
+    canaries = [n for n in DRIVER_WINDOW if n in green]
+    assert len(canaries) >= 5, (
+        f"window carries only {len(canaries)} canaries green in "
+        f"{os.path.basename(files[-1])}: {canaries}"
+    )
+
+
 def test_chunking_is_shuffle_free(spark):
     """Chunking is row-local: the only exchange allowed is the output
     orderBy's range partitioning — nothing in the chunk computation may
