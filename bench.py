@@ -41,6 +41,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "events_tumbling_window",
     "window_topk_orders_per_customer",
+    # appended r5 (the frozen r1 list above never changes — append-only):
+    # the full near-dup pipeline endpoint, pairs -> connected components
+    "dedup_minhash_clusters",
 ]
 
 

@@ -1508,3 +1508,75 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("member_id", "cluster_rep", "cluster_size")
         .orderBy("member_id")
     )
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=_JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.3),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+    ),
+    lab AS (SELECT id AS member_id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+    ranked AS (
+      SELECT l.cluster_rep, l.member_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY l.cluster_rep) AS cs,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.cluster_rep
+               ORDER BY d.n_chars DESC, l.member_id ASC
+             ) AS rn
+      FROM lab l JOIN documents d ON d.doc_id = l.member_id
+    )
+    SELECT cluster_rep, member_id AS keep_id, n_chars AS keep_chars,
+           CAST(cs AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_rep
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection after cluster collapse: per duplicate
+    cluster, KEEP the highest-quality member (longest text here; ties to
+    the smallest id) instead of an arbitrary one — what production dedup
+    actually ships, since near-dup copies differ in truncation and
+    boilerplate and dropping the wrong one loses content. Composition:
+    MinHash pairs -> connected components -> join quality -> argmax per
+    cluster.
+
+    Scale: the quality join touches only cluster MEMBERS (a left-semi
+    -sized slice of the corpus, joined by id); per-cluster argmax is one
+    row_number window over clusters, whose total size is the duplicate
+    count, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.3
+    ).select("id_a", "id_b")
+    labels = D.dedup_clusters(pairs)
+    j = labels.join(
+        docs.select(F.col("doc_id").alias("member_id"), "n_chars"),
+        "member_id",
+    )
+    w_cs = Window.partitionBy("cluster_rep")
+    w_rn = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), F.col("member_id").asc()
+    )
+    return (
+        j.withColumn("cluster_size", F.count(F.lit(1)).over(w_cs).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("member_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+            "cluster_size",
+        )
+        .orderBy("cluster_rep")
+    )

@@ -843,3 +843,98 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(hy)
         .crossJoin(tot.select(F.col("n").cast("bigint").alias("n_events")))
     )
+
+
+@query(
+    "stats_chi_squared",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 AS kb
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    joint AS (SELECT event_type, kb, COUNT(*) AS c FROM base GROUP BY 1, 2),
+    mx AS (SELECT event_type, SUM(c) AS cx FROM joint GROUP BY 1),
+    my AS (SELECT kb, SUM(c) AS cy FROM joint GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM joint),
+    chi AS (
+      SELECT ROUND(
+        ANY_VALUE(CAST(n AS DOUBLE)) * SUM(
+          CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+          / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))
+        ) - ANY_VALUE(CAST(n AS DOUBLE)), 6) AS chi2
+      FROM joint JOIN mx USING (event_type) JOIN my USING (kb) CROSS JOIN tot
+    ),
+    dims AS (
+      SELECT (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT kb) - 1)
+               AS dof,
+             LEAST(COUNT(DISTINCT event_type), COUNT(DISTINCT kb)) - 1
+               AS mindim
+      FROM joint
+    )
+    SELECT chi2,
+           ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * mindim)), 6) AS cramers_v,
+           CAST(dof AS INTEGER) AS dof,
+           CAST(n AS BIGINT) AS n_events
+    FROM chi CROSS JOIN dims CROSS JOIN tot
+    """,
+)
+def stats_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence statistic + Cramér's V for two categorical
+    columns — the significance companion to stats_mutual_information over
+    the same joint contingency table. Uses the algebraic identity
+    chi2 = N * (sum c^2/(cx*cy)) - N, which needs only the OBSERVED cells
+    (zero cells' expected-count mass is folded into the -N term), so both
+    engines sum exactly the same terms; every ratio is exact-integer
+    products fed to one double division, and the 6-digit round absorbs
+    summation order.
+
+    Scale: identical shape to MI — one (x, y) grouping shuffle bounded by
+    category-pair cardinality, then |cells|-row arithmetic with broadcast
+    marginals."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    base = ev.select("event_type", (k % 4).alias("kb")).where(
+        F.col("kb").isNotNull()
+    )
+    joint = base.groupBy("event_type", "kb").agg(F.count(F.lit(1)).alias("c"))
+    mx = joint.groupBy("event_type").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("kb").agg(F.sum("c").alias("cy"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    chi = (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "kb")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.round(
+                    F.first(d("n"))
+                    * F.sum(d("c") * d("c") / (d("cx") * d("cy")))
+                    - F.first(d("n")),
+                    6,
+                )
+            ).alias("chi2")
+        )
+    )
+    dims = joint.agg(
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("kb") - 1)
+        ).cast("int").alias("dof"),
+        (
+            F.least(F.countDistinct("event_type"), F.countDistinct("kb")) - 1
+        ).alias("mindim"),
+    )
+    return (
+        chi.crossJoin(dims)
+        .crossJoin(tot)
+        .select(
+            "chi2",
+            F.round(
+                F.sqrt(F.col("chi2") / (d("n") * F.col("mindim"))), 6
+            ).alias("cramers_v"),
+            "dof",
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+    )

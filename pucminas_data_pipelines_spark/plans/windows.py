@@ -285,3 +285,63 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "window_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY event_type, ts, event_id
+             ) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS first_seen
+      FROM events WHERE user_id <= 20
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS INTEGER) AS distinct_types_so_far
+    FROM flagged
+    ORDER BY event_id
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user over event time — "how many distinct
+    event types has this user produced so far". Neither engine supports
+    COUNT(DISTINCT) OVER an ordered window; the portable (and at scale the
+    only shuffle-sane) form is the first-occurrence flag trick, with BOTH
+    windows partitioned on user_id alone so the plan needs ONE hash
+    exchange: sorting each user by (type, time), a row is its type's first
+    occurrence iff the lagged type differs; the running SUM of flags then
+    re-sorts by time within the same partitioning. (The obvious
+    row_number-per-(user, type) formulation costs a second, wider
+    shuffle.)
+
+    Scale: one exchange on user_id, two partition-local sorts; state per
+    row is one integer, versus a growing collect_set per frame for the
+    naive formulation."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    w_first = Window.partitionBy("user_id").orderBy(
+        "event_type", "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_seen = (
+        ~F.lag("event_type").over(w_first).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    flagged = ev.select(
+        "event_id", "user_id", "ts", first_seen.alias("first_seen")
+    )
+    return (
+        flagged.select(
+            "event_id",
+            "user_id",
+            F.sum("first_seen").over(w_run).cast("int").alias(
+                "distinct_types_so_far"
+            ),
+        )
+        .orderBy("event_id")
+    )

@@ -337,3 +337,47 @@ def test_incremental_dedup_broadcasts_hash_probe(spark):
 def test_span_coverage_gate_no_cartesian(spark):
     plan = _plan(QUERIES["curation_span_coverage_gate"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_percentile_gate_broadcasts_thresholds(spark):
+    """The per-source threshold table is |sources| rows: it must broadcast
+    back to the corpus (a per-source window instead would serialize each
+    source through one partition); token counting stays in codegen."""
+    plan = _plan(QUERIES["curation_quality_percentile_gate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_train_order_shuffle_is_one_shuffle(spark):
+    """Shard assignment is a map-side md5 expression; the only exchanges
+    are the per-shard window hash partitioning and the output orderBy's
+    range partitioning — and nothing drops to Python."""
+    plan = _plan(QUERIES["curation_train_order_shuffle"](spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 2
+    assert "EvalPython" not in plan
+
+
+def test_asof_forward_tolerance_hash_joins(spark):
+    """The forward as-of equi-key (user_id) must carry the join — the time
+    range + tolerance ride as residual conditions on a broadcast hash
+    join, never a nested-loop over the cross product."""
+    plan = _plan(QUERIES["join_asof_forward_tolerance"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mutual_information_stays_jvm_side(spark):
+    """MI is one joint-contingency shuffle plus |cells|-row arithmetic:
+    marginal/total tables broadcast (tiny), no Python anywhere."""
+    plan = _plan(QUERIES["stats_mutual_information"](spark, SF_SMOKE))
+    assert "EvalPython" not in plan
+
+
+def test_cumulative_distinct_single_window_shuffle(spark):
+    """Both window passes must share the user_id partitioning: one hash
+    exchange total (plus the output orderBy's range exchange), two
+    partition-local sorts — the row_number-per-(user,type) formulation
+    would add a second, wider shuffle."""
+    plan = _plan(QUERIES["window_cumulative_distinct"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
