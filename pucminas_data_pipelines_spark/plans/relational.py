@@ -644,3 +644,55 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
         .orderBy("event_id")
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_id, o_orderdate AS a_start,
+             o_orderdate + INTERVAL 7 DAY AS a_end
+      FROM orders WHERE o_custkey <= 50
+    ),
+    b AS (
+      SELECT o_orderkey AS b_id, o_orderdate AS b_start,
+             o_orderdate + INTERVAL 7 DAY AS b_end
+      FROM orders WHERE o_custkey > 50 AND o_custkey <= 100
+    )
+    SELECT a_id, b_id,
+           CAST(date_diff('second',
+                          GREATEST(a_start, b_start),
+                          LEAST(a_end, b_end)) AS BIGINT) AS overlap_seconds
+    FROM a JOIN b ON a_start < b_end AND b_start < a_end
+    ORDER BY a_id, b_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join with NO equi key (operators/interval.py):
+    which 7-day order windows of customer group A overlap which of group
+    B. A bare overlap predicate plans as a nested-loop cross product —
+    O(|A|*|B|) — so the operator decomposes every interval into the week
+    buckets it touches, equi-joins on bucket id, verifies the exact
+    predicate on same-bucket candidates and de-duplicates multi-bucket
+    pairs: the find->verify shape (same as LSH dedup) that keeps the
+    shuffle keyed and the comparison count near-linear in true overlaps.
+    The oracle is the plain theta join, exact at test scale."""
+    from pucminas_data_pipelines_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    week = F.expr("INTERVAL 7 DAYS")
+    a = o.where(F.col("o_custkey") <= 50).select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderdate").alias("a_start"),
+        (F.col("o_orderdate") + week).alias("a_end"),
+    )
+    b = o.where((F.col("o_custkey") > 50) & (F.col("o_custkey") <= 100)).select(
+        F.col("o_orderkey").alias("b_id"),
+        F.col("o_orderdate").alias("b_start"),
+        (F.col("o_orderdate") + week).alias("b_end"),
+    )
+    return interval_overlap_join(
+        a, b, ("a_id", "a_start", "a_end"), ("b_id", "b_start", "b_end")
+    ).orderBy("a_id", "b_id")

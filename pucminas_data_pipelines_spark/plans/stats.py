@@ -938,3 +938,67 @@ def stats_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_events"),
         )
     )
+
+
+@query(
+    "stats_mad_anomalies",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
+           ROUND(ANY_VALUE(d.med), 6) AS median_value,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad_value
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def stats_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection by median absolute deviation: flag values
+    beyond 3 scaled MADs (1.4826 * MAD estimates sigma under normality) of
+    their group median — the outlier rule that, unlike the z-score
+    (stats_user_anomaly_zscore), is not itself dragged by the outliers it
+    hunts. Exact interpolated medians keep both engines bit-identical.
+
+    Scale: two small per-group aggregates (median, then MAD of
+    deviations), each broadcast back to the fact scan; the fact shuffles
+    only for the final per-group count — and exact medians can swap to
+    approx_percentile sketches at 100 TB without changing the shape."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    is_anom = F.col("adev") > 3 * 1.4826 * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_anom, 1).otherwise(0)).alias("n_anomalies"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )

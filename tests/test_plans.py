@@ -381,3 +381,20 @@ def test_cumulative_distinct_single_window_shuffle(spark):
     plan = _plan(QUERIES["window_cumulative_distinct"](spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+def test_interval_overlap_join_is_bucketed(spark):
+    """The no-equi-key overlap join must equi-join on bucket ids — a bare
+    overlap predicate would plan as BroadcastNestedLoopJoin and go
+    quadratic at scale."""
+    plan = _plan(QUERIES["join_interval_overlap"](spark, SF_SMOKE))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_anomalies_broadcasts_group_stats(spark):
+    """Median and MAD tables are |groups| rows: both must broadcast back
+    to the fact scan, never shuffle the fact for the join."""
+    plan = _plan(QUERIES["stats_mad_anomalies"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -55,3 +55,47 @@ def test_hash_bucket_uniform_and_stable(spark):
     a = {r["doc_id"]: r["b"] for r in docs.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()}
     b = {r["doc_id"]: r["b"] for r in docs.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()}
     assert a == b
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Half-open edges, containment, multi-bucket spans, disjoint pairs."""
+    from datetime import datetime
+
+    from pucminas_data_pipelines_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00")),
+            (2, ts("2024-02-01 00:00:00"), ts("2024-02-02 00:00:00")),
+            (3, ts("2024-03-01 00:00:00"), ts("2024-05-01 00:00:00")),
+        ],
+        "a_id int, a_start timestamp, a_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            # overlaps 1 by 1 day
+            (10, ts("2024-01-09 00:00:00"), ts("2024-01-20 00:00:00")),
+            # touches 1's end exactly: half-open => NO overlap
+            (11, ts("2024-01-10 00:00:00"), ts("2024-01-11 00:00:00")),
+            # contained inside 3 (a long, multi-bucket interval)
+            (12, ts("2024-04-01 00:00:00"), ts("2024-04-02 00:00:00")),
+            # disjoint from everything
+            (13, ts("2024-06-01 00:00:00"), ts("2024-06-02 00:00:00")),
+        ],
+        "b_id int, b_start timestamp, b_end timestamp",
+    )
+    got = {
+        (r.a_id, r.b_id): r.overlap_seconds
+        for r in interval_overlap_join(
+            left,
+            right,
+            ("a_id", "a_start", "a_end"),
+            ("b_id", "b_start", "b_end"),
+        ).collect()
+    }
+    assert got == {(1, 10): 86400, (3, 12): 86400}
