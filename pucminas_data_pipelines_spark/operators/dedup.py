@@ -277,10 +277,15 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification over candidate (id_a, id_b) pairs:
     |A∩B| / |A∪B| on distinct token n-grams. The verify stage after LSH —
-    only candidate pairs pay the set-intersection cost."""
+    only candidate pairs pay the set-intersection cost.
+
+    ``with_counts=True`` additionally emits the distinct-shingle counts
+    (n_common, n_a, n_b) so callers can derive directional containment
+    |A∩B|/|A| without recomputing the sets."""
     sh = docs.select(
         F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("shingles")
     )
@@ -288,7 +293,7 @@ def ngram_jaccard_pairs(
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         candidates.select("id_a", "id_b")
         .join(a, "id_a")
         .join(b, "id_b")
@@ -296,8 +301,17 @@ def ngram_jaccard_pairs(
             "jaccard", F.round(inter.cast("double") / union.cast("double"), 6)
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    if with_counts:
+        return out.select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            inter.cast("double").alias("n_common"),
+            F.size(F.array_distinct("sh_a")).cast("double").alias("n_a"),
+            F.size(F.array_distinct("sh_b")).cast("double").alias("n_b"),
+        )
+    return out.select("id_a", "id_b", "jaccard")
 
 
 def duplicated_spans(

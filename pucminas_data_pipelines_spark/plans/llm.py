@@ -1580,3 +1580,52 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_rep")
     )
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=_JACCARD_CTE
+    + """
+    , cont AS (
+      SELECT j.id_a, j.id_b, j.jaccard,
+             ROUND(CAST(i.i AS DOUBLE) / ca.n, 6) AS containment_a_in_b,
+             ROUND(CAST(i.i AS DOUBLE) / cb.n, 6) AS containment_b_in_a
+      FROM jac j
+      JOIN inter i ON i.id_a = j.id_a AND i.id_b = j.id_b
+      JOIN cnt ca ON ca.doc_id = j.id_a
+      JOIN cnt cb ON cb.doc_id = j.id_b
+    )
+    SELECT id_a, id_b, jaccard, containment_a_in_b, containment_b_in_a
+    FROM cont WHERE jaccard >= 0.3 ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional CONTAINMENT scores (|A∩B|/|A| and |A∩B|/|B|) next to
+    symmetric Jaccard for each near-dup pair — the metric that separates
+    "these documents are copies" from "one quotes the other": a short doc
+    embedded in a long one shows high containment at modest Jaccard, and
+    the asymmetry says which side is the subset (drop the contained copy,
+    keep the superset). Shingle sets and intersections are computed once
+    and feed all three ratios.
+
+    Scale: identical find->verify shape as dedup_ngram_jaccard — LSH
+    candidates only, the intersection join carries (pair, shingle-hash),
+    never document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.2
+    )
+    pairs = D.ngram_jaccard_pairs(
+        cands, docs, "doc_id", "text", threshold=0.3, with_counts=True
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.round(F.col("n_common") / F.col("n_a"), 6).alias(
+            "containment_a_in_b"
+        ),
+        F.round(F.col("n_common") / F.col("n_b"), 6).alias(
+            "containment_b_in_a"
+        ),
+    ).orderBy("id_a", "id_b")

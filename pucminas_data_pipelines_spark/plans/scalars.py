@@ -635,3 +635,43 @@ def scalar_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(head24.cast("binary"), 256).alias("head_sha256"),
         F.lower(F.hex(F.substring("text", 1, 12).cast("binary"))).alias("head_hex"),
     ).orderBy("doc_id")
+
+
+@query(
+    "scalar_timestamp_epoch_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           CAST(minute(ts) AS INTEGER) AS minute_of_hour,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_text,
+           ts + INTERVAL 90 MINUTE AS plus_90m
+    FROM events
+    WHERE event_id <= 500
+    ORDER BY event_id
+    """,
+)
+def scalar_timestamp_epoch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp plumbing the date suites don't cover: epoch-second
+    conversion (the integer timeline every cross-engine time computation
+    should run on), week/hour truncation (both engines truncate weeks to
+    Monday), clock-field extraction, ISO-8601 text formatting, and
+    sub-day interval arithmetic. Session timezone is UTC everywhere, so
+    epoch and formatted text agree bit-for-bit. (Sub-second timestamps:
+    Spark unix_timestamp FLOORS to the second while DuckDB's
+    CAST(epoch(..)) would round — the oracle floors explicitly.)
+
+    Scale: pure map-side codegen expressions, no shuffle."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    return e.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_trunc("week", "ts").alias("week_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.hour("ts").alias("hour_of_day"),
+        F.minute("ts").alias("minute_of_hour"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_text"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
+    ).orderBy("event_id")

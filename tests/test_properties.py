@@ -200,3 +200,73 @@ def test_pagerank_mass_and_floor(spark, edges):
     srcs = {e[0] for e in clean}
     if all(node in srcs for node in ranks):  # no dangling nodes
         assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 400)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 400)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from([3600, 24 * 3600, 7 * 24 * 3600]),
+)
+def test_interval_overlap_equals_theta_join(spark, a_rows, b_rows, bucket):
+    """Bucketized interval-overlap join == plain theta join for any
+    intervals and any bucket width (width tunes cost, never results) —
+    including intervals spanning many buckets and boundary-touching
+    pairs."""
+    from datetime import datetime, timedelta
+
+    from pucminas_data_pipelines_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(rows, id_c, s_c, e_c):
+        data = [
+            (i, t0 + timedelta(hours=start), t0 + timedelta(hours=start + dur))
+            for i, (start, dur) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, f"{id_c} int, {s_c} timestamp, {e_c} timestamp"
+        )
+
+    left = mk(a_rows, "a_id", "a_start", "a_end")
+    right = mk(b_rows, "b_id", "b_start", "b_end")
+    got = {
+        (r.a_id, r.b_id): r.overlap_seconds
+        for r in interval_overlap_join(
+            left,
+            right,
+            ("a_id", "a_start", "a_end"),
+            ("b_id", "b_start", "b_end"),
+            bucket_seconds=bucket,
+        ).collect()
+    }
+    want = {
+        (r.a_id, r.b_id): r.ov
+        for r in left.join(
+            right,
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end")),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.least(F.unix_timestamp("a_end"), F.unix_timestamp("b_end"))
+                - F.greatest(
+                    F.unix_timestamp("a_start"), F.unix_timestamp("b_start")
+                )
+            ).cast("bigint").alias("ov"),
+        )
+        .collect()
+    }
+    assert got == want
