@@ -582,3 +582,38 @@ def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_a", "col_b")
     )
+
+
+@query(
+    "agg_boolean_suite",
+    oracle="""
+    SELECT event_type,
+           bool_and(value >= 0) AS all_nonnegative,
+           bool_or(value > 9) AS any_over_9,
+           CAST(COUNT(*) FILTER (WHERE value > 5) AS BIGINT) AS n_over_5,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: bool_and (ALL rows satisfy),
+    bool_or (ANY row satisfies), count_if (conditional count — Spark's
+    count_if ≡ COUNT(*) FILTER) — the data-quality assertion primitives
+    ("every value non-negative", "any outlier present") that fold into
+    the same map-side-combined pass as any other aggregate.
+
+    Scale: single groupBy shuffle carrying one boolean/long accumulator
+    per aggregate per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value") >= 0).alias("all_nonnegative"),
+            F.bool_or(F.col("value") > 9).alias("any_over_9"),
+            F.count_if(F.col("value") > 5).alias("n_over_5"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -190,3 +190,62 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+@query(
+    "udtf_table_argument_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def udtf_table_argument_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF taking a TABLE argument PARTITIONED BY a key (Spark 4
+    `TABLE(...) PARTITION BY` calling convention): the UDTF instance sees
+    every row of one partition and emits one summary row per key — the
+    table-function analogue of applyInPandas, reachable from pure SQL.
+    Covered because it is the remaining UDTF calling convention after
+    udtf_tokenize's LATERAL scalar form; the aggregation itself is
+    deliberately simple so the oracle pins the partition-routing
+    semantics, not Python arithmetic.
+
+    Scale: PARTITION BY shuffles on the key exactly like a groupBy; the
+    Python cost is one process pass per partition (Arrow-batched), and
+    skewed keys dominate wall-clock the same way they do for
+    applyInPandas — same mitigation (salt or pre-aggregate)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, total_chars bigint, max_chars bigint")
+    class LangStats:
+        def __init__(self):
+            self._lang = None
+            self._n = 0
+            self._total = 0
+            self._max = 0
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._n += 1
+            c = row["n_chars"] or 0
+            self._total += c
+            self._max = max(self._max, c)
+
+        def terminate(self):
+            if self._lang is not None:
+                yield self._lang, self._n, self._total, self._max
+
+    spark.udtf.register("lang_stats_udtf", LangStats)
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    docs.createOrReplaceTempView("_udtf_lang_docs")
+    return spark.sql(
+        """
+        SELECT lang, n_docs, total_chars, max_chars
+        FROM lang_stats_udtf(TABLE(_udtf_lang_docs) PARTITION BY lang)
+        ORDER BY lang
+        """
+    )
