@@ -38,20 +38,33 @@ def asof_join(
 
     direction='backward': right_ts <= left_ts, pick the latest right row.
     direction='forward':  right_ts >= left_ts, pick the earliest right row.
+    direction='nearest':  pick the right row with the smallest absolute
+    time distance (ties prefer the earlier/backward row); REQUIRES a
+    tolerance — without one every right row per key is a candidate and
+    the join degenerates to a per-key cross product.
     tolerance: optional max distance (e.g. F.expr("INTERVAL 7 DAYS")).
     tiebreak: right columns ordered desc after the timestamp, so rows tied
     on right_ts resolve deterministically (essential for differential tests).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
+    if direction == "nearest" and tolerance is None:
+        raise ValueError(
+            "direction='nearest' requires a tolerance: unbounded nearest "
+            "makes every right row per key a join candidate"
+        )
 
     lcol, rcol = F.col(left_ts), F.col(right_ts)
-    cond = rcol <= lcol if direction == "backward" else rcol >= lcol
-    if tolerance is not None:
-        if direction == "backward":
+    if direction == "backward":
+        cond = rcol <= lcol
+        if tolerance is not None:
             cond = cond & (rcol >= lcol - tolerance)
-        else:
+    elif direction == "forward":
+        cond = rcol >= lcol
+        if tolerance is not None:
             cond = cond & (rcol <= lcol + tolerance)
+    else:  # nearest: a bounded band on both sides
+        cond = (rcol >= lcol - tolerance) & (rcol <= lcol + tolerance)
 
     # Tag left rows so the window dedup can key on the original row even
     # when left has no natural unique id.
@@ -64,11 +77,19 @@ def asof_join(
 
     joined = tagged.alias("__l__").join(right_side.alias("__r__"), join_cond, how)
 
-    order = [
-        F.col(f"__r__.{right_ts}").desc_nulls_last()
-        if direction == "backward"
-        else F.col(f"__r__.{right_ts}").asc_nulls_last()
-    ]
+    if direction == "backward":
+        order = [F.col(f"__r__.{right_ts}").desc_nulls_last()]
+    elif direction == "forward":
+        order = [F.col(f"__r__.{right_ts}").asc_nulls_last()]
+    else:  # nearest: smallest absolute gap, ties to the earlier (backward) row
+        gap = F.abs(
+            F.unix_timestamp(F.col(f"__r__.{right_ts}"))
+            - F.unix_timestamp(F.col(f"__l__.{left_ts}"))
+        )
+        order = [
+            gap.asc_nulls_last(),
+            F.col(f"__r__.{right_ts}").asc_nulls_last(),
+        ]
     order += [F.col(f"__r__.{c}").desc_nulls_last() for c in tiebreak]
     w = Window.partitionBy("__asof_row__").orderBy(*order)
     left_cols = [F.col(f"__l__.{c}") for c in left.columns]

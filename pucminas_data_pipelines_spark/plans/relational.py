@@ -696,3 +696,57 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(
         a, b, ("a_id", "a_start", "a_end"), ("b_id", "b_start", "b_end")
     ).orderBy("a_id", "b_id")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_id <= 500),
+    j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY ABS(date_diff('second', e.ts, o.o_orderdate)) ASC,
+                        o.o_orderdate ASC, o.o_orderkey DESC
+             ) AS rn
+      FROM e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey
+       AND o.o_orderdate >= e.ts - INTERVAL 15 DAY
+       AND o.o_orderdate <= e.ts + INTERVAL 15 DAY
+    )
+    SELECT event_id, user_id, o_orderkey, o_orderdate
+    FROM j WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (operators/asof.py direction='nearest'): the
+    order CLOSEST in time to each event — either side — within a ±15-day
+    band, ties preferring the earlier (backward) row. Completes the as-of
+    trio (backward: join_asof; forward: join_asof_forward_tolerance); the
+    sensor-alignment semantics pandas calls merge_asof
+    direction='nearest'. The operator refuses unbounded nearest: without
+    a tolerance every right row per key is a candidate, so the band is
+    what keeps the join linear and (at 100 TB) time-bucket prunable.
+
+    Whole-second gap arithmetic on both engines: Spark unix_timestamp
+    floors sub-second timestamps and DuckDB date_diff('second') counts
+    boundary crossings — identical integers."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return (
+        asof_join(
+            e.select("event_id", "user_id", "ts"),
+            o,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="o_orderdate",
+            direction="nearest",
+            tolerance=F.expr("INTERVAL 15 DAYS"),
+            broadcast_right=True,
+            tiebreak=["o_orderkey"],
+        )
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    )

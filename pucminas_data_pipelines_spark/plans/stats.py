@@ -1002,3 +1002,82 @@ def stats_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_ks_drift",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    tot AS (
+      SELECT CAST(SUM(i1) AS DOUBLE) AS n1, CAST(SUM(i2) AS DOUBLE) AS n2
+      FROM s
+    ),
+    cum AS (
+      SELECT
+        SUM(i1) OVER (ORDER BY value
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+        SUM(i2) OVER (ORDER BY value
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM s
+    )
+    SELECT ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)), 6)
+             AS ks_d,
+           CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_purchase
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two groups' value
+    distributions (click vs purchase) — the distribution-drift check a
+    training-data pipeline runs between ingestion batches before mixing
+    them. D = max |F1(x) - F2(x)| over the pooled sample; the RANGE frame
+    (not ROWS) makes tied values frame-peers, so both engines evaluate
+    the empirical CDFs at identical points.
+
+    Scale: the exact statistic needs one global order of the pooled
+    sample — fine into the billions, but at 100 TB swap the input for an
+    equi-depth histogram (stats_equidepth_histogram) and evaluate D at
+    bin boundaries: error bounded by 1/bins, plan becomes one aggregate.
+    Counts are exact integers; the single double division happens at the
+    CDF compare, rounded once."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("i2"),
+    )
+    w = Window.orderBy("value").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = s.select(
+        F.sum("i1").over(w).alias("c1"), F.sum("i2").over(w).alias("c2")
+    )
+    tot = s.agg(
+        F.sum("i1").cast("double").alias("n1"),
+        F.sum("i2").cast("double").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c1").cast("double") / F.col("n1")
+                        - F.col("c2").cast("double") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+            F.first(F.col("n1").cast("bigint")).alias("n_click"),
+            F.first(F.col("n2").cast("bigint")).alias("n_purchase"),
+        )
+    )
