@@ -594,3 +594,60 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@query(
+    "source_csv_malformed_permissive",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_good_price
+    FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode CSV scan over a directory containing corrupt rows —
+    the schema-enforcement semantics every production ingest relies on:
+    malformed lines (type garbage, too few fields, too many fields) land
+    in the columnNameOfCorruptRecord side-channel with their data columns
+    NULL, clean lines parse normally, and NOTHING is silently dropped
+    (that would be DROPMALFORMED) or failed (FAILFAST). The fixture is
+    engine-written clean rows plus a hand-planted bad file in the same
+    directory; the oracle is ground truth over the clean source rows.
+
+    Scale: mode handling is per-record inside the scan — no extra pass;
+    the corrupt side-channel column prunes away when unselected."""
+    path = f"{_TMP}/orders_malformed_csv"
+    shutil.rmtree(path, ignore_errors=True)
+    good = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    good.write.options(header=False).mode("overwrite").csv(path)
+    with open(f"{path}/zz_malformed.csv", "w") as fh:
+        fh.write("abc,DEF,not_a_number\n")      # type garbage
+        fh.write("1\n")                          # too few fields
+        fh.write("2,O,3.5,extra,fields\n")       # too many fields
+    parsed = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+            " _corrupt_record string"
+        )
+        .options(
+            header=False,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt_record",
+        )
+        .csv(path)
+        .cache()  # Spark forbids filtering on the corrupt column of a raw scan
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum(
+            F.when(~bad, F.col("o_totalprice").cast("decimal(18,2)"))
+        ).cast("double").alias("sum_good_price"),
+    )

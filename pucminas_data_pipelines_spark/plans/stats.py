@@ -1081,3 +1081,85 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first(F.col("n2").cast("bigint")).alias("n_purchase"),
         )
     )
+
+
+_PSI_CUTS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@query(
+    "stats_psi_drift",
+    oracle=f"""
+    WITH s AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    cuts AS (
+      SELECT quantile_cont(value, {_PSI_CUTS}) AS q
+      FROM s WHERE event_type = 'click'
+    ),
+    binned AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2,
+             1 + {' + '.join(f"(CASE WHEN value > q[{i + 1}] THEN 1 ELSE 0 END)" for i in range(9))}
+               AS bin
+      FROM s CROSS JOIN cuts
+    ),
+    bc AS (SELECT bin, SUM(i1) AS c1, SUM(i2) AS c2 FROM binned GROUP BY bin),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM bc)
+    SELECT ROUND(SUM(
+             ((CAST(c1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 5.0)
+              - (CAST(c2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 5.0))
+             * LN(((CAST(c1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 5.0))
+                  / ((CAST(c2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 5.0)))
+           ), 6) AS psi,
+           CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_purchase
+    FROM bc CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two groups' value distributions,
+    over DECILE BINS OF THE REFERENCE GROUP (click) — the binned drift
+    metric that scales where the exact KS (stats_ks_drift) needs a global
+    sort: after the 9 reference cut points are computed, binning is a
+    map-side expression and the statistic is a 10-row aggregate. Counts
+    are Laplace-smoothed (+0.5 per bin) so an empty comparison bin cannot
+    blow up the log term; both engines form identical doubles (exact
+    integer counts, interpolated-percentile cuts, one division each).
+
+    Scale: one pass for the cut points (swap percentile for
+    approx_percentile at 100 TB), one map-side binning pass, one
+    (bin, group) aggregate bounded by bin count — no global sort."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cuts = ev.where(F.col("event_type") == "click").agg(
+        F.expr(
+            f"percentile(value, array({', '.join(str(c) for c in _PSI_CUTS)}))"
+        ).alias("q")
+    )
+    bin_col = F.lit(1)
+    for i in range(9):
+        bin_col = bin_col + (
+            F.col("value") > F.element_at("q", i + 1)
+        ).cast("int")
+    binned = ev.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("i2"),
+        bin_col.alias("bin"),
+    )
+    bc = binned.groupBy("bin").agg(
+        F.sum("i1").alias("c1"), F.sum("i2").alias("c2")
+    )
+    tot = bc.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    p = (F.col("c1").cast("double") + 0.5) / (F.col("n1").cast("double") + 5.0)
+    q = (F.col("c2").cast("double") + 0.5) / (F.col("n2").cast("double") + 5.0)
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.first(F.col("n1").cast("bigint")).alias("n_click"),
+            F.first(F.col("n2").cast("bigint")).alias("n_purchase"),
+        )
+    )
