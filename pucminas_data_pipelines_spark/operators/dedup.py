@@ -374,6 +374,69 @@ def duplicated_spans(
     )
 
 
+def redact_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """REMOVE every duplicated span from each document — the actionable
+    step after duplicated_spans, and what Lee et al. (2022) actually do
+    to the training corpus: cut the repeated substrings, keep the rest of
+    the document. Returns (id, n_tokens_kept, n_tokens_dropped,
+    redacted_text) over the NORMALIZED token stream (redaction operates
+    on the same tokenization the span offsets index into).
+
+    Shape on top of duplicated_spans' inverted-index output:
+      1. tokens with positions (narrow posexplode);
+      2. anti join tokens against their doc's span ranges — equi on doc
+         id with the position-range residual; spans per doc are few, so
+         the join stays hash-keyed and skew-safe;
+      3. order-preserving reassembly WITHOUT a window: array_sort over
+         collected (pos, token) structs, then join — partition-local,
+         deterministic under any shuffle order;
+      4. docs with every token redacted (or none kept) survive via a
+         left join from the full doc list, with empty text.
+    Cost is linear in corpus tokens, like the detector itself."""
+    spans = duplicated_spans(df, id_col, text_col, span_tokens, min_docs)
+    norm_toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = df.select(
+        F.col(id_col), F.posexplode(norm_toks).alias("tpos", "tok")
+    )
+    s = spans.select(
+        F.col(id_col).alias("_sid"), "span_start", "span_len_tokens"
+    )
+    uncovered = toks.join(
+        s,
+        (F.col(id_col) == F.col("_sid"))
+        & (F.col("tpos") >= F.col("span_start"))
+        & (F.col("tpos") < F.col("span_start") + F.col("span_len_tokens")),
+        "left_anti",
+    )
+    kept = uncovered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda st: st["tok"],
+            ),
+            " ",
+        ).alias("redacted_text"),
+    )
+    totals = df.select(F.col(id_col), F.size(norm_toks).alias("_n_total"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias(
+            "n_tokens_kept"
+        ),
+        (F.col("_n_total") - F.coalesce("n_tokens_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens_dropped"),
+        F.coalesce("redacted_text", F.lit("")).alias("redacted_text"),
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

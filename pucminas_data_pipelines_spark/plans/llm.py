@@ -1629,3 +1629,54 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_b_in_a"
         ),
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_span_redaction",
+    oracle=_SPAN_CTE
+    + """
+    , tk AS (
+      SELECT doc_id, i - 1 AS tpos, w[i] AS tok
+      FROM toks, LATERAL unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    keep AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM tk t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id
+          AND t.tpos >= s.span_start
+          AND t.tpos < s.span_start + s.span_len_tokens
+      )
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens_kept,
+             md5(string_agg(tok, ' ' ORDER BY tpos)) AS redacted_md5
+      FROM keep GROUP BY doc_id
+    ),
+    orig AS (SELECT doc_id, len(w) AS n_total FROM toks)
+    SELECT o.doc_id,
+           CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(o.n_total - COALESCE(a.n_tokens_kept, 0) AS BIGINT)
+             AS n_tokens_dropped,
+           COALESCE(a.redacted_md5, md5('')) AS redacted_md5
+    FROM orig o LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_span_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REDACTION (operators/dedup.redact_duplicated_spans): every
+    duplicated 8-token span is cut from its document and the remainder
+    re-assembled in order — the Lee-et-al corpus rewrite, end-to-end.
+    The oracle rebuilds each redacted document independently in SQL and
+    compares md5 of the result, so the check is byte-identical
+    reconstruction, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.redact_duplicated_spans(docs, "doc_id", "text", span_tokens=8)
+    return out.select(
+        "doc_id",
+        "n_tokens_kept",
+        "n_tokens_dropped",
+        F.md5(F.col("redacted_text").cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")

@@ -137,3 +137,26 @@ def test_duplicated_spans_short_docs_no_partial_grams(spark):
         [(1, "tiny doc"), (2, "tiny doc")], "doc_id bigint, text string"
     )
     assert D.duplicated_spans(docs, "doc_id", "text", span_tokens=8).count() == 0
+
+
+def test_redact_duplicated_spans_planted(spark):
+    """Two docs share a verbatim 8-token run; redaction must cut exactly
+    that run from both, keep unique text, and keep untouched docs whole."""
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta"),
+            (3, "totally unique text with no duplicated runs here"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens_kept, r.n_tokens_dropped, r.redacted_text)
+        for r in D.redact_duplicated_spans(
+            docs, "doc_id", "text", span_tokens=8
+        ).collect()
+    }
+    assert got[1] == (4, 8, "alpha beta gamma delta")
+    assert got[2] == (4, 8, "epsilon zeta eta theta")
+    assert got[3][1] == 0 and got[3][0] == 8
