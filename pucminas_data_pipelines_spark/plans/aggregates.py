@@ -617,3 +617,51 @@ def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_distinct_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (bitmap_bucket_number
+    / bitmap_construct_agg / bitmap_count) — the third distinct tier next
+    to exact countDistinct (two-phase rewrite, two shuffles) and HLL
+    (approximate): integer keys set bits in fixed-width bitmap buckets
+    that merge associatively, so the count is exact in ONE pass and the
+    per-group state is bounded by key range, not row count. The same
+    bitmaps also roll up across groups losslessly (bitmap_or_agg) where
+    HLL unions lose precision guarantees.
+
+    Scale: shuffle #1 carries (group, bucket, bitmap) — map-side
+    combined, bitmap width fixed; shuffle #2 is |groups x buckets| tiny
+    rows. Oracle is plain COUNT(DISTINCT): the bitmap path must be
+    value-identical, not approximately right."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_bucket = (
+        l.select(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(l_partkey)").alias("bitpos"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.expr("bitmap_construct_agg(bitpos)").alias("bm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_parts"),
+            F.sum("n").cast("bigint").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
