@@ -651,3 +651,42 @@ def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFra
             F.when(~bad, F.col("o_totalprice").cast("decimal(18,2)"))
         ).cast("double").alias("sum_good_price"),
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + schema'd XML scan via Spark 4's NATIVE xml datasource
+    (the spark-xml donation, built in since 4.0) — rounds out the format
+    matrix next to csv/json/orc/text/binaryFile/parquet. Explicit schema
+    as everywhere: XML inference is a full extra pass AND type-guesses;
+    production scans declare.
+
+    Scale: rowTag framing splits files the same way the JSON-lines
+    reader does; one XML record parses per row inside the scan."""
+    path = f"{_TMP}/orders_xml"
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    o.write.format("xml").options(rootTag="orders", rowTag="order").mode(
+        "overwrite"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey bigint, o_orderstatus string, o_totalprice double")
+        .load(path)
+    )
+    return back.select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy(
+        "o_orderkey"
+    )
