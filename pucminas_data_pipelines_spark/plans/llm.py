@@ -1680,3 +1680,121 @@ def dedup_span_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_dropped",
         F.md5(F.col("redacted_text").cast("binary")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_bpe_merge_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+      FROM documents
+    )
+    SELECT p.pr[1] AS left_tok, p.pr[2] AS right_tok,
+           CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM tok, UNNEST(list_zip(t[:-2], t[2:])) AS p(pr)
+    GROUP BY left_tok, right_tok
+    ORDER BY pair_count DESC, left_tok, right_tok
+    LIMIT 20
+    """,
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration's statistics pass (Sennrich et al. 2016):
+    count every adjacent token pair across the corpus and surface the 20
+    most frequent — the pair a tokenizer trainer would merge next.
+
+    Scale: pairs are formed INSIDE each document row with zip(arr, arr[1:])
+    before the explode, so no self-join and no positional shuffle — the
+    only shuffle is the map-side-combined pair-count aggregate, whose
+    cardinality is the pair vocabulary (bounded), not the corpus size. The
+    oracle forms the same pairs via a positional self-join, which is fine
+    at sf0.01 but exactly the plan this query deliberately avoids."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("l"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("r"),
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_tok"),
+            F.col("p.r").alias("right_tok"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+        .limit(20)
+    )
+
+
+@query(
+    "text_char_diversity",
+    oracle="""
+    WITH chars AS (
+      SELECT d.doc_id, d.lang, c.ch
+      FROM documents d,
+           UNNEST(string_split(LOWER(d.text), '')) AS c(ch)
+      WHERE c.ch BETWEEN 'a' AND 'z'
+    ),
+    hist AS (
+      SELECT doc_id, lang, ch, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM chars GROUP BY doc_id, lang, ch
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             SUM(c) AS n,
+             1.0 - SUM(c * c) / (SUM(c) * SUM(c)) AS gini,
+             -SUM(c * LN(c)) / SUM(c) + LN(SUM(c)) AS entropy,
+             CAST(COUNT(*) AS BIGINT) AS distinct_chars
+      FROM hist GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(gini), 6) AS avg_gini,
+           ROUND(AVG(entropy), 4) AS avg_entropy,
+           ROUND(AVG(distinct_chars), 6) AS avg_distinct_chars
+    FROM per_doc
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality signals per language: Gini impurity
+    (rational arithmetic, cross-engine exact) and Shannon entropy of each
+    document's a-z histogram, plus distinct-character count — low-entropy
+    documents are boilerplate/repetition candidates, a standard pretraining
+    quality filter alongside text_quality_scores' length/punct ratios.
+
+    Scale: two map-side-combined aggregates — (doc, char) then (doc) — and
+    one final tiny per-lang rollup; the (doc, char) cardinality is at most
+    26x docs, and nothing is quadratic. Entropy terms are LN over identical
+    doubles on both engines (same precedent as BM25/TF-IDF), rounded after
+    the aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+    ).where(F.col("ch").between("a", "z"))
+    hist = chars.groupBy("doc_id", "lang", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    per_doc = hist.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n"),
+        (
+            F.lit(1.0) - F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c"))
+        ).alias("gini"),
+        (
+            -F.sum(F.col("c") * F.log(F.col("c"))) / F.sum("c")
+            + F.log(F.sum("c"))
+        ).alias("entropy"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("gini"), 6).alias("avg_gini"),
+            F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+            F.round(F.avg("distinct_chars"), 6).alias("avg_distinct_chars"),
+        )
+        .orderBy("lang")
+    )

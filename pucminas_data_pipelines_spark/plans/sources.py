@@ -690,3 +690,54 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy(
         "o_orderkey"
     )
+
+
+@query(
+    "join_dpp_partitioned_fact",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact table partitioned on the join key,
+    joined to a small dimension whose FILTER (not a literal on the fact)
+    decides which partitions matter — Spark injects the dim's key set into
+    the fact scan at runtime (`dynamicpruningexpression` in the plan,
+    asserted by tests/test_plans.py), so only the surviving partition
+    directories are read.
+
+    Scale: this is THE mechanism that makes star-schema queries feasible on
+    a 100 TB date/status-partitioned fact — static pruning can't help
+    because the predicate lives on the dimension; without DPP the scan
+    reads every partition. The dim is broadcast (DPP's
+    reuseBroadcastOnly default reuses that same broadcast for the pruning
+    subquery, so pruning costs nothing extra)."""
+    path = f"{_TMP}/orders_dpp"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    io.write(o, path, fmt="parquet", mode="overwrite", partition_by=["o_orderstatus"])
+    fact = spark.read.parquet(path)
+    dim = io.from_rows(
+        spark,
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    )
+    selected = dim.where(F.col("label") != "pending")
+    return (
+        fact.join(F.broadcast(selected), fact["o_orderstatus"] == selected["status"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1163,3 +1163,167 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first(F.col("n2").cast("bigint")).alias("n_purchase"),
         )
     )
+
+
+# Count-min sketch parameters: depth-4 universal hash family
+# h_i(x) = ((a_i*x + b_i) mod P) mod W over a Mersenne prime. Constants are
+# fixed so the Spark query and the DuckDB oracle compute the identical
+# sketch (both engines' BIGINT arithmetic is exact here: a*x < 2^62).
+_CMS_P = 2147483647  # 2^31 - 1
+_CMS_W = 256
+_CMS_HASHES = [(1103515245, 12345), (69069, 362437), (214013, 2531011), (134775813, 1)]
+
+
+@query(
+    "stats_countmin_heavy_hitters",
+    oracle=f"""
+    WITH hashes(i, a, b) AS (
+      VALUES {', '.join(f'({i}, {a}, {b})' for i, (a, b) in enumerate(_CMS_HASHES))}
+    ),
+    sketch AS (
+      SELECT h.i, ((h.a * o.o_custkey + h.b) % {_CMS_P}) % {_CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders o CROSS JOIN hashes h
+      GROUP BY h.i, bucket
+    ),
+    topk AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM orders GROUP BY o_custkey
+      ORDER BY true_count DESC, o_custkey LIMIT 10
+    )
+    SELECT t.o_custkey, t.true_count,
+           MIN(s.cnt) AS cms_estimate,
+           MIN(s.cnt) >= t.true_count AS never_undercounts
+    FROM topk t
+    CROSS JOIN hashes h
+    JOIN sketch s
+      ON s.i = h.i AND s.bucket = ((h.a * t.o_custkey + h.b) % {_CMS_P}) % {_CMS_W}
+    GROUP BY t.o_custkey, t.true_count
+    ORDER BY t.true_count DESC, t.o_custkey
+    """,
+)
+def stats_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan 2005)
+    with a depth-4 / width-256 universal hash grid, probed for the 10
+    heaviest customers.
+
+    Scale: the sketch build is ONE map-side-combined aggregate over
+    (depth × rows) exploded keys into at most depth*width = 1024 cells —
+    the shuffle carries ≤1024 rows regardless of input size, which is the
+    whole point of the sketch: per-partition grids merge by cell-wise
+    addition, so this is the mergeable-summary pattern (same family as
+    agg_hll_sketch_mergeable / agg_bitmap_exact_distinct). The probe side
+    broadcasts 10 keys × 4 hashes against the tiny sketch. CMS guarantees
+    estimate >= true count (one-sided error), asserted per row in the
+    `never_undercounts` column."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    hash_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (((F.lit(a) * F.col("o_custkey") + F.lit(b)) % _CMS_P) % _CMS_W).alias(
+                    "bucket"
+                ),
+            )
+            for i, (a, b) in enumerate(_CMS_HASHES)
+        ]
+    )
+    sketch = (
+        o.select(F.explode(hash_structs).alias("h"))
+        .groupBy(F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+    probes = topk.select(
+        "o_custkey",
+        "true_count",
+        F.explode(hash_structs).alias("h"),
+    ).select("o_custkey", "true_count", "h.i", "h.bucket")
+    return (
+        sketch.join(F.broadcast(probes), ["i", "bucket"])
+        .groupBy("o_custkey", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "o_custkey",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("true_count")).alias("never_undercounts"),
+        )
+        .orderBy(F.col("true_count").desc(), F.col("o_custkey"))
+    )
+
+
+@query(
+    "stats_kmv_distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             (1103515245 * user_id + 12345) % {_CMS_P} AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed
+    ),
+    kth AS (SELECT event_type, h AS hk FROM ranked WHERE rk = 64),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           e.exact_distinct,
+           CAST(ROUND(63.0 * {_CMS_P} / k.hk) AS BIGINT) AS kmv_estimate,
+           ABS(CAST(ROUND(63.0 * {_CMS_P} / k.hk) AS BIGINT) - e.exact_distinct)
+             <= CAST(CEIL(0.5 * e.exact_distinct) AS BIGINT) AS within_50pct
+    FROM exact e JOIN kth k USING (event_type)
+    ORDER BY e.event_type
+    """,
+)
+def stats_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
+    sketch: hash each user uniformly into [0, P), keep the k=64 smallest
+    distinct hashes per group; estimate |D| = (k-1)·P / h_(k), compared
+    against the exact per-type distinct count with a 50% sanity bound.
+
+    Scale: the distinct-(group, hash) pass is the only full shuffle, and it
+    map-side combines; after it each group carries at most its distinct
+    hashes and the window keeps only rank<=64. The bottom-k hash SET is the
+    mergeable summary — union two sketches by merging lists and re-taking
+    the k smallest, which is how shard-parallel sketches combine at 100 TB
+    (same mergeability family as HLL but with an unbiased estimator and
+    exact-set semantics below k). Deterministic: same universal hash on
+    both engines, integer arithmetic only until the final division."""
+    e = load_table(spark, sf_dir, "events")
+    hashed = e.select(
+        "event_type",
+        ((F.lit(1103515245) * F.col("user_id") + F.lit(12345)) % _CMS_P).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 64)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    est = F.round(F.lit(63.0) * _CMS_P / F.col("hk")).cast("bigint")
+    return (
+        exact.join(kth, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            est.alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("exact_distinct"))
+                <= F.ceil(F.lit(0.5) * F.col("exact_distinct")).cast("bigint")
+            ).alias("within_50pct"),
+        )
+        .orderBy("event_type")
+    )

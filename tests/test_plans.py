@@ -398,3 +398,32 @@ def test_mad_anomalies_broadcasts_group_stats(spark):
     plan = _plan(QUERIES["stats_mad_anomalies"](spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_dpp_injects_runtime_partition_filter(spark):
+    """join_dpp_partitioned_fact must prune fact partitions at runtime from
+    the dimension filter: the scan's PartitionFilters must carry a
+    dynamicpruningexpression, and the dim must broadcast."""
+    df = QUERIES["join_dpp_partitioned_fact"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "dynamicpruningexpression" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_sketch_shuffle_is_bounded_and_map_combined(spark):
+    """The count-min build must partial-aggregate map-side (two
+    HashAggregates around its shuffle) and probe via broadcast — the
+    shuffle carries sketch cells, never raw keys."""
+    df = QUERIES["stats_countmin_heavy_hitters"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 4  # sketch partial+final, probe agg
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_pairs_no_self_join(spark):
+    """Adjacent pairs are zipped inside the row — the plan must contain no
+    join at all (the oracle's positional self-join is the anti-pattern)."""
+    df = QUERIES["text_bpe_merge_pairs"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
