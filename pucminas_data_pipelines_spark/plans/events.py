@@ -729,3 +729,61 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("first_touch")
     )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_ts,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rk_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rk_close
+      FROM events
+    )
+    SELECT event_type, bar_ts,
+           MAX(CASE WHEN rk_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rk_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM ranked
+    GROUP BY event_type, bar_ts
+    ORDER BY event_type, bar_ts
+    LIMIT 100
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (open/high/low/close + tick count + volume)
+    per event type per hour — the canonical time-series downsampling a
+    hypertable serves (TimescaleDB `time_bucket` + first/last aggregates),
+    here via min_by/max_by over a (ts, event_id) ordering struct so ties
+    are engine-deterministic.
+
+    Scale: ONE hash aggregate, no window — min_by/max_by carry a single
+    (ord, value) pair per group per partition through map-side combine, so
+    the shuffle is O(groups), not O(ticks). The oracle's ROW_NUMBER
+    formulation is the plan this avoids (a full per-group sort)."""
+    e = load_table(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bar_ts")
+        )
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .orderBy("event_type", "bar_ts")
+        .limit(100)
+    )

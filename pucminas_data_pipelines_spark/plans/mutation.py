@@ -301,3 +301,71 @@ def mutation_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_version=2,
     )
     return hist.orderBy("c_custkey", "valid_from")
+
+
+@query(
+    "mutation_overwrite_dynamic_partitions",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10.00
+                         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def mutation_overwrite_dynamic_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic): an
+    INSERT OVERWRITE that replaces ONLY the partitions present in the
+    incoming batch — here the 'F' partition is rewritten with halved
+    prices while 'O'/'P' survive untouched, proving the write did not
+    truncate the table the way static overwrite would.
+
+    Scale: this is the standard idempotent backfill primitive for a
+    date-partitioned 100 TB table — reprocessing one day rewrites one
+    directory, never the table. The conf is set through a restoring
+    try/finally so it cannot leak into subsequent queries (session
+    registry invariant)."""
+    from contextlib import contextmanager
+
+    path = "/root/repo/.tmp/orders_dynpart"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+
+    @contextmanager
+    def _dynamic_overwrite():
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    patch = o.where(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(10.00).cast("decimal(4,2)"))
+        .cast("double"),
+    )
+    with _dynamic_overwrite():
+        patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

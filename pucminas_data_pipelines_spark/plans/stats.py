@@ -1327,3 +1327,195 @@ def stats_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_benfords_law",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+             AS first_digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counted AS (
+      SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(COUNT(*)) OVER () AS total
+      FROM digits GROUP BY first_digit
+    )
+    SELECT first_digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_share,
+           ROUND(LN(1.0 + 1.0 / first_digit) / LN(10.0), 6) AS benford_share,
+           ROUND(ABS(CAST(n AS DOUBLE) / total
+                     - LN(1.0 + 1.0 / first_digit) / LN(10.0)), 6) AS abs_dev
+    FROM counted
+    ORDER BY first_digit
+    """,
+)
+def stats_benfords_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: distribution of the first
+    significant digit vs the expected log10(1 + 1/d) share — a standard
+    fabricated-data / corrupted-feed detector for financial columns.
+
+    The first digit is extracted through exact DECIMAL(18,2)->cents->string
+    arithmetic (no float log10), so both engines bucket identically.
+
+    Scale: one map-side-combined aggregate to 9 rows plus a single-row
+    total broadcast — shuffle is O(9) regardless of input."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    counted = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counted.agg(F.sum("n").alias("total"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("first_digit")) / F.log(
+        F.lit(10.0)
+    )
+    share = F.col("n").cast("double") / F.col("total")
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n",
+            F.round(share, 6).alias("observed_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(F.abs(share - benford), 6).alias("abs_dev"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@query(
+    "stats_autocorrelation_lag1",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_type, value AS x,
+             LAG(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      FROM lagged WHERE y IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS lag1_autocorr
+    FROM s ORDER BY event_type
+    """,
+)
+def stats_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the measurement series per event type —
+    the first diagnostic for "is this sensor stream white noise or
+    trending", computed as exact-decimal Pearson moments over (x, lag(x))
+    so both engines agree bit-for-bit (same discipline as
+    agg_variance_manual; the built-in corr's float accumulation order is
+    nondeterministic).
+
+    Scale: one window shuffle (partition by type, sort by time) to form the
+    lag pairs, then a map-side-combined moment aggregate to |types| rows.
+    The window partitions by event_type only — at 100 TB you'd bucket time
+    ranges first (as events_gap_fill_ffill documents) to bound partition
+    width."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = e.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.lag("value").over(w).alias("y"),
+    ).where(F.col("y").isNotNull())
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "event_type", "n", F.round(num / den, 6).alias("lag1_autocorr")
+    ).orderBy("event_type")
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median_price,
+           CAST(MIN(tw) AS DOUBLE) AS total_weight
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest price p
+    whose cumulative weight reaches half the group's total — the estimator
+    a percentile can't give you when rows carry unequal mass (here:
+    line-items weighted by quantity). Exact DECIMAL cumulative sums make
+    the >= threshold test engine-identical even on tied prices.
+
+    Scale: one window shuffle (partition by flag, sort by price) plus a
+    map-side-combined min — no second pass; total weight rides the same
+    window. For a 100 TB column you'd swap the exact sort for the
+    equi-depth-histogram sketch (stats_equidepth_histogram) and interpolate
+    within the bucket."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("decimal(18,2)")
+    part = Window.partitionBy("l_returnflag")
+    cum = part.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wq).over(cum).alias("cw"),
+        F.sum(wq).over(part).alias("tw"),
+    )
+    return (
+        c.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.min("tw").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -427,3 +427,20 @@ def test_bpe_pairs_no_self_join(spark):
     plan = _plan(df)
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ohlc_bars_single_aggregate_no_window(spark):
+    """OHLC via min_by/max_by must be one hash aggregate — no per-group
+    sort window (the oracle's ROW_NUMBER shape)."""
+    plan = _plan(QUERIES["events_ohlc_bars"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+
+
+def test_weighted_median_one_window_pass(spark):
+    """Cumulative and total weight ride the SAME window shuffle — exactly
+    one Exchange before the window, and total weight must not trigger a
+    second shuffle or a join."""
+    plan = _plan(QUERIES["agg_weighted_median"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") <= 2  # running-sum frame + whole-partition frame
