@@ -753,3 +753,67 @@ def curation_train_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard_id", "shard_pos")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "curation_temperature_mixture",
+    oracle="""
+    WITH counted AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS raw_share
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, n_docs, raw_share,
+             SQRT(raw_share) / SUM(SQRT(raw_share)) OVER () AS temp_share
+      FROM counted
+    )
+    SELECT source, n_docs,
+           ROUND(raw_share, 6) AS raw_share,
+           ROUND(temp_share, 6) AS temp_share,
+           CAST(ROUND(temp_share * 10000) AS BIGINT) AS sampled_docs_per_10k,
+           ROUND(temp_share / raw_share, 6) AS upweight_factor
+    FROM scaled
+    ORDER BY source
+    """,
+)
+def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (tau = 0.5, i.e. p^tau
+    renormalized — the multilingual/multi-domain rebalancing rule from
+    mBERT/XLM-R and LLM data recipes): rare sources are upweighted toward
+    uniform while the head is flattened, in contrast to
+    curation_domain_mixture's hard 5% cap.
+
+    Scale: two tiny aggregates over |sources| rows after one
+    map-side-combined count — the plan's only full-data pass is the
+    count itself. IEEE sqrt is bit-identical across engines, so shares
+    hash-match exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = Window.partitionBy()
+    scaled = counted.select(
+        "source",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(tot)).alias(
+            "raw_share"
+        ),
+    ).select(
+        "source",
+        "n_docs",
+        "raw_share",
+        (F.sqrt("raw_share") / F.sum(F.sqrt("raw_share")).over(tot)).alias(
+            "temp_share"
+        ),
+    )
+    return scaled.select(
+        "source",
+        "n_docs",
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round("temp_share", 6).alias("temp_share"),
+        F.round(F.col("temp_share") * 10000).cast("bigint").alias(
+            "sampled_docs_per_10k"
+        ),
+        F.round(F.col("temp_share") / F.col("raw_share"), 6).alias(
+            "upweight_factor"
+        ),
+    ).orderBy("source")

@@ -4,7 +4,7 @@ shape are real; only the codec is a deterministic fake)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pucminas_data_pipelines_spark.operators import multimodal as M
@@ -184,3 +184,78 @@ def multimodal_bytes_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = M.attach_binary_payload(docs, "doc_id", "text")
     return M.payload_byte_stats(assets).orderBy("asset_id")
+
+
+@query(
+    "multimodal_webdataset_shard_layout",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id AS asset_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents
+    ),
+    laid AS (
+      SELECT asset_id, byte_len,
+             SUM(byte_len) OVER (ORDER BY asset_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_end
+      FROM sized
+    ),
+    placed AS (
+      SELECT asset_id, byte_len,
+             CAST(FLOOR((cum_end - byte_len) / 65536.0) AS BIGINT) AS shard_id,
+             cum_end - byte_len
+               - CAST(FLOOR((cum_end - byte_len) / 65536.0) AS BIGINT) * 65536
+               AS offset_in_stream
+      FROM laid
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(byte_len) AS BIGINT) AS shard_bytes,
+           MIN(asset_id) AS first_asset,
+           MAX(asset_id) AS last_asset
+    FROM placed
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def multimodal_webdataset_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard layout for binary training assets: assets are
+    packed in deterministic key order into ~64 KiB shards by cumulative
+    byte offset (shard = floor(start_offset / shard_size)), the manifest a
+    tar-shard writer needs (asset -> shard, offset). Training loaders then
+    read whole shards sequentially instead of issuing one random GET per
+    asset — the I/O pattern that makes 100 TB multimodal training feasible.
+
+    Scale: the cumulative-offset window is a global ordered prefix sum —
+    at real scale you'd first range-partition by key and compute per-range
+    base offsets from partition subtotals (two passes, no global sort of
+    payloads; only ids and sizes move). The payload bytes themselves never
+    shuffle here: the layout is computed from sizes alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.attach_binary_payload(docs, "doc_id", "text").select(
+        "asset_id", F.col("meta.byte_len").cast("bigint").alias("byte_len")
+    )
+    w = Window.orderBy("asset_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    laid = assets.select(
+        "asset_id",
+        "byte_len",
+        (F.sum("byte_len").over(w) - F.col("byte_len")).alias("start_off"),
+    )
+    placed = laid.select(
+        "asset_id",
+        "byte_len",
+        F.floor(F.col("start_off") / 65536.0).cast("bigint").alias("shard_id"),
+    )
+    return (
+        placed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("byte_len").alias("shard_bytes"),
+            F.min("asset_id").alias("first_asset"),
+            F.max("asset_id").alias("last_asset"),
+        )
+        .orderBy("shard_id")
+    )

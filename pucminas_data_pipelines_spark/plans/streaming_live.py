@@ -269,3 +269,29 @@ def streaming_python_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             q.awaitTermination(30)
     return spark.table(table).orderBy("bucket")
+
+
+@query(
+    "streaming_watermark_late_drop_live",
+    oracle="""
+    SELECT TIMESTAMP '2024-01-01 00:00:00' AS window_start,
+           CAST(10 AS BIGINT) AS n_events
+    UNION ALL
+    SELECT TIMESTAMP '2024-01-01 01:00:00', CAST(4 AS BIGINT)
+    ORDER BY window_start
+    """,
+)
+def streaming_watermark_late_drop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, live and deterministic: batch 1 advances
+    the watermark past two closed windows; batch 2 replays 5 events into
+    the closed 00:00 window and every one must be dropped (count stays 10,
+    not 15). The other live jobs prove streaming matches batch when
+    nothing is late; this one pins the drop path itself — the semantics
+    that let the state store stay bounded on an unbounded stream. The
+    oracle is the literal expected post-drop append-mode output."""
+    from pyspark.sql import functions as F
+
+    out = jobs.run_late_data_drop_scenario(
+        spark, "/root/repo/.tmp/stream_late_src"
+    )
+    return out.select("window_start", "n_events").orderBy("window_start")

@@ -345,3 +345,70 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "window_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    islands AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days,
+             MIN(d) AS streak_start
+      FROM islands GROUP BY user_id, island
+    ),
+    best AS (
+      SELECT user_id, streak_days, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start) AS rk
+      FROM streaks
+    )
+    SELECT user_id, streak_days AS longest_streak_days, streak_start
+    FROM best WHERE rk = 1
+    ORDER BY longest_streak_days DESC, user_id
+    LIMIT 20
+    """,
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the calendar
+    gaps-and-islands idiom (date minus dense row_number is constant within
+    a run of consecutive days), the retention metric every engagement
+    dashboard computes.
+
+    Scale: distinct-(user, day) collapses the raw stream first (map-side
+    combined, cardinality <= users x days), so the window sort runs on the
+    reduced set; island key and streak length are then two cheap
+    aggregates on the SAME user partitioning — no extra exchange."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("d").alias("streak_start"),
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(best))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("streak_days").alias("longest_streak_days"),
+            "streak_start",
+        )
+        .orderBy(F.col("longest_streak_days").desc(), "user_id")
+        .limit(20)
+    )

@@ -292,3 +292,80 @@ def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             F.col("window.start").alias("window_start"), "n_events", "sum_value"
         )
     )
+
+
+def run_late_data_drop_scenario(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Deterministic watermark late-data drop: three micro-batches through
+    a file-source stream (maxFilesPerTrigger=1, AvailableNow), an hourly
+    APPEND-mode windowed count with a 1-hour watermark.
+
+    Batch 1 carries 10 events in the 00:00 window, 4 in the 01:00 window
+    and a lone 03:00 event that advances event-time max to 03:00, so the
+    watermark after batch 1 is 02:00. Batch 2 (one on-time 03:10 event)
+    runs under that watermark, finalizing and emitting the 00:00 and 01:00
+    windows — eviction happens one batch after the watermark passes, and a
+    late row arriving in the SAME batch as the eviction would still be
+    merged, which is why the late data must come one batch later. Batch 3
+    replays 5 events into the closed 00:00 window — all dropped
+    (numRowsDroppedByWatermark): the emitted count stays 10, and no
+    second 00:00 row appears. The 03:00 window never passes the final
+    watermark and never emits — append-mode semantics exactly.
+
+    Scale: the watermark is what BOUNDS the state store on an unbounded
+    stream — without it every window lives forever. This scenario pins the
+    drop semantics the engine relies on for that bound (file mtimes force
+    batch order; everything else is event-time arithmetic)."""
+    import os
+    import shutil as _sh
+
+    _sh.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+    def _rows(ids_ts):
+        return [(i, ts, 1, 1.0) for i, ts in ids_ts]
+
+    b1 = _rows(
+        [(i, f"2024-01-01 00:{5 + i:02d}:00") for i in range(10)]
+        + [(100 + i, f"2024-01-01 01:{10 + i:02d}:00") for i in range(4)]
+        + [(999, "2024-01-01 03:00:00")]
+    )
+    b2 = _rows([(500, "2024-01-01 03:10:00")])
+    b3 = _rows([(200 + i, "2024-01-01 00:30:00") for i in range(5)])
+
+    def _write(rows, sub, mtime):
+        p = f"{src_dir}/{sub}"
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [
+                (i, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), u, v)
+                for i, ts, u, v in rows
+            ],
+            schema,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            full = f"{p}/{f}"
+            os.utime(full, (mtime, mtime))
+
+    base = 1_700_000_000
+    _write(b1, "b1", base)
+    _write(b2, "b2", base + 100)
+    _write(b3, "b3", base + 200)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(src_dir)
+    )
+    counted = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    return run_to_memory(counted, output_mode="append", state_partitions=4)
