@@ -750,3 +750,62 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
         .orderBy("event_id")
     )
+
+
+@query(
+    "sql_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+      SELECT DATE '1997-01-01'
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '1997-03-31'
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT CAST(s.d AS DATE) AS d,
+           COALESCE(dl.n, 0) AS n_orders,
+           dl.n IS NULL AS zero_order_day
+    FROM spine s LEFT JOIN daily dl ON s.d = dl.d
+    ORDER BY d
+    """,
+)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.1): generate a Q1-1997 calendar date spine
+    recursively, left-join daily order counts against it, and flag the
+    zero-order days a plain GROUP BY would silently omit — the canonical
+    gap-surfacing date-dimension pattern, now expressible in pure SQL on
+    both engines.
+
+    Scale: the recursion materializes 90 spine rows on the driver-side
+    plan (one row per step, far under the default recursion limit); the
+    orders aggregate is the only real shuffle and the spine joins
+    broadcast. For multi-year spines prefer sequence()+explode (constant
+    folding, no iteration) — this entry pins the recursive-SQL surface
+    itself."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE '1997-01-01'
+          UNION ALL
+          SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '1997-03-31'
+        ),
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+          FROM orders_rec
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY 1
+        )
+        SELECT s.d AS d,
+               COALESCE(dl.n, CAST(0 AS BIGINT)) AS n_orders,
+               dl.n IS NULL AS zero_order_day
+        FROM spine s LEFT JOIN daily dl ON s.d = dl.d
+        ORDER BY d
+        """
+    )

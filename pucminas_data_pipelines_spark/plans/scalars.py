@@ -675,3 +675,56 @@ def scalar_timestamp_epoch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_text"),
         (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
     ).orderBy("event_id")
+
+
+@query(
+    "scalar_try_error_safe_suite",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      / NULLIF(o_orderkey % 4, 0) AS DOUBLE), 6) AS safe_ratio,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+           TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER)
+             AS priority_rank,
+           TRY_CAST(o_orderpriority AS DOUBLE) IS NULL AS priority_not_numeric,
+           CASE WHEN LENGTH(o_orderpriority) >= 3
+                THEN SUBSTRING(o_orderpriority, 3, 1) END AS third_char
+    FROM orders
+    WHERE o_orderkey <= 400
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_try_error_safe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family (ANSI-mode survivors): try_divide returns
+    NULL on zero divisors instead of raising, try_cast NULLs malformed
+    casts, and bounds-checked substring access — the functions that let a
+    100 TB pipeline run with spark.sql.ansi.enabled (fail-fast on REAL
+    corruption) while tolerating expected dirt. The DuckDB oracle maps
+    try_divide to NULLIF-division and try_cast to TRY_CAST.
+
+    Scale: pure whole-stage-codegen expressions; the point is semantic —
+    per-row error handling without a Python UDF or a job-killing
+    exception."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(
+                F.col("o_totalprice").cast("decimal(18,2)"),
+                F.col("o_orderkey") % 4,
+            ).cast("double"),
+            6,
+        ).alias("safe_ratio"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.substring(F.col("o_orderpriority"), 1, 1)
+        .try_cast("int")
+        .alias("priority_rank"),
+        F.col("o_orderpriority")
+        .try_cast("double")
+        .isNull()
+        .alias("priority_not_numeric"),
+        F.when(
+            F.length(F.col("o_orderpriority")) >= 3,
+            F.substring(F.col("o_orderpriority"), 3, 1),
+        ).alias("third_char"),
+    ).orderBy("o_orderkey")
