@@ -473,16 +473,21 @@ def dedup_clusters(
     )
 
     for _ in range(max_iters):
-        # candidate label per node: min over its own and neighbors' labels
+        # candidate label per node: min over its own and neighbors' labels.
+        # Old and new labels ride the SAME checkpointed frame, so the
+        # convergence probe is a filter over materialized rows — not the
+        # extra label-vs-label shuffle join a naive check would add per
+        # round (labels only ever decrease, so new < old ⇔ changed).
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        joined = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -490,13 +495,9 @@ def dedup_clusters(
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            joined.where(F.col("label") < F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = joined.select("id", "label")
         if changed == 0:
             break
 
