@@ -1798,3 +1798,109 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "embedding_norm_quality",
+    oracle="""
+    WITH normed AS (
+      SELECT vec_id, label,
+             sqrt(list_aggregate(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')) AS l2,
+             len(embedding) AS dim,
+             list_aggregate(list_transform(embedding,
+               x -> CASE WHEN x = 0 THEN 1 ELSE 0 END), 'sum') AS n_zero_dims
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(dim) AS BIGINT) AS dim,
+           ROUND(MIN(l2), 6) AS min_norm,
+           ROUND(quantile_cont(l2, 0.5), 6) AS median_norm,
+           ROUND(MAX(l2), 6) AS max_norm,
+           CAST(SUM(CASE WHEN l2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vectors,
+           CAST(SUM(CASE WHEN n_zero_dims * 2 > dim THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mostly_zero
+    FROM normed
+    GROUP BY label ORDER BY label
+    """,
+)
+def embedding_norm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column quality gate: per-label L2-norm distribution
+    (min/median/max), zero-vector and mostly-zero-vector counts — the
+    sanity scan you run before trusting 100 TB of embeddings for ANN or
+    semantic dedup (zero/degenerate vectors poison cosine math; see
+    ADVICE r4 on ivf_pq's norm guard).
+
+    Cross-engine determinism without group float sums: the norm is a
+    SEQUENTIAL in-row fold (same order both engines → identical doubles),
+    and group statistics are order-free (min/max/count) or interpolated
+    order statistics (median ≡ quantile_cont) — no Σfloat over an
+    unordered group anywhere.
+
+    Scale: one map-side pass computes norms in-row; the aggregate carries
+    |labels| rows. No shuffle of vectors, only of 4 scalars per row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "label",
+        F.expr(
+            "sqrt(aggregate(transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+        ).alias("l2"),
+        F.size("embedding").alias("dim"),
+        F.expr(
+            "aggregate(transform(embedding, "
+            "x -> CASE WHEN x = 0 THEN 1 ELSE 0 END), 0, (a, x) -> a + x)"
+        ).alias("n_zero_dims"),
+    )
+    return (
+        normed.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("dim").cast("bigint").alias("dim"),
+            F.round(F.min("l2"), 6).alias("min_norm"),
+            F.round(F.expr("percentile(l2, 0.5)"), 6).alias("median_norm"),
+            F.round(F.max("l2"), 6).alias("max_norm"),
+            F.sum(F.when(F.col("l2") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_vectors"),
+            F.sum(
+                F.when(F.col("n_zero_dims") * 2 > F.col("dim"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mostly_zero"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle=_JACCARD_CTE
+    + """
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin family)
+    — the deterministic alternative to MinHash: candidates come from an
+    inverted index over each document's RAREST shingles only (prefix
+    length |S| - ceil(t|S|) + 1 under the global-frequency order), with
+    guaranteed recall 1.0 at the threshold, then exact Jaccard verify.
+    Oracle: all-pairs exact Jaccard at the same threshold — equality is a
+    THEOREM here (prefix filtering is lossless), unlike the LSH queries
+    where it relies on measured corpus recall.
+
+    Scale: see operators/dedup.prefix_filter_pairs — the frequent-shingle
+    join explosion is pruned by construction; verify touches candidates
+    only (array_intersect on the two shingle sets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+    return D.ngram_jaccard_pairs(cands, docs, "doc_id", "text", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )

@@ -281,3 +281,76 @@ def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "pii_luhn_validation",
+    oracle="""
+    WITH cards AS (
+      SELECT c_custkey,
+             '4' || lpad(CAST((c_custkey * 7919) % 100000000000000 AS VARCHAR),
+                         14, '0')
+                 || CAST(c_custkey % 10 AS VARCHAR) AS card_number
+      FROM customer WHERE c_custkey <= 300
+    ),
+    checked AS (
+      SELECT c_custkey, card_number,
+             list_aggregate(list_transform(generate_series(1, 16), p ->
+               CASE WHEN p % 2 = 0 THEN
+                 CASE WHEN 2 * CAST(substring(reverse(card_number), p, 1)
+                                   AS INTEGER) > 9
+                      THEN 2 * CAST(substring(reverse(card_number), p, 1)
+                                    AS INTEGER) - 9
+                      ELSE 2 * CAST(substring(reverse(card_number), p, 1)
+                                    AS INTEGER) END
+               ELSE CAST(substring(reverse(card_number), p, 1) AS INTEGER)
+               END), 'sum') AS luhn_sum
+      FROM cards
+    )
+    SELECT c_custkey, card_number,
+           CAST(luhn_sum AS BIGINT) AS luhn_sum,
+           luhn_sum % 10 = 0 AS luhn_valid
+    FROM checked
+    ORDER BY c_custkey
+    """,
+)
+def pii_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation of card-shaped numbers — the verification
+    step that turns a PII regex HIT into a confirmed credit-card leak
+    (16-digit strings that fail Luhn are mostly order ids and phone
+    numbers; a scanner that redacts on regex alone destroys clean data).
+    Card numbers are synthesized deterministically from customer keys so
+    both engines validate the identical corpus, with a mix of valid and
+    invalid checksums.
+
+    Scale: pure per-row whole-stage-codegen expressions (sequence +
+    transform + fold) — no UDF, no shuffle beyond the final sort; composes
+    directly with pii_scan_counts' single-scan plan."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    cards = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("4"),
+            F.lpad(
+                ((F.col("c_custkey") * 7919) % 100000000000000).cast("string"),
+                14,
+                "0",
+            ),
+            (F.col("c_custkey") % 10).cast("string"),
+        ).alias("card_number"),
+    )
+    luhn_sum = F.expr(
+        "aggregate(transform(sequence(1, 16), p -> "
+        "CASE WHEN p % 2 = 0 THEN "
+        "  CASE WHEN 2 * CAST(substring(reverse(card_number), p, 1) AS INT) > 9 "
+        "       THEN 2 * CAST(substring(reverse(card_number), p, 1) AS INT) - 9 "
+        "       ELSE 2 * CAST(substring(reverse(card_number), p, 1) AS INT) END "
+        "ELSE CAST(substring(reverse(card_number), p, 1) AS INT) END), "
+        "0, (a, x) -> a + x)"
+    )
+    return cards.select(
+        "c_custkey",
+        "card_number",
+        luhn_sum.cast("bigint").alias("luhn_sum"),
+        (luhn_sum % 10 == 0).alias("luhn_valid"),
+    ).orderBy("c_custkey")

@@ -1519,3 +1519,61 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "quality_temporal_consistency",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT) AS shipped_before_ordered,
+           CAST(SUM(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 180 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS shipped_180d_late,
+           ROUND(AVG(CAST(EXTRACT(epoch FROM l_shipdate)
+                          - EXTRACT(epoch FROM o_orderdate) AS DOUBLE))
+                 / 86400.0, 6) AS avg_lag_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+)
+def quality_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table temporal consistency audit: per order year, line items
+    shipped BEFORE their order date (impossible-causality violations) and
+    >=180 days after (stale-pipeline smell), plus the average order→ship
+    lag — the cross-field data-quality rule class that single-table
+    profiles (stats_table_profile) can't see. Lag math is exact integer
+    epoch seconds averaged over BIGINT sums, so both engines agree.
+
+    Scale: one fact-fact equi-join (hash-partitioned on orderkey, AQE
+    skew-safe) feeding a map-side-combined aggregate over |years| groups —
+    the violation counters fold into the same pass as the lag average."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+    lag_s = (
+        F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+    ).cast("double")
+    return (
+        j.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("shipped_before_ordered"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    >= F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("shipped_180d_late"),
+            F.round(F.avg(lag_s) / 86400.0, 6).alias("avg_lag_days"),
+        )
+        .orderBy("order_year")
+    )

@@ -47,7 +47,14 @@ def test_topk_global_uses_take_ordered(spark):
 
 def test_scalar_suite_stays_jvm_side(spark):
     """No Python evaluation nodes in expression-only queries."""
-    for name in ["scalar_string_suite", "scalar_array_suite", "text_quality_scores"]:
+    for name in [
+        "scalar_string_suite",
+        "scalar_array_suite",
+        "text_quality_scores",
+        "scalar_try_error_safe_suite",
+        "pii_luhn_validation",
+        "embedding_norm_quality",
+    ]:
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
@@ -444,3 +451,12 @@ def test_weighted_median_one_window_pass(spark):
     plan = _plan(QUERIES["agg_weighted_median"](spark, SF_SMOKE))
     assert "Join" not in plan
     assert plan.count("Window") <= 2  # running-sum frame + whole-partition frame
+
+
+def test_prefix_filter_join_no_cartesian(spark):
+    """The PPJoin candidate stage must equi-join prefix shingles — never a
+    cartesian/nested-loop product of documents."""
+    df = QUERIES["dedup_prefix_filter_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
