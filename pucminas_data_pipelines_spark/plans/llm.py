@@ -1904,3 +1904,55 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(cands, docs, "doc_id", "text", threshold=0.5).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+               AS words,
+             CAST(LEN(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS pieces
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(pieces) AS BIGINT) AS total_pieces,
+           ROUND(CAST(SUM(pieces) AS DOUBLE) / SUM(words), 6) AS fertility
+    FROM per_doc
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language (pieces emitted per whitespace
+    word, under the BPE-ish piece rule functions/text.bpe_ish_token_count
+    uses) — the standard tokenizer-equity metric for multilingual
+    pretraining: languages with high fertility pay more sequence length
+    per word, which budget planning (curation_token_budget_fill) and
+    mixture weighting (curation_temperature_mixture) must correct for.
+
+    Scale: per-row regexp counts (whole-stage codegen, no explode — the
+    piece COUNT needs no materialized token array), one map-side-combined
+    aggregate to |langs| rows. Integer counts, exact division at the
+    end."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    pieces = F.size(
+        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)")
+    ).cast("bigint")
+    per_doc = d.select("lang", words.alias("words"), pieces.alias("pieces"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("total_words"),
+            F.sum("pieces").alias("total_pieces"),
+            F.round(
+                F.sum("pieces").cast("double") / F.sum("words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

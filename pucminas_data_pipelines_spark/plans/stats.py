@@ -1577,3 +1577,169 @@ def quality_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+@query(
+    "stats_kmv_set_intersection",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             (1103515245 * user_id + 12345) % {_CMS_P} AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    unioned AS (SELECT DISTINCT h FROM hashed),
+    ranked_u AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM unioned
+    ),
+    kth_u AS (SELECT h AS hk FROM ranked_u WHERE rk = 64),
+    bottom_u AS (SELECT h FROM ranked_u WHERE rk <= 64),
+    overlap AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_both
+      FROM bottom_u b
+      WHERE EXISTS (SELECT 1 FROM hashed a
+                    WHERE a.event_type = 'click' AND a.h = b.h)
+        AND EXISTS (SELECT 1 FROM hashed a
+                    WHERE a.event_type = 'purchase' AND a.h = b.h)
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+      FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      )
+    )
+    SELECT o.k_both,
+           CAST(ROUND(CAST(o.k_both AS DOUBLE) / 64.0
+                      * (63.0 * {_CMS_P} / k.hk)) AS BIGINT)
+             AS kmv_intersection_estimate,
+           e.exact_intersection,
+           ABS(CAST(ROUND(CAST(o.k_both AS DOUBLE) / 64.0
+                          * (63.0 * {_CMS_P} / k.hk)) AS BIGINT)
+               - e.exact_intersection)
+             <= CAST(CEIL(0.5 * e.exact_intersection) AS BIGINT)
+             AS within_50pct
+    FROM overlap o CROSS JOIN kth_u k CROSS JOIN exact e
+    """,
+)
+def stats_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET INTERSECTION (Beyer et al. 2007): the bottom-64
+    hashes of the UNION are a uniform sample of union elements, so
+    |A∩B| ≈ (k_both / k) · |A∪B|-estimate, where k_both counts union-
+    sample members present in both sets — computed here for click-vs-
+    purchase user overlap against the exact INTERSECT, with a 50% sanity
+    bound. This is the estimator HLL cannot give you (HLL unions
+    losslessly but intersects only via inclusion-exclusion error
+    stacking).
+
+    Scale: per-set bottom-k sketches are mergeable and tiny (64 hashes);
+    the union sketch and membership flags here derive from one distinct-
+    (type, hash) pass, map-side combined; everything after operates on
+    <=128 rows. Deterministic: same universal hash as
+    stats_kmv_distinct_sketch, integer-exact until the final division."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hashed = e.select(
+        "event_type",
+        ((F.lit(1103515245) * F.col("user_id") + F.lit(12345)) % _CMS_P).alias(
+            "h"
+        ),
+    ).distinct()
+    flags = hashed.groupBy("h").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("in_b"),
+    )
+    w = Window.orderBy("h")
+    bottom = flags.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 64)
+    sketch = bottom.agg(
+        F.sum((F.col("in_a") * F.col("in_b")).cast("bigint")).alias("k_both"),
+        F.max(F.when(F.col("rk") == 64, F.col("h"))).alias("hk"),
+    )
+    exact = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(e.where(F.col("event_type") == "purchase").select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    est = F.round(
+        F.col("k_both").cast("double")
+        / 64.0
+        * (F.lit(63.0) * _CMS_P / F.col("hk"))
+    ).cast("bigint")
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        "k_both",
+        est.alias("kmv_intersection_estimate"),
+        "exact_intersection",
+        (
+            F.abs(est - F.col("exact_intersection"))
+            <= F.ceil(F.lit(0.5) * F.col("exact_intersection")).cast("bigint")
+        ).alias("within_50pct"),
+    )
+
+
+@query(
+    "stats_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+             ROW_NUMBER() OVER (
+               ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))), o_custkey
+             ) AS rk
+      FROM orders GROUP BY o_custkey
+    )
+    , tot AS (SELECT COUNT(*) AS n_all FROM ranked)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND((2.0 * SUM(rk * spend) / (COUNT(*) * SUM(spend)))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+           ROUND(SUM(CASE WHEN rk > t.n_all * 0.9 THEN spend
+                          ELSE 0 END) / SUM(spend), 6) AS top10pct_share
+    FROM ranked CROSS JOIN tot t
+    GROUP BY t.n_all
+    """,
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration (rank formula
+    G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over ascending-sorted totals) plus
+    the top-decile revenue share — the whale-concentration metric behind
+    both revenue dashboards and data-skew planning (a high Gini on the
+    join key is the salted-join trigger; cf. stats_key_skew_profile).
+
+    Determinism: per-customer spend is an exact decimal sum; Σ(rank·x)
+    multiplies exact values by integer ranks with a deterministic
+    tie-break (custkey), so both engines sort and sum identically —
+    rank·spend products are 2-decimal-exact and their Σ stays within
+    double's 2^53 integer range at any realistic SF.
+
+    Scale: one aggregate to per-customer totals, one global sort for
+    ranks (range-partitioned at scale), one final single-row reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    ranked = per_cust.withColumn("rk", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.select(
+        "rk", "spend", F.count(F.lit(1)).over(Window.partitionBy()).alias("n_all")
+    ).agg(
+        n.alias("n_customers"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("rk") * F.col("spend")))
+            / (n * F.sum("spend"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rk") > F.col("n_all") * 0.9, F.col("spend")
+                ).otherwise(0.0)
+            )
+            / F.sum("spend"),
+            6,
+        ).alias("top10pct_share"),
+    )
