@@ -44,6 +44,11 @@ HEADLINE = [
     # appended r5 (the frozen r1 list above never changes — append-only):
     # the full near-dup pipeline endpoint, pairs -> connected components
     "dedup_minhash_clusters",
+    # appended r5: the Lee-et-al exact-substring span operator (the most
+    # expensive real-world dedup pass) and the exact PPJoin-style
+    # set-similarity join — both LLM-pipeline headliners
+    "dedup_substring_spans",
+    "dedup_prefix_filter_join",
 ]
 
 

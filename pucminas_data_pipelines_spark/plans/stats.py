@@ -1650,11 +1650,14 @@ def stats_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
         F.max((F.col("event_type") == "purchase").cast("int")).alias("in_b"),
     )
-    w = Window.orderBy("h")
-    bottom = flags.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 64)
+    # bottom-64 via TakeOrdered (distributed top-k), NOT a global
+    # row_number window: the sketch needs only the 64 smallest hashes and
+    # the largest of them — a single-partition sort over all distinct
+    # hashes would be the scale bottleneck here.
+    bottom = flags.orderBy("h").limit(64)
     sketch = bottom.agg(
         F.sum((F.col("in_a") * F.col("in_b")).cast("bigint")).alias("k_both"),
-        F.max(F.when(F.col("rk") == 64, F.col("h"))).alias("hk"),
+        F.max(F.col("h")).alias("hk"),
     )
     exact = (
         e.where(F.col("event_type") == "click")

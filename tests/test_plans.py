@@ -460,3 +460,11 @@ def test_prefix_filter_join_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_intersection_uses_take_ordered_not_global_window(spark):
+    """Bottom-64 union hashes must come from a distributed TakeOrdered,
+    never a single-partition row_number window over all distinct hashes."""
+    plan = _plan(QUERIES["stats_kmv_set_intersection"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
