@@ -1956,3 +1956,139 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("embedding_matryoshka_recall", oracle=_ANN_RECALL_ORACLE)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style PREFIX TRUNCATION evaluated as an index: search
+    with only the first 32 of 64 dimensions (2x memory/FLOP cut, the MRL
+    deployment trick) and quantify against full-dimension exact top-5 —
+    >= 1 of 5 true neighbors per query survives on this corpus (synthetic
+    embeddings are weakly structured, so truncation recall here is the
+    honest floor, not an advertisement; real MRL-trained vectors
+    front-load variance and do far better).
+
+    Scale: truncation is a zero-shuffle F.slice projection — the index
+    cost model is exactly brute-force/IVF at half the dimension; composes
+    with ivf/pq (truncate, then cell-probe)."""
+    return _ann_recall(
+        spark,
+        sf_dir,
+        lambda q, c: S.brute_force_topk(
+            q.withColumn("embedding", F.slice("embedding", 1, 32)),
+            c.withColumn("embedding", F.slice("embedding", 1, 32)),
+            "vec_id",
+            "vec_id",
+            "embedding",
+            k=5,
+        ),
+        min_hits=1,
+    )
+
+
+@query(
+    "sample_contrastive_pairs",
+    oracle="""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS a_label, embedding AS a_vec
+      FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT a.anchor_id, a.a_label, c.vec_id AS cand_id, c.label AS c_label,
+             ROUND(
+               list_aggregate(list_transform(list_zip(a.a_vec, c.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+               / NULLIF(
+                   sqrt(list_aggregate(list_transform(a.a_vec,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                   * sqrt(list_aggregate(list_transform(c.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+                   0.0),
+               6) AS cosine
+      FROM anchors a JOIN embeddings c ON c.vec_id != a.anchor_id
+    ),
+    ranked AS (
+      SELECT anchor_id, a_label, cand_id, c_label, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY anchor_id, (c_label = a_label)
+               ORDER BY cosine DESC, cand_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT anchor_id, a_label AS anchor_label,
+           MAX(CASE WHEN c_label = a_label THEN cand_id END) AS positive_id,
+           MAX(CASE WHEN c_label = a_label THEN cosine END) AS positive_cosine,
+           MAX(CASE WHEN c_label != a_label THEN cand_id END)
+             AS hard_negative_id,
+           MAX(CASE WHEN c_label != a_label THEN cosine END)
+             AS hard_negative_cosine,
+           ROUND(MAX(CASE WHEN c_label = a_label THEN cosine END)
+                 - MAX(CASE WHEN c_label != a_label THEN cosine END), 6)
+             AS margin
+    FROM ranked WHERE rn = 1
+    GROUP BY anchor_id, a_label
+    ORDER BY anchor_id
+    """,
+)
+def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: per anchor, the nearest SAME-label
+    vector (positive) and the nearest DIFFERENT-label vector (hard
+    negative) with the positive-minus-negative margin — the batch that
+    trains embedding models (InfoNCE/triplet); random negatives are easy,
+    HARD negatives (closest impostors) are what moves the loss.
+
+    Scale: anchors broadcast against the corpus (the corpus never
+    shuffles — same plan as brute_force_topk); one window ranks per
+    (anchor, same-label?) branch. For a 100 TB corpus the scored set
+    comes from an ANN shortlist (ann_ivf_topk) instead of the exact cross
+    product, then the same per-class argmax applies. Cosine is the
+    sequential expression fold (functions/vector.py) rounded to 6 — both
+    engines rank identical values with identical tie-breaks."""
+    from pyspark.sql import Window
+
+    from pucminas_data_pipelines_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_vec"),
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("c_label"),
+            F.col("embedding").alias("c_vec"),
+        )
+        .crossJoin(F.broadcast(anchors))
+        .where(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "cand_id",
+            "c_label",
+            F.round(
+                cosine_similarity(F.col("a_vec"), F.col("c_vec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(
+        "anchor_id", F.col("c_label") == F.col("a_label")
+    ).orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    same = F.col("c_label") == F.col("a_label")
+    return (
+        best.groupBy("anchor_id", F.col("a_label").alias("anchor_label"))
+        .agg(
+            F.max(F.when(same, F.col("cand_id"))).alias("positive_id"),
+            F.max(F.when(same, F.col("cosine"))).alias("positive_cosine"),
+            F.max(F.when(~same, F.col("cand_id"))).alias("hard_negative_id"),
+            F.max(F.when(~same, F.col("cosine"))).alias("hard_negative_cosine"),
+            F.round(
+                F.max(F.when(same, F.col("cosine")))
+                - F.max(F.when(~same, F.col("cosine"))),
+                6,
+            ).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
