@@ -369,3 +369,81 @@ def run_late_data_drop_scenario(spark: SparkSession, src_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
     return run_to_memory(counted, output_mode="append", state_partitions=4)
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithStateInPandas ships its state protocol over
+    protobuf; the Python `protobuf` package is absent in this container
+    (verified: the TWS driver worker crashes with `cannot import
+    'descriptor' from 'google.protobuf'` — PROGRESS r5), so the API is
+    gated exactly like the real-Delta branch in operators/upsert.py."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the transformWithStateInPandas API
+    (Spark 4 arbitrary-state v2): per-user running (n_events, max_value)
+    in an explicit ValueState — the successor to applyInPandasWithState
+    (stateful_user_totals above) with typed state handles, timers, and
+    TTL support. Unlike the v1 job's float SUM, count+max are
+    order-independent, so this job's output is deterministic across
+    micro-batch boundaries and batch-oracle-able once the environment can
+    run it.
+
+    Requires the RocksDB state store provider and the protobuf Python
+    package (transform_with_state_available); tests skip when absent.
+
+    Scale: state is keyed and RocksDB-backed (spillable beyond heap, the
+    v2 store built for billions of keys); per-batch work touches only the
+    keys present in that batch, Arrow-batched."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "agg",
+                StructType(
+                    [StructField("n", LongType()), StructField("mx", DoubleType())]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                n, mx = self._state.get()
+            else:
+                n, mx = 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -167,3 +167,45 @@ def test_foreachbatch_upsert_live_is_incremental(spark):
     QUERIES["streaming_foreachbatch_upsert_live"](spark, SF_SMOKE).collect()
     table = ParquetVersionedTable(spark, "/root/repo/.tmp/stream_upsert_live/table")
     assert table.history() == [0, 1, 2, 3]
+
+
+def test_transform_with_state_running_stats(spark):
+    """transformWithStateInPandas (arbitrary-state v2): per-user count+max
+    must equal the batch aggregate (both order-independent). Skips where
+    the container lacks the protobuf package TWS's state protocol needs —
+    same environmental gate as the real-Delta branch."""
+    import pytest
+
+    from pucminas_data_pipelines_spark.streaming import jobs
+
+    if not jobs.transform_with_state_available():
+        pytest.skip("protobuf absent: transformWithState cannot run here")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = jobs.read_events_stream(spark, SF_SMOKE).select("user_id", "value")
+        out = jobs.run_to_memory(
+            jobs.stateful_user_stats_tws(ev),
+            output_mode="update",
+            state_partitions=4,
+        )
+        from pyspark.sql import functions as F
+
+        from pucminas_data_pipelines_spark.tables import load_table
+
+        batch = (
+            load_table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+        )
+        got = {r["user_id"]: (r["n_events"], r["max_value"]) for r in out.collect()}
+        want = {r["user_id"]: (r["n_events"], r["max_value"]) for r in batch.collect()}
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
