@@ -369,3 +369,91 @@ def mutation_overwrite_dynamic_partitions(spark: SparkSession, sf_dir: str) -> D
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "mutation_scd2_asof_lookup",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DOUBLE) AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL SELECT -1, CAST(111.11 AS DOUBLE), 'NEWSEG'
+      UNION ALL SELECT -2, CAST(222.22 AS DOUBLE), 'NEWSEG'
+    ),
+    v1 AS (SELECT c_custkey, c_acctbal FROM cur),
+    v2 AS (
+      SELECT c_custkey, c_acctbal FROM upd
+      UNION ALL
+      SELECT c_custkey, c_acctbal FROM cur
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    )
+    SELECT 1 AS as_of_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM v1
+    UNION ALL
+    SELECT 2,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+    FROM v2
+    ORDER BY as_of_version
+    """,
+)
+def mutation_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction from SCD2 history: the AS-OF predicate
+    ``valid_from <= v AND (valid_to IS NULL OR valid_to > v)`` rebuilds the
+    dimension exactly as it stood at version 1 (pre-update) and version 2
+    (post-update) from ONE history table — the query pattern SCD2 exists
+    to serve, and the valid-time complement to mutation_time_travel's
+    transaction-time versionAsOf. The oracle reconstructs both snapshots
+    independently from the raw update rules.
+
+    Scale: the as-of filter is a partition-prunable predicate when history
+    is written partitioned by is_current/valid_from; each snapshot then
+    scans only rows open at v, and the rollup is one map-side-combined
+    aggregate."""
+    from pucminas_data_pipelines_spark.operators.upsert import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    changed = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(12,2)") + 100)
+        .cast("double")
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    new_rows = spark.createDataFrame(
+        [(-1, 111.11, "NEWSEG"), (-2, 222.22, "NEWSEG")],
+        "c_custkey bigint, c_acctbal double, c_mktsegment string",
+    )
+    hist = scd2_apply(
+        cust,
+        changed.unionByName(new_rows),
+        "c_custkey",
+        ["c_acctbal", "c_mktsegment"],
+        from_version=1,
+        to_version=2,
+    )
+    snapshots = []
+    for v in (1, 2):
+        asof = hist.where(
+            (F.col("valid_from") <= v)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
+        )
+        snapshots.append(
+            asof.agg(
+                F.lit(v).alias("as_of_version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_balance"),
+            ).select("as_of_version", "n_rows", "total_balance")
+        )
+    return snapshots[0].unionAll(snapshots[1]).orderBy("as_of_version")

@@ -272,3 +272,48 @@ def sample_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "split_grouped_kfold",
+    oracle="""
+    WITH folded AS (
+      SELECT source,
+             CAST(('0x' || SUBSTRING(md5(source), 1, 8)) AS BIGINT) % 5 AS fold,
+             n_chars
+      FROM documents
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM folded
+    GROUP BY fold ORDER BY fold
+    """,
+)
+def split_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-integral k-fold assignment: every document of a source lands
+    in the same fold (fold = md5(source) % 5), the cross-validation split
+    that prevents near-duplicate leakage across folds — splitting docs
+    i.i.d. puts boilerplate twins on both sides of the train/eval fence
+    and inflates scores (the same leakage class eval decontamination
+    guards against).
+
+    Deterministic md5 assignment, reproducible on both engines and stable
+    under re-runs/backfills (no rand()). Scale: fold assignment is a
+    map-only hash; the report is one map-side-combined aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("bigint")
+        % 5
+    ).alias("fold")
+    return (
+        d.select(fold, "source", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("fold")
+    )

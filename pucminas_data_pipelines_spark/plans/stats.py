@@ -1746,3 +1746,72 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top10pct_share"),
     )
+
+
+@query(
+    "stats_seasonality_dow_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(EXTRACT(isodow FROM ts) AS INTEGER) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             SUM(n) AS tn, SUM(sum_value) AS tv
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.dow, d.n,
+           ROUND(CAST(d.n AS DOUBLE) / t.tn * 7.0, 6) AS volume_index,
+           ROUND(d.sum_value / t.tv * 7.0, 6) AS value_index
+    FROM daily d JOIN tot t USING (event_type)
+    ORDER BY event_type, dow
+    """,
+)
+def stats_seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: each weekday's share
+    of volume and value scaled by 7, so 1.0 = flat, >1 = that weekday
+    over-indexes — the first decomposition step for staffing/capacity
+    models and the denominator for deseasonalized anomaly detection
+    (divide stats_user_anomaly_zscore's series by this index before
+    scoring).
+
+    Scale: one map-side-combined (type, dow) aggregate — at most
+    7x|types| rows — and a broadcast-sized totals join. ISO weekday on
+    both engines (Mon=1..Sun=7), exact decimal sums."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("_dow_sun1")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    # Spark dayofweek is Sun=1..Sat=7; convert to ISO Mon=1..Sun=7
+    daily = daily.select(
+        "event_type",
+        (((F.col("_dow_sun1") + 5) % 7) + 1).alias("dow"),
+        "n",
+        "sum_value",
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("sum_value").alias("tv")
+    )
+    return (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tn") * 7.0, 6).alias(
+                "volume_index"
+            ),
+            F.round(F.col("sum_value") / F.col("tv") * 7.0, 6).alias(
+                "value_index"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )
