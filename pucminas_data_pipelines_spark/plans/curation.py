@@ -817,3 +817,70 @@ def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "upweight_factor"
         ),
     ).orderBy("source")
+
+
+@query(
+    "curation_seq_length_histogram",
+    oracle="""
+    WITH lens AS (
+      SELECT CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    binned AS (
+      SELECT CAST(FLOOR(LN(CAST(GREATEST(n_tokens, 1) AS DOUBLE)) / LN(2.0))
+                  AS INTEGER) AS log2_bucket,
+             n_tokens
+      FROM lens
+    )
+    SELECT log2_bucket,
+           CAST(POW(2, log2_bucket) AS BIGINT) AS bucket_min_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS shortest,
+           CAST(MAX(n_tokens) AS BIGINT) AS longest
+    FROM binned
+    GROUP BY log2_bucket
+    ORDER BY log2_bucket
+    """,
+)
+def curation_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-two buckets — the planning
+    input for context-length choice and packing efficiency
+    (curation_sequence_packing): the bucket profile says how much of the
+    corpus fragments at a 2^k context and how much padding a naive
+    batcher would burn.
+
+    Integer-exact bucketing (ln ratio floored on identical doubles), one
+    map-side-combined aggregate over ~15 buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    binned = d.select(
+        F.floor(
+            F.log(F.greatest(n_tokens, F.lit(1)).cast("double")) / F.log(F.lit(2.0))
+        )
+        .cast("int")
+        .alias("log2_bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+    return (
+        binned.groupBy("log2_bucket")
+        .agg(
+            F.pow(F.lit(2), F.col("log2_bucket")).cast("bigint").alias(
+                "bucket_min_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("shortest"),
+            F.max("n_tokens").alias("longest"),
+        )
+        .select(
+            "log2_bucket",
+            "bucket_min_tokens",
+            "n_docs",
+            "total_tokens",
+            "shortest",
+            "longest",
+        )
+        .orderBy("log2_bucket")
+    )

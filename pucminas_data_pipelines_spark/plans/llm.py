@@ -2092,3 +2092,85 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@query(
+    "text_zipf_exponent",
+    oracle="""
+    WITH tok AS (
+      SELECT t.token
+      FROM documents,
+           UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS t(token)
+    ),
+    freq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS f FROM tok GROUP BY token),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r
+      FROM freq
+    ),
+    pts AS (
+      SELECT LN(CAST(r AS DOUBLE)) AS x, LN(f) AS y
+      FROM ranked WHERE r <= 500
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept
+    FROM s
+    """,
+)
+def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus token distribution: least-squares
+    slope of ln(frequency) on ln(rank) over the top 500 tokens — natural
+    text sits near -1; a corpus that deviates hard (slope ~0: synthetic
+    uniform junk; slope << -1: template spam) fails the distributional
+    sanity check before training.
+
+    Scale: token counting is the standard map-side-combined aggregate;
+    ranking the top 500 is a TakeOrdered-sized head (the window here runs
+    on the already-aggregated vocabulary, not the corpus); the regression
+    is a single-row moment reduce. Log terms are IEEE-identical per
+    value; sums agree to ~1e-13 relative, far inside the 4-decimal
+    rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("f").desc(), F.col("token"))
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 500)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
