@@ -741,3 +741,101 @@ def join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_csv_multiline_quoted",
+    oracle="""
+    SELECT 1 AS id, 'plain' AS note, CAST(10.5 AS DOUBLE) AS amount
+    UNION ALL
+    SELECT 2, 'has, comma', CAST(20.25 AS DOUBLE)
+    UNION ALL
+    SELECT 3, 'has ' || CHR(34) || 'quotes' || CHR(34) || ' inside',
+           CAST(30.75 AS DOUBLE)
+    UNION ALL
+    SELECT 4, 'line one' || CHR(10) || 'line two', CAST(40.0 AS DOUBLE)
+    UNION ALL
+    SELECT 5, 'comma, ' || CHR(34) || 'quote' || CHR(34) || ', and'
+              || CHR(10) || 'newline', CAST(50.125 AS DOUBLE)
+    ORDER BY id
+    """,
+)
+def source_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect hard cases round-tripped: embedded delimiters, doubled
+    quotes, and EMBEDDED NEWLINES (multiLine=true — without it the reader
+    splits records mid-field and the whole file parses wrong). The writer
+    must quote/escape on the way out and the reader must undo it exactly;
+    the oracle is the literal fixture.
+
+    Scale note: multiLine CSV is NOT splittable (a record can straddle any
+    byte offset, so one file = one task) — the reason 100 TB pipelines
+    land CSV once, normalize, and store parquet; this query documents the
+    constraint while proving the dialect correctness."""
+    path = f"{_TMP}/csv_multiline"
+    shutil.rmtree(path, ignore_errors=True)
+    rows = [
+        (1, "plain", 10.5),
+        (2, "has, comma", 20.25),
+        (3, 'has "quotes" inside', 30.75),
+        (4, "line one\nline two", 40.0),
+        (5, 'comma, "quote", and\nnewline', 50.125),
+    ]
+    df = io.from_rows(spark, rows, "id int, note string, amount double")
+    df.write.mode("overwrite").options(header=True, quoteAll=True).csv(path)
+    back = spark.read.options(header=True, multiLine=True).schema(
+        "id int, note string, amount double"
+    ).csv(path)
+    return back.orderBy("id")
+
+
+@query(
+    "sink_compressed_codec_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sink_compressed_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec coverage on the text-family sinks: the same slice
+    written as gzip JSON-lines and snappy parquet, both read back and
+    checked against the source aggregate — codec choice must never change
+    bytes-decoded semantics.
+
+    Scale note: gzip is NOT splittable (one .json.gz = one task), snappy
+    parquet is (row-group granularity) — which is why gzip belongs on
+    small landing files and columnar snappy/zstd on anything a cluster
+    scans; documented here, proven by the roundtrip."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    jpath = f"{_TMP}/orders_json_gz"
+    ppath = f"{_TMP}/orders_parquet_snappy"
+    shutil.rmtree(jpath, ignore_errors=True)
+    shutil.rmtree(ppath, ignore_errors=True)
+    o.write.mode("overwrite").option("compression", "gzip").json(jpath)
+    o.write.mode("overwrite").option("compression", "snappy").parquet(ppath)
+    j = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(jpath)
+    p = spark.read.parquet(ppath)
+    merged = j.unionByName(p).groupBy("o_orderkey", "o_orderstatus").agg(
+        F.max("o_totalprice").alias("o_totalprice"),
+        F.count(F.lit(1)).alias("_copies"),
+    )
+    # every row must appear exactly twice (one per codec) with equal values
+    return (
+        merged.where(F.col("_copies") == 2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
