@@ -625,13 +625,34 @@ def prefix_filter_pairs(
             F.col("rk")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .select("id", "s")
+        .select("id", "s", "n", "rk")
     )
-    a = prefix.select(F.col("id").alias("id_a"), "s")
-    b = prefix.select(F.col("id").alias("id_b"), "s")
+    a = prefix.select(
+        F.col("id").alias("id_a"), "s",
+        F.col("n").alias("n_a"), F.col("rk").alias("rk_a"),
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "s",
+        F.col("n").alias("n_b"), F.col("rk").alias("rk_b"),
+    )
+    t = F.lit(threshold)
+    # PPJoin residual filters, both LOSSLESS at the threshold:
+    #  - length: J(A,B) >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+    #  - positional: shared prefix token at ranks (rk_a, rk_b) bounds the
+    #    best-possible overlap by 1 + min(|A|-rk_a, |B|-rk_b), which must
+    #    reach alpha = ceil(t/(1+t) * (|A|+|B|)) for J >= t
+    alpha = F.ceil(t / (F.lit(1.0) + t) * (F.col("n_a") + F.col("n_b")))
+    ubound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("rk_a"), F.col("n_b") - F.col("rk_b")
+    )
     return (
         a.join(b, "s")
         .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            t * F.greatest(F.col("n_a"), F.col("n_b"))
+            <= F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .where(ubound >= alpha)
         .select("id_a", "id_b")
         .distinct()
     )
