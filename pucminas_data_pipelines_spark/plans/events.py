@@ -859,3 +859,176 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(30)
     )
+
+
+@query(
+    "events_journey_paths",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_no
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             CAST(COUNT(*) AS BIGINT) AS path_len
+      FROM sessions
+      GROUP BY user_id, session_no
+      HAVING COUNT(*) BETWEEN 2 AND 5
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MIN(path_len) AS BIGINT) AS path_len
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+)
+def events_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: sessionize (30-min gap), serialize each
+    session's event-type sequence in time order, and rank the most common
+    2-5-step paths — the funnel-discovery complement to
+    events_funnel_conversion (which checks ONE hypothesized path; this
+    surfaces which paths actually occur).
+
+    Scale: sessionization is the standard gaps-and-islands window; the
+    path string is built by sort_array over (ts, event_id, type) structs
+    INSIDE the session aggregate (deterministic total order, no second
+    window); path cardinality — not session count — sizes the final
+    rollup. Paths are capped at 5 steps so the string key stays bounded."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+        .where(F.col("path_len").between(2, 5))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.min("path_len").alias("path_len"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS max_ts FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(EXTRACT(epoch FROM a.max_ts) - EXTRACT(epoch FROM MAX(ts))
+                  AS BIGINT) AS recency_s,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events CROSS JOIN anchor a
+      GROUP BY user_id, a.max_ts
+    ),
+    scored AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY recency_s, user_id) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      FROM per_user
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (seconds since last activity,
+    against the corpus max timestamp), frequency and exact-decimal
+    monetary value, quartiled with NTILE into the classic 4x4x4 segment
+    grid — counts per segment. Tie-breaks on user_id make every NTILE
+    deterministic across engines.
+
+    Scale: one per-user aggregate, then three rank windows over the USER
+    table (already 3 orders of magnitude smaller than events); the
+    single-partition NTILE windows would become range-partitioned
+    percent_rank at billions of users."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "max_ts")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+            (
+                F.unix_timestamp(F.first("max_ts"))
+                - F.unix_timestamp(F.max("ts"))
+            ).alias("recency_s"),
+        )
+        .select("user_id", "recency_s", "frequency", "monetary")
+    )
+    r = Window.orderBy("recency_s", "user_id")
+    f = Window.orderBy(F.col("frequency").desc(), "user_id")
+    m = Window.orderBy(F.col("monetary").desc(), "user_id")
+    scored = per_user.select(
+        "user_id",
+        F.ntile(4).over(r).alias("r_score"),
+        F.ntile(4).over(f).alias("f_score"),
+        F.ntile(4).over(m).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
