@@ -59,8 +59,18 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # aggregates not yet green (5) + udf/udtf (3) + graph_triangle_count +
 # mutation cdc/scd2 + pii/url (3) + the 4 sources deferred from r5
 # (csv_semicolon, range_sorted, zorder, python_datasource) + llm misc
-# (text_lm_quality_score, embedding_label_centroids). ~51 remain after
-# r5, so any overflow rolls to a small r7 slice.
+# (text_lm_quality_score, embedding_label_centroids). ~51 remained after
+# the r5 window was pinned; the ~35 NEW round-5 queries (sketches: CMS /
+# KMV distinct / KMV intersection; DPP + dynamic-partition overwrite;
+# OHLC / Benford / autocorr / weighted-median / Gini / seasonality /
+# temporal audit / peak concurrency / RFM / journey paths / streaks;
+# BPE pairs / char diversity / zipf / fertility / seq-len histogram;
+# prefix-filter join / matryoshka / contrastive pairs / norm gate; Luhn;
+# recursive CTE; try_* suite; SCD2 as-of; grouped k-fold; CSV-multiline /
+# codec / python-writer sinks; watermark late-drop) queue behind them —
+# round 6 takes the 50 highest-leverage of the combined pool and the
+# remainder rolls to r7; all are pinned by the full-parity suite
+# meanwhile.
 DRIVER_WINDOW: list[str] = [
     # canaries (driver-green in CORRECTNESS_r04)
     "q1_pricing_summary",

@@ -839,3 +839,46 @@ def sink_compressed_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sink_python_datasource_writer",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4 pyspark.sql.datasource):
+    the nation table written through `jsonlines_sink` — a user-defined
+    sink with the real two-phase task-commit protocol (temp file +
+    commit-message promote + abort cleanup; sources/synthetic.py
+    JsonLinesWriter) — then read back and compared to the source. This
+    completes the custom-connector surface: reader
+    (source_python_datasource), stream reader
+    (streaming_python_source_live), and now writer.
+
+    Scale: tasks stream their partitions to the sink in parallel; the
+    driver sees only commit messages. The same protocol shape wraps any
+    external system (JDBC batch, queue producer, object-store
+    multipart)."""
+    from pucminas_data_pipelines_spark.sources.synthetic import (
+        JsonLinesSinkDataSource,
+    )
+
+    try:
+        spark.dataSource.register(JsonLinesSinkDataSource)
+    except Exception:
+        pass
+    path = f"{_TMP}/nation_pyds_sink"
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.format("jsonlines_sink").option("path", path).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).json(f"{path}/part-*.jsonl")
+    return back.orderBy("n_nationkey")

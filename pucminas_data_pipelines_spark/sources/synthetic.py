@@ -14,7 +14,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 SCHEMA = "id bigint, bucket int, score double"
 
@@ -88,3 +94,78 @@ class SyntheticRowsStreamReader:
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class _JsonPartFile(WriterCommitMessage):
+    """Commit message: the temp file a task wrote, promoted on commit."""
+
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Custom Python DataSource WRITER with the two-phase commit protocol:
+    each task writes its partition to a uniquely-named temp file and
+    returns a commit message; the driver's commit() promotes every temp
+    file into place atomically-per-file, and abort() removes the temps —
+    so a failed/speculated task never leaves a half-visible file. This is
+    the task-commit pattern every real sink (JDBC batch, object store,
+    message queue) must implement.
+
+    Scale: tasks write in parallel with no driver involvement; only the
+    tiny commit messages travel back."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> "_JsonPartFile":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"{self.path}/.tmp-{part}-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonPartFile(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            final = m.tmp_path.replace("/.tmp-", "/part-")
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """Usage: spark.dataSource.register(JsonLinesSinkDataSource);
+    df.write.format("jsonlines_sink").option("path", p).mode(...).save()."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlines_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        if overwrite:
+            import glob
+            import os
+
+            for f in glob.glob(f"{self.options['path']}/part-*.jsonl"):
+                os.remove(f)
+        return JsonLinesWriter(self.options)
