@@ -728,3 +728,62 @@ def scalar_try_error_safe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("o_orderpriority"), 3, 1),
         ).alias("third_char"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_higher_order_suite",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3,
+              o_orderkey % 11] AS xs
+      FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderkey,
+           to_json(list_filter(xs, x -> x % 2 = 0)) AS evens,
+           len(list_filter(xs, x -> x > 3)) > 0 AS any_gt3,
+           len(list_filter(xs, x -> x >= 0)) = len(xs) AS all_nonneg,
+           CAST(list_aggregate(list_transform(xs, x -> x * x), 'sum') AS BIGINT) AS sum_sq,
+           to_json(list_transform(list_zip(xs[:-2], xs[2:]),
+                                  p -> p[1] + p[2])) AS adjacent_sums,
+           CAST(list_aggregate(xs, 'max') AS BIGINT) AS max_x
+    FROM base ORDER BY o_orderkey
+    """,
+)
+def scalar_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function family in one suite: filter, exists,
+    forall, transform+aggregate (fold), zip_with over a shifted copy, and
+    array_max — the Catalyst lambdas that keep per-row collection logic
+    JVM-side where a row-wise Python UDF would cost 10-100x. Array outputs
+    serialize through to_json (driver canonicalizer contract).
+
+    Scale: all whole-stage-codegen expressions, zero shuffles beyond the
+    final sort."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    xs = F.array(
+        F.col("o_orderkey") % 7,
+        F.col("o_orderkey") % 5,
+        F.col("o_orderkey") % 3,
+        F.col("o_orderkey") % 11,
+    )
+    base = o.select("o_orderkey", xs.alias("xs"))
+    n1 = F.size(F.col("xs")) - 1
+    return base.select(
+        "o_orderkey",
+        F.to_json(F.filter("xs", lambda x: x % 2 == 0)).alias("evens"),
+        F.exists("xs", lambda x: x > 3).alias("any_gt3"),
+        F.forall("xs", lambda x: x >= 0).alias("all_nonneg"),
+        F.aggregate(
+            F.transform("xs", lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.to_json(
+            F.zip_with(
+                F.slice("xs", 1, n1),
+                F.slice("xs", 2, n1),
+                lambda a, b: a + b,
+            )
+        ).alias("adjacent_sums"),
+        F.array_max("xs").alias("max_x"),
+    ).orderBy("o_orderkey")

@@ -13,6 +13,8 @@ verify, so the differential test checks the Python boundary end-to-end
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -249,3 +251,41 @@ def udtf_table_argument_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY lang
         """
     )
+
+
+@query(
+    "udf_pandas_scalar_iter",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_mktsegment) || ':' || CAST(c_nationkey AS VARCHAR)
+             AS enriched
+    FROM customer WHERE c_custkey <= 200
+    ORDER BY c_custkey
+    """,
+)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (SCALAR_ITER): the function receives an
+    ITERATOR of Arrow batches, so per-worker setup — loading a tokenizer,
+    an ONNX session, a spaCy model — runs ONCE before the loop instead of
+    once per batch. That amortization is the difference between a
+    model-scoring pass that spends its time in inference and one that
+    spends it re-initializing; this is the eval type every ML-inference
+    UDF in a 100 TB pipeline should use. Here the "model" is a trivial
+    deterministic formatter so the oracle can mirror it in SQL.
+
+    Scale: identical Arrow transfer to the scalar form; the iterator adds
+    zero overhead and unlocks the init-once pattern."""
+    @pandas_udf("string")
+    def _enrich(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # expensive-init zone: runs once per worker task, NOT per batch
+        sep = ":"
+        for seg, nat in batches:
+            yield seg.str.upper() + sep + nat.astype("int64").astype(str)
+
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        _enrich(F.col("c_mktsegment"), F.col("c_nationkey")).alias("enriched"),
+    ).orderBy("c_custkey")
