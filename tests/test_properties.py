@@ -270,3 +270,41 @@ def test_interval_overlap_equals_theta_join(spark, a_rows, b_rows, bucket):
         .collect()
     }
     assert got == want
+
+
+@_SETTINGS
+@given(
+    st.lists(st.tuples(st.integers(0, 999), _texts), min_size=2, max_size=12),
+    st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_prefix_filter_candidates_are_lossless(spark, rows, threshold):
+    """PPJoin guarantee: prefix-filter candidates (with length + positional
+    residual filters) must be a SUPERSET of the true Jaccard>=t pair set —
+    the filters may only discard pairs that provably cannot reach t."""
+    docs = (
+        spark.createDataFrame(rows, "doc_id int, text string")
+        .dropDuplicates(["doc_id"])
+        .where(F.size(F.split(F.col("text"), " ")) >= 3)
+    )
+    if docs.count() < 2:
+        return
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in D.prefix_filter_pairs(
+            docs, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    all_pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(
+            all_pairs, docs, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    assert true_pairs <= cands, (
+        f"lost true pairs at t={threshold}: {true_pairs - cands}"
+    )
