@@ -1815,3 +1815,122 @@ def stats_seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+_BLOOM_M = 4096
+_BLOOM_HASHES = [(1103515245, 12345), (69069, 362437), (214013, 2531011)]
+
+
+@query(
+    "stats_bloom_filter_membership",
+    oracle=f"""
+    WITH member_keys AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ),
+    probe_keys AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    hashes(a, b) AS (
+      VALUES {', '.join(f'({a}, {b})' for a, b in _BLOOM_HASHES)}
+    ),
+    bits AS (
+      SELECT DISTINCT ((h.a * m.user_id + h.b) % {_CMS_P}) % {_BLOOM_M} AS bit
+      FROM member_keys m CROSS JOIN hashes h
+    ),
+    probed AS (
+      SELECT p.user_id,
+             CAST(COUNT(*) AS BIGINT) = {len(_BLOOM_HASHES)} AS bloom_positive,
+             p.user_id IN (SELECT user_id FROM member_keys) AS truly_member
+      FROM probe_keys p
+      CROSS JOIN hashes h
+      LEFT JOIN bits
+        ON bits.bit = ((h.a * p.user_id + h.b) % {_CMS_P}) % {_BLOOM_M}
+      GROUP BY p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_positive,
+           CAST(SUM(CASE WHEN truly_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_members,
+           CAST(SUM(CASE WHEN bloom_positive AND NOT truly_member
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN NOT bloom_positive AND truly_member
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives
+    FROM probed
+    """,
+)
+def stats_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as a first-class mergeable structure: click-users
+    hashed into a 4096-bit / 3-hash filter (the distinct-bit set IS the
+    filter — per-partition bit sets union losslessly, which is what makes
+    Bloom filters the standard shuffle-avoidance prefilter), then
+    purchase-users probed through it. Output: probe count, bloom
+    positives, true members, measured false positives — and
+    n_false_negatives, which MUST be 0 (the one-sided guarantee; the
+    oracle hashes identically so this is checked, not assumed).
+
+    Scale: this is the hand-rolled form of what
+    spark.sql.optimizer.runtime.bloomFilter injects automatically
+    (plan-asserted in test_plans.py); building it explicitly makes it
+    shippable — e.g., broadcast yesterday's key filter to prune today's
+    100 TB scan before any join. The bit-set build is one map-side-
+    combined distinct over <= m rows; probes join on bit id."""
+    e = load_table(spark, sf_dir, "events")
+    members = (
+        e.where(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    probes = (
+        e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+
+    def _bits(df):
+        return df.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        (((F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P)
+                         % _BLOOM_M).alias("bit")
+                        for a, b in _BLOOM_HASHES
+                    ]
+                )
+            ).alias("bit"),
+        )
+
+    filter_bits = _bits(members).select("bit").distinct()
+    probed = (
+        _bits(probes)
+        .join(filter_bits.withColumn("_set", F.lit(1)), "bit", "left")
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == len(_BLOOM_HASHES))
+            .alias("bloom_positive")
+        )
+        .join(
+            members.withColumn("_member", F.lit(True)), "user_id", "left"
+        )
+        .select(
+            "user_id",
+            "bloom_positive",
+            F.coalesce(F.col("_member"), F.lit(False)).alias("truly_member"),
+        )
+    )
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_positive"),
+        F.sum(F.when(F.col("truly_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_members"),
+        F.sum(
+            F.when(F.col("bloom_positive") & ~F.col("truly_member"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum(
+            F.when(~F.col("bloom_positive") & F.col("truly_member"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_negatives"),
+    )
