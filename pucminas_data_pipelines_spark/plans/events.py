@@ -1032,3 +1032,56 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "events_outage_gaps",
+    oracle="""
+    WITH minutes AS (
+      SELECT DISTINCT event_type,
+             CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, m,
+             LAG(m) OVER (PARTITION BY event_type ORDER BY m) AS prev_m
+      FROM minutes
+    )
+    SELECT event_type, prev_m AS silence_start, m AS silence_end,
+           CAST((EXTRACT(epoch FROM m) - EXTRACT(epoch FROM prev_m)) / 60
+                AS BIGINT) AS silence_minutes
+    FROM gaps
+    WHERE EXTRACT(epoch FROM m) - EXTRACT(epoch FROM prev_m) > 600
+    ORDER BY event_type, silence_start
+    LIMIT 50
+    """,
+)
+def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-outage detection: silences longer than 10 minutes in each
+    event-type stream, found by LAG over the DISTINCT active minutes —
+    the monitoring query that catches a dead producer or a stuck
+    ingestion job (per-user gap-fill handles missing readings; this finds
+    whole-stream holes).
+
+    Scale: the distinct-(type, minute) collapse happens FIRST (map-side
+    combined, cardinality <= types x minutes — time-bounded regardless of
+    event volume), so the lag window sorts the tiny minute table, never
+    the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    minutes = e.select(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("m")
+    gaps = minutes.withColumn("prev_m", F.lag("m").over(w))
+    silence_s = F.col("m").cast("long") - F.col("prev_m").cast("long")
+    return (
+        gaps.where(silence_s > 600)
+        .select(
+            "event_type",
+            F.col("prev_m").alias("silence_start"),
+            F.col("m").alias("silence_end"),
+            (silence_s / 60).cast("bigint").alias("silence_minutes"),
+        )
+        .orderBy("event_type", "silence_start")
+        .limit(50)
+    )

@@ -2174,3 +2174,80 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "text_code_detection",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(REPLACE(text, ';', ''))
+               + LENGTH(text) - LENGTH(REPLACE(text, '{', ''))
+               + LENGTH(text) - LENGTH(REPLACE(text, '=', ''))
+               + LENGTH(text) - LENGTH(REPLACE(text, '(', '')) AS n_symbols,
+             LEN(regexp_extract_all(LOWER(text),
+               '\\b(def|class|return|import|void|int|function|var|const)\\b'))
+               AS n_keywords
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(n_symbols AS DOUBLE) / GREATEST(n_chars, 1), 6)
+               AS symbol_density,
+             n_keywords,
+             CAST(n_symbols AS DOUBLE) / GREATEST(n_chars, 1) > 0.02
+               AND n_keywords >= 2 AS looks_like_code
+      FROM feats
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN looks_like_code THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_code_like,
+           ROUND(AVG(symbol_density), 6) AS avg_symbol_density,
+           CAST(SUM(n_keywords) AS BIGINT) AS total_keyword_hits
+    FROM scored
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic classifier: programming-symbol density
+    (;{=( per char) and reserved-word hits combine into a looks_like_code
+    gate — the router that sends documents down the code-specific
+    pipeline (different dedup spans, different quality rules) in mixed
+    crawls; on this prose corpus the expected code-like count is ~0,
+    which the oracle verifies rather than assumes.
+
+    Scale: pure per-row string expressions (REPLACE-difference counting,
+    one compiled regex) + one map-side-combined rollup — no explode, no
+    UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    def _cnt(ch):
+        return n_chars - F.length(F.replace(F.col("text"), F.lit(ch)))
+    n_symbols = _cnt(";") + _cnt("{") + _cnt("=") + _cnt("(")
+    n_keywords = F.size(
+        F.expr(
+            r"regexp_extract_all(lower(text), "
+            r"'\\b(def|class|return|import|void|int|function|var|const)\\b', 0)"
+        )
+    )
+    density = n_symbols.cast("double") / F.greatest(n_chars, F.lit(1))
+    scored = d.select(
+        "lang",
+        F.round(density, 6).alias("symbol_density"),
+        n_keywords.alias("n_keywords"),
+        ((density > 0.02) & (n_keywords >= 2)).alias("looks_like_code"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("looks_like_code"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_code_like"),
+            F.round(F.avg("symbol_density"), 6).alias("avg_symbol_density"),
+            F.sum("n_keywords").cast("bigint").alias("total_keyword_hits"),
+        )
+        .orderBy("lang")
+    )
