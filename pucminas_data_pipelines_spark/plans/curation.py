@@ -884,3 +884,73 @@ def curation_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("log2_bucket")
     )
+
+
+@query(
+    "corpus_dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(LOWER(TRIM(text))) AS norm_hash
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_tokens) AS BIGINT) AS shortest_doc_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS longest_doc_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6)
+             AS mean_doc_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT norm_hash) AS BIGINT)
+             AS n_exact_dup_docs,
+           ROUND(1.0 - CAST(COUNT(DISTINCT norm_hash) AS DOUBLE) / COUNT(*), 6)
+             AS exact_dup_rate
+    FROM t
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset card ("datasheets for datasets"): corpus size in
+    docs/tokens/chars, language and source breadth, length extremes, and
+    the exact-duplicate rate (normalized-hash) — the summary block a
+    training-data release publishes, computed as a SINGLE aggregate so
+    the card is cheap enough to regenerate on every corpus version.
+
+    Scale: one scan; every statistic is an algebraic or distinct
+    aggregate with map-side partials (the distincts expand-and-combine —
+    at extreme cardinality swap count_distinct for the HLL/bitmap
+    sketches this registry already carries)."""
+    from pucminas_data_pipelines_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    t = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("norm_hash"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_tokens").alias("shortest_doc_tokens"),
+        F.max("n_tokens").alias("longest_doc_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_doc_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct("norm_hash"))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct("norm_hash").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+    )

@@ -354,3 +354,66 @@ def pii_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         luhn_sum.cast("bigint").alias("luhn_sum"),
         (luhn_sum % 10 == 0).alias("luhn_valid"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "pii_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000) AS INTEGER) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 100) AS INTEGER))
+                  AS BIGINT) AS sensitive_diversity
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_qi_groups,
+           CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_k5,
+           CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                AS BIGINT) AS n_reidentifiable_rows,
+           CAST(MIN(group_size) AS BIGINT) AS k_anonymity,
+           CAST(MIN(sensitive_diversity) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN sensitive_diversity < 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_homogeneous_groups
+    FROM qi
+    """,
+)
+def pii_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifiers: group the
+    dimension by (segment, nation, coarse balance bucket) — the columns an
+    attacker could link externally — and report the dataset's k (smallest
+    group), the rows re-identifiable under k=5, and l-diversity of a
+    finer sensitive attribute within each group (homogeneous groups leak
+    the sensitive value even when k holds). The release-gating audit that
+    complements pii_scan_counts' pattern matching: scanning finds PII
+    VALUES, this finds LINKABILITY.
+
+    Scale: one map-side-combined QI aggregate (cardinality = QI-space,
+    not rows) and a single-row reduce over it."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / 100).cast("int")
+        ).alias("sensitive_diversity"),
+    )
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_qi_groups"),
+        F.sum(F.when(F.col("group_size") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_k5"),
+        F.sum(F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_reidentifiable_rows"),
+        F.min("group_size").alias("k_anonymity"),
+        F.min("sensitive_diversity").alias("l_diversity"),
+        F.sum(F.when(F.col("sensitive_diversity") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_homogeneous_groups"),
+    )
