@@ -923,8 +923,6 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with map-side partials (the distincts expand-and-combine —
     at extreme cardinality swap count_distinct for the HLL/bitmap
     sketches this registry already carries)."""
-    from pucminas_data_pipelines_spark.functions.text import normalize_text
-
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
     t = d.select(
