@@ -1085,3 +1085,146 @@ def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "silence_start")
         .limit(50)
     )
+
+
+@query(
+    "events_decayed_engagement",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS max_ts FROM events),
+    scored AS (
+      SELECT user_id,
+             CAST(ROUND(
+               1.0 / (1.0 + 0.1 * (EXTRACT(epoch FROM a.max_ts)
+                                   - EXTRACT(epoch FROM ts)) / 86400.0),
+               8) AS DECIMAL(18,8)) AS w
+      FROM events CROSS JOIN anchor a
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(w), 4) AS DOUBLE) AS decayed_score
+    FROM scored
+    GROUP BY user_id
+    ORDER BY decayed_score DESC, user_id
+    LIMIT 25
+    """,
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score: each event contributes
+    1 / (1 + 0.1 x age_in_days) against the corpus max timestamp, so last
+    week's activity dominates and history fades smoothly — the
+    recency-weighted ranking signal feeds (trending, churn risk) use
+    instead of a hard recency cutoff.
+
+    Determinism note: the decay kernel is RATIONAL on purpose — exp()
+    differs by 1 ulp between JVM and C libm and a 25k-term sum can land
+    exactly on a rounding boundary (observed in development); +,x,/ are
+    IEEE-exact so the hyperbolic kernel is bit-identical on both engines,
+    then per-row DECIMAL quantization makes the group sum order-free.
+
+    Scale: one broadcast single-row anchor, one map-side-combined
+    aggregate. The decay constant composes with
+    events_rfm_segmentation's recency quartiles."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("max_ts"))
+    age_days = (
+        F.col("max_ts").cast("long") - F.col("ts").cast("long")
+    ).cast("double") / 86400.0
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            # per-row quantization to DECIMAL(18,8) makes the group sum
+            # exact and ORDER-FREE — raw float sums differ in the last ulp
+            # across partitionings and can land on a rounding boundary
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.lit(0.1) * age_days), 8)
+            .cast("decimal(18,8)")
+            .alias("w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("w"), 4).cast("double").alias("decayed_score"),
+        )
+        .orderBy(F.col("decayed_score").desc(), "user_id")
+        .limit(25)
+    )
+
+
+@query(
+    "events_type_affinity",
+    oracle="""
+    WITH per_user AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM events
+    ),
+    type_counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+      FROM per_user GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM per_user a
+      JOIN per_user b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND((p.n_both * u.n) / (ca.n_type * cb.n_type), 6) AS lift
+    FROM pairs p
+    JOIN type_counts ca ON ca.event_type = p.type_a
+    JOIN type_counts cb ON cb.event_type = p.type_b
+    CROSS JOIN n_users u
+    ORDER BY type_a, type_b
+    """,
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between event types: for every type pair,
+    the users who do BOTH and the lift P(a,b)/(P(a)·P(b)) — lift > 1
+    means the behaviors attract (cross-sell/bundling signal), < 1 means
+    they repel. The association-rules primitive over the behavior log.
+
+    Scale: the self-join runs on the DISTINCT (user, type) table — at
+    most |types| rows per user, so the pair explosion is users x
+    C(|types|,2), bounded by the small type vocabulary, never by event
+    volume; with thousands of item types you'd switch to the
+    frequent-itemset pruning (support threshold before pairing). Exact
+    integer ratios rounded at 6."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.select("user_id", "event_type").distinct()
+    n_users = e.agg(
+        F.count_distinct("user_id").cast("double").alias("n")
+    )
+    type_counts = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    a = per_user.select("user_id", F.col("event_type").alias("type_a"))
+    b = per_user.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = type_counts.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("na")
+    )
+    cb = type_counts.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n")) / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
