@@ -2251,3 +2251,87 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_readability_scores",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS DOUBLE)
+               AS words,
+             CAST(GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS DOUBLE) AS sentences,
+             CAST(GREATEST(LEN(regexp_extract_all(LOWER(text),
+                  '[aeiouy]+')), 1) AS DOUBLE) AS vowel_groups
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, words, sentences,
+             ROUND(206.835 - 1.015 * (words / sentences)
+                   - 84.6 * (vowel_groups / words), 4) AS flesch_ease,
+             ROUND(0.39 * (words / sentences)
+                   + 11.8 * (vowel_groups / words) - 15.59, 4) AS fk_grade
+      FROM feats WHERE words > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(flesch_ease), 4) AS avg_flesch_ease,
+           ROUND(AVG(fk_grade), 4) AS avg_fk_grade,
+           ROUND(AVG(words / sentences), 4) AS avg_words_per_sentence
+    FROM scored
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade level per language,
+    with vowel-group runs as the standard syllable proxy — the
+    readability axis of pretraining quality scoring (too-low grade =
+    listicle spam, absurdly-high = OCR noise), complementing
+    text_quality_scores' surface ratios and text_char_diversity's
+    entropy.
+
+    Determinism: counts are integers, the score arithmetic is fixed-order
+    IEEE (+,x,/ only — no libm), and per-doc scores round at 4 before the
+    per-lang average of in-range values (the averaged scores are exact
+    4-decimal values, so the final AVG is a ratio of exact sums).
+
+    Scale: per-row regexp counts, no explode, one rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    sentences = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("double")
+    vowels = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    ).cast("double")
+    scored = d.select(
+        "lang",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sentences)
+            - F.lit(84.6) * (vowels / words),
+            4,
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * (words / sentences)
+            + F.lit(11.8) * (vowels / words)
+            - F.lit(15.59),
+            4,
+        ).alias("fk_grade"),
+    ).where(F.col("words") > 0)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("flesch_ease"), 4).alias("avg_flesch_ease"),
+            F.round(F.avg("fk_grade"), 4).alias("avg_fk_grade"),
+            F.round(F.avg(F.col("words") / F.col("sentences")), 4).alias(
+                "avg_words_per_sentence"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -787,3 +787,56 @@ def scalar_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("adjacent_sums"),
         F.array_max("xs").alias("max_x"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_collation_ci_suite",
+    oracle="""
+    WITH mangled AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0
+                  THEN UPPER(SUBSTRING(c_mktsegment, 1, 1))
+                       || LOWER(SUBSTRING(c_mktsegment, 2))
+                  ELSE LOWER(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_sensitive_distinct,
+           CAST(COUNT(DISTINCT LOWER(seg)) AS BIGINT)
+             AS n_case_insensitive_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(LOWER(seg)) AS first_segment_ci,
+           MAX(LOWER(seg)) AS last_segment_ci
+    FROM mangled
+    """,
+)
+def scalar_collation_ci_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 `collate`): market segments are
+    case-mangled in-query (half Initcap, half lower), then counted
+    distinct under the default binary collation vs UNICODE_CI — the
+    engine-level answer to case-insensitive joins/grouping that
+    lower()-wrapping scatters through queries (and that lower() gets
+    WRONG for locale-sensitive scripts; for this ASCII fixture DuckDB's
+    NOCASE agrees exactly). Outputs project through LOWER so the
+    collated comparison, not a collation-dependent representative,
+    determines the values.
+
+    Scale: collation is an expression-level property — distinct/group
+    under CI collation hashes the collation key JVM-side, same shuffle
+    shape as any distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    mangled = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.initcap(F.lower("c_mktsegment"))
+        )
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    return mangled.agg(
+        F.count_distinct("seg").alias("n_case_sensitive_distinct"),
+        F.count_distinct(F.collate(F.col("seg"), "UNICODE_CI")).alias(
+            "n_case_insensitive_distinct"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.lower("seg")).alias("first_segment_ci"),
+        F.max(F.lower("seg")).alias("last_segment_ci"),
+    )
