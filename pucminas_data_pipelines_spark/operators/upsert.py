@@ -111,7 +111,38 @@ class ParquetVersionedTable:
         return version
 
     def history(self) -> list[int]:
-        return list(range(self.latest_version() + 1))
+        """Surviving snapshot versions (vacuum removes expired ones)."""
+        try:
+            found = sorted(
+                int(name.split("=", 1)[1])
+                for name in os.listdir(self.path)
+                if name.startswith("v=")
+            )
+        except FileNotFoundError:
+            return []
+        return found
+
+    def vacuum(self, retain_last: int = 2) -> list[int]:
+        """Snapshot expiry (Delta VACUUM / Iceberg expire_snapshots): drop
+        every snapshot but the newest ``retain_last``, reclaiming storage
+        while keeping a bounded time-travel horizon. Returns the expired
+        version numbers; time travel to them afterwards raises, which is
+        exactly Delta's post-vacuum behavior.
+
+        Scale: at 100 TB, snapshot expiry is what keeps a
+        frequently-merged table from storing every historical byte
+        forever — retention is a policy knob traded against the
+        time-travel window the pipeline's consumers need."""
+        import shutil as _sh
+
+        latest = self.latest_version()
+        keep = set(range(max(0, latest - retain_last + 1), latest + 1))
+        removed: list[int] = []
+        for v in self.history():
+            if v not in keep:
+                _sh.rmtree(f"{self.path}/v={v}", ignore_errors=True)
+                removed.append(v)
+        return removed
 
     def generate_manifest(self) -> str:
         """O16: symlink-format manifest (list of data files of the latest

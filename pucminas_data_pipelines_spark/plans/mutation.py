@@ -457,3 +457,48 @@ def mutation_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("as_of_version", "n_rows", "total_balance")
         )
     return snapshots[0].unionAll(snapshots[1]).orderBy("as_of_version")
+
+
+@query(
+    "mutation_snapshot_expiry",
+    oracle="""
+    SELECT 0 AS version, FALSE AS survives, FALSE AS readable
+    UNION ALL SELECT 1, FALSE, FALSE
+    UNION ALL SELECT 2, TRUE, TRUE
+    UNION ALL SELECT 3, TRUE, TRUE
+    ORDER BY version
+    """,
+)
+def mutation_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry (VACUUM / expire_snapshots): four committed
+    versions, retention 2 — versions 0-1 must be gone (directory removed,
+    time travel raises) while 2-3 stay readable; the literal oracle pins
+    the full survive/readable matrix. Completes the versioned-table
+    lifecycle: commit → merge → time-travel → manifest → EXPIRE.
+
+    Scale note in operators/upsert.vacuum: retention bounds storage on a
+    frequently-merged 100 TB table; the tradeoff is the time-travel
+    horizon consumers keep."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ParquetVersionedTable,
+    )
+
+    path = "/root/repo/.tmp/expiry_table"
+    shutil.rmtree(path, ignore_errors=True)
+    t = ParquetVersionedTable(spark, path)
+    base = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for v in range(4):
+        t.overwrite(base.withColumn("rev", F.lit(v)))
+    t.vacuum(retain_last=2)
+    surviving = set(t.history())
+    rows = []
+    for v in range(4):
+        readable = True
+        try:
+            t.read(version_as_of=v).count()
+        except Exception:
+            readable = False
+        rows.append((v, v in surviving, readable))
+    return spark.createDataFrame(
+        rows, "version int, survives boolean, readable boolean"
+    ).orderBy("version")
