@@ -17,7 +17,16 @@ Comparability rules enforced by convention here (FIXTURES.md):
 - a query that sets a session runtime conf MUST restore it (context
   manager, like streaming/jobs._pinned_shuffle_partitions): sessions are
   baselined once per process (session.configure_session sentinel), so a
-  leaked conf silently poisons every query that runs after it.
+  leaked conf silently poisons every query that runs after it;
+- libm functions (exp/log/pow) differ by 1 ulp between the JVM and C
+  runtimes: a large SUM of such terms can land exactly on a rounding
+  boundary (observed on events_decayed_engagement's 25k-term exp sum).
+  Prefer rational kernels (+,x,/ are IEEE-exact everywhere); where a log
+  is the math (BM25, TF-IDF, entropy), round AFTER the aggregate with
+  margin, or quantize per-row to DECIMAL before any group sum so the
+  sum is exact and order-free;
+- oracle SQL is whitespace-normalized at registration, so string
+  literals cannot carry newlines — build them with CHR(10)/CHR(34).
 """
 
 from __future__ import annotations
