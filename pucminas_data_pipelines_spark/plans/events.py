@@ -1228,3 +1228,37 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "events_activity_heatmap",
+    oracle="""
+    SELECT CAST(EXTRACT(isodow FROM ts) AS INTEGER) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hour
+    """,
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday x hour activity heatmap (168-cell grid of event and
+    unique-user counts) — the first dashboard any behavior log gets, and
+    the raw material stats_seasonality_dow_index marginalizes.
+
+    Scale: one map-side-combined aggregate to <= 168 groups; the distinct
+    user count expands per-cell but combines partially. Nothing else
+    moves."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (((F.dayofweek("ts") + 5) % 7) + 1).alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )

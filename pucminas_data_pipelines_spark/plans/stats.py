@@ -1934,3 +1934,163 @@ def stats_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("n_false_negatives"),
     )
+
+
+@query(
+    "quality_source_reconciliation",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                       AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 31 != 0
+      UNION ALL
+      SELECT -o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT CAST(SUM(CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_in_source,
+           CAST(SUM(CASE WHEN a.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_in_target,
+           CAST(SUM(CASE WHEN a.o_orderkey IS NOT NULL
+                          AND b.o_orderkey IS NOT NULL
+                          AND CAST(a.o_totalprice AS DECIMAL(18,2))
+                              != CAST(b.o_totalprice AS DECIMAL(18,2))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS value_mismatches,
+           CAST(SUM(CASE WHEN a.o_orderkey IS NOT NULL
+                          AND b.o_orderkey IS NOT NULL
+                          AND CAST(a.o_totalprice AS DECIMAL(18,2))
+                              = CAST(b.o_totalprice AS DECIMAL(18,2))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS matched
+    FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def quality_source_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source reconciliation report — the migration/replication audit:
+    a corrupted copy of orders (every 31st key dropped, every 97th price
+    bumped one cent-unit, phantom negative keys injected) full-outer-
+    joined against the source, summarized into only-in-source /
+    only-in-target / value-mismatch / matched counts. The discrepancies
+    are planted deterministically so the oracle derives the same copy.
+
+    Scale: ONE full-outer hash join on the key (AQE-skew-safe) and a
+    single-row reduce; comparisons run through DECIMAL so float noise
+    can't fake mismatches. This is version_diff's cross-system sibling
+    (that one diffs versions of one table; this reconciles two
+    systems)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    corrupted = (
+        o.where(F.col("o_orderkey") % 31 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0,
+                (F.col("o_totalprice").cast("decimal(18,2)") + 1).cast(
+                    "double"
+                ),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 101 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("va"),
+    )
+    b = corrupted.select(
+        F.col("o_orderkey").alias("kb"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("vb"),
+    )
+    j = a.join(b, F.col("ka") == F.col("kb"), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("kb").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_in_source"),
+        F.sum(F.when(F.col("ka").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_in_target"),
+        F.sum(
+            F.when(
+                F.col("ka").isNotNull()
+                & F.col("kb").isNotNull()
+                & (F.col("va") != F.col("vb")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("value_mismatches"),
+        F.sum(
+            F.when(
+                F.col("ka").isNotNull()
+                & F.col("kb").isNotNull()
+                & (F.col("va") == F.col("vb")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("matched"),
+    )
+
+
+@query(
+    "stats_winsorized_mean",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p5,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type,
+             CAST(ROUND(LEAST(GREATEST(e.value, c.p5), c.p95), 6)
+                  AS DECIMAL(18,6)) AS v
+      FROM events e JOIN cuts c USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS winsorized_mean
+    FROM clipped
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: values clipped to [p5, p95] before
+    averaging — the robust central-tendency metric that survives the
+    outliers a plain mean chases (and the gentler sibling of trimmed
+    means: clipping keeps the row count). Interpolated percentiles are
+    order statistics (cross-engine exact); clipped values quantize to
+    DECIMAL per row so the mean is an exact ratio.
+
+    Scale: one percentile pass (partial-aggregated sketchless exact here;
+    swap for approx_percentile at extreme cardinality), broadcast cuts,
+    one map-side-combined mean."""
+    e = load_table(spark, sf_dir, "events")
+    cuts = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p5"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = e.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("v"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v") / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
