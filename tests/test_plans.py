@@ -468,3 +468,27 @@ def test_kmv_intersection_uses_take_ordered_not_global_window(spark):
     plan = _plan(QUERIES["stats_kmv_set_intersection"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_reconciliation_single_full_outer_join(spark):
+    """The two-source diff must be ONE full-outer hash join plus a reduce —
+    no second pass, no nested loops."""
+    plan = _plan(QUERIES["quality_source_reconciliation"](spark, SF_SMOKE))
+    assert plan.count("FullOuter") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winsorized_mean_broadcasts_cuts(spark):
+    """Percentile cuts are a tiny per-group table — they must broadcast
+    into the clip, never shuffle the event stream for the join."""
+    plan = _plan(QUERIES["stats_winsorized_mean"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_membership_bit_set_is_aggregated(spark):
+    """The Bloom bit set must be built by a distinct aggregate (bounded by
+    m), and probing joins on the bit id — both HashAggregate-backed."""
+    plan = _plan(QUERIES["stats_bloom_filter_membership"](spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
