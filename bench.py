@@ -103,13 +103,20 @@ def main() -> None:
     # headline depth signal above. Fault-isolated per query: one failing
     # query must cost one entry in sweep_failed, never the JSON line.
     sweep_failed: list[str] = []
+    sweep_times: dict[str, float] = {}
     sweep_start = time.perf_counter()
     for name, fn in QUERIES.items():
+        q_start = time.perf_counter()
         try:
             fn(spark, sf_dir).count()
+            sweep_times[name] = time.perf_counter() - q_start
         except Exception:
             sweep_failed.append(name)
     sweep_sec = round(time.perf_counter() - sweep_start, 1)
+    slowest = {
+        n: round(t, 2)
+        for n, t in sorted(sweep_times.items(), key=lambda kv: -kv[1])[:10]
+    }
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -123,6 +130,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "noise_ratio_per_query": noise,
                 "registry_sweep_sec": sweep_sec,
+                "registry_sweep_slowest": slowest,
                 "registry_sweep_queries": len(QUERIES),
                 "registry_sweep_failed": sweep_failed,
             }
