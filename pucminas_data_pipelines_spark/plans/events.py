@@ -909,7 +909,11 @@ def events_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     path string is built by sort_array over (ts, event_id, type) structs
     INSIDE the session aggregate (deterministic total order, no second
     window); path cardinality — not session count — sizes the final
-    rollup. Paths are capped at 5 steps so the string key stays bounded."""
+    rollup. The 2-5-step cap bounds the OUTPUT key; the collect_list
+    itself still materializes each full session in its aggregate buffer,
+    so at 100 TB a whale-session guard belongs BEFORE the aggregate
+    (pre-count sessions with a window and drop > N-event sessions) —
+    documented rather than hidden behind the small fixture."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = e.select(
