@@ -665,3 +665,65 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_grouping_id_labels",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 AND
+                     GROUPING(o_orderpriority) = 1 THEN 'grand_total'
+                WHEN GROUPING(o_orderpriority) = 1 THEN 'per_status'
+                ELSE 'per_status_priority' END AS level,
+           COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY grouping_id, o_orderstatus, o_orderpriority
+    """,
+)
+def agg_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID() disambiguation over a ROLLUP: the marker
+    functions that let a consumer tell a real NULL group from a subtotal
+    row — without them every rollup/cube output is ambiguous the moment
+    the grouped column is nullable. Levels are labeled explicitly
+    (grand_total / per_status / per_status_priority) the way a reporting
+    layer consumes them.
+
+    Scale: same single-pass expand-then-combine as events_hypertable_
+    rollup; grouping_id is a literal per grouping set, free at runtime."""
+    o = load_table(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+    ).cast("bigint")
+    level = (
+        F.when(
+            (F.grouping("o_orderstatus") == 1)
+            & (F.grouping("o_orderpriority") == 1),
+            "grand_total",
+        )
+        .when(F.grouping("o_orderpriority") == 1, "per_status")
+        .otherwise("per_status_priority")
+    )
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            level.alias("level"),
+            gid.alias("grouping_id"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "level",
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias(
+                "o_orderstatus"
+            ),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            "grouping_id",
+            "n",
+        )
+        .orderBy("grouping_id", "o_orderstatus", "o_orderpriority")
+    )

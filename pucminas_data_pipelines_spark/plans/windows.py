@@ -412,3 +412,82 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("longest_streak_days").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "window_first_last_ignore_nulls",
+    oracle="""
+    WITH readings AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS reading
+      FROM events WHERE user_id <= 30
+    ),
+    w AS (
+      SELECT user_id, ts, event_id, reading,
+             FIRST_VALUE(reading IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS first_good,
+             LAST_VALUE(reading IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS last_good,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_readings
+      FROM readings
+    )
+    SELECT user_id,
+           CAST(MIN(n_readings) AS BIGINT) AS n_readings,
+           CAST(SUM(CASE WHEN reading IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           MIN(first_good) AS first_good,
+           MIN(last_good) AS last_good
+    FROM w
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE with IGNORE NULLS over a whole-partition
+    frame: every third reading is nulled (sensor dropout) and the window
+    must skip the gaps to find each user's first and last GOOD reading —
+    semantics a naive first()/last() gets wrong the moment data has
+    holes, and the primitive under events_gap_fill_ffill's
+    carry-forward.
+
+    Scale: one window shuffle per user partition; the whole-partition
+    frame evaluates once per partition, not per row."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 30)
+    readings = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("reading"),
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = readings.select(
+        "user_id",
+        "reading",
+        F.first("reading", ignorenulls=True).over(frame).alias("first_good"),
+        F.last("reading", ignorenulls=True).over(frame).alias("last_good"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_readings"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.min("n_readings").alias("n_readings"),
+            F.sum(F.when(F.col("reading").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nulls"),
+            F.min("first_good").alias("first_good"),
+            F.min("last_good").alias("last_good"),
+        )
+        .orderBy("user_id")
+    )
