@@ -952,3 +952,102 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exact_dup_rate"),
     )
+
+
+@query(
+    "curation_chat_format_validation",
+    oracle="""
+    WITH convo AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'assistant' ELSE 'user' END
+               AS first_role,
+             CASE WHEN doc_id % 7 = 0 THEN '' ELSE TRIM(text) END
+               AS user_content,
+             CASE WHEN doc_id % 5 = 0 THEN 'user' ELSE 'assistant' END
+               AS last_role
+      FROM documents
+    ),
+    checked AS (
+      SELECT doc_id,
+             first_role = 'user' AS starts_with_user,
+             LENGTH(user_content) > 0 AS no_empty_turns,
+             last_role = 'assistant' AS ends_with_assistant,
+             first_role = 'user' AND LENGTH(user_content) > 0
+               AND last_role = 'assistant' AS valid
+      FROM convo
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN NOT starts_with_user THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_first_role,
+           CAST(SUM(CASE WHEN NOT no_empty_turns THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty_turns,
+           CAST(SUM(CASE WHEN NOT ends_with_assistant THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_last_role,
+           CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+    FROM checked
+    """,
+)
+def curation_chat_format_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-format (SFT-record) validation: each document is framed as a
+    two-turn conversation JSON (with deterministic corruption: every 11th
+    record starts with the wrong role, every 7th has an empty turn, every
+    5th ends on the user) and validated through the REAL JSON path —
+    to_json → from_json with an explicit array<struct<role,content>>
+    schema → higher-order checks (element_at for role order, forall for
+    non-empty content). The structural gate every instruction-tuning
+    pipeline runs before tokenization; the oracle derives the same
+    verdicts from the corruption rules directly, so the JSON round-trip
+    itself is what's under test.
+
+    Scale: per-row JSON parse + lambda checks, whole-stage codegen, one
+    single-row rollup. Malformed JSON (PERMISSIVE null from from_json)
+    would surface as NULL roles → counted invalid, never an exception."""
+    d = load_table(spark, sf_dir, "documents")
+    convo_json = F.to_json(
+        F.array(
+            F.struct(
+                F.when(F.col("doc_id") % 11 == 0, "assistant")
+                .otherwise("user")
+                .alias("role"),
+                F.when(F.col("doc_id") % 7 == 0, "")
+                .otherwise(F.trim(F.col("text")))
+                .alias("content"),
+            ),
+            F.struct(
+                F.when(F.col("doc_id") % 5 == 0, "user")
+                .otherwise("assistant")
+                .alias("role"),
+                F.lit("ok").alias("content"),
+            ),
+        )
+    )
+    parsed = d.select(
+        "doc_id",
+        F.from_json(
+            convo_json, "array<struct<role:string,content:string>>"
+        ).alias("turns"),
+    )
+    starts = F.element_at("turns", 1)["role"] == "user"
+    ends = F.element_at("turns", -1)["role"] == "assistant"
+    non_empty = F.forall("turns", lambda t: F.length(t["content"]) > 0)
+    checked = parsed.select(
+        starts.alias("starts_with_user"),
+        non_empty.alias("no_empty_turns"),
+        ends.alias("ends_with_assistant"),
+        (starts & non_empty & ends).alias("valid"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.when(~F.col("starts_with_user"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad_first_role"),
+        F.sum(F.when(~F.col("no_empty_turns"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty_turns"),
+        F.sum(F.when(~F.col("ends_with_assistant"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad_last_role"),
+        F.sum(F.when(F.col("valid"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid"),
+    )

@@ -2094,3 +2094,123 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_ab_test_ztest",
+    oracle="""
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST(('0x' || SUBSTRING(md5(CAST(user_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant
+      FROM events
+    ),
+    converted AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 90
+    ),
+    per_variant AS (
+      SELECT a.variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM assigned a LEFT JOIN converted c USING (user_id)
+      GROUP BY a.variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'control' THEN n_users END) AS nc,
+        MAX(CASE WHEN variant = 'control' THEN n_converted END) AS xc,
+        MAX(CASE WHEN variant = 'treatment' THEN n_users END) AS nt,
+        MAX(CASE WHEN variant = 'treatment' THEN n_converted END) AS xt
+      FROM per_variant
+    )
+    SELECT nc AS n_control, xc AS conv_control,
+           nt AS n_treatment, xt AS conv_treatment,
+           ROUND(CAST(xt AS DOUBLE) / nt - CAST(xc AS DOUBLE) / nc, 6)
+             AS abs_lift,
+           ROUND((CAST(xt AS DOUBLE) / nt - CAST(xc AS DOUBLE) / nc)
+                 / SQRT((CAST(xc + xt AS DOUBLE) / (nc + nt))
+                        * (1 - CAST(xc + xt AS DOUBLE) / (nc + nt))
+                        * (1.0 / nc + 1.0 / nt)), 4) AS z_score
+    FROM wide
+    """,
+)
+def stats_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users are assigned to
+    control/treatment by deterministic md5 hash (the real-world bucketing
+    rule — stable across sessions, no rand()), conversion = a high-value
+    purchase (the rarer event keeps the pooled rate away from the p=1
+    degenerate point where the z denominator vanishes),
+    and the pooled-variance z-score quantifies the lift — the
+    experimentation primitive every growth pipeline ships. Here both arms
+    draw from one population, so the honest expectation is z near 0.
+
+    Determinism: counts are integers; the z arithmetic is fixed-order
+    IEEE (+,x,/,sqrt — all exact-rounded, no libm), rounded at 4.
+
+    Scale: assignment is a map-only hash; one distinct-user pass, one
+    left join to the converted set (broadcast-able), a 2-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            "control",
+        )
+        .otherwise("treatment")
+        .alias("variant"),
+    )
+    converted = (
+        e.where((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    per_variant = (
+        assigned.join(F.broadcast(converted), "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("_conv"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+    )
+    wide = per_variant.agg(
+        F.max(F.when(F.col("variant") == "control", F.col("n_users"))).alias(
+            "nc"
+        ),
+        F.max(
+            F.when(F.col("variant") == "control", F.col("n_converted"))
+        ).alias("xc"),
+        F.max(
+            F.when(F.col("variant") == "treatment", F.col("n_users"))
+        ).alias("nt"),
+        F.max(
+            F.when(F.col("variant") == "treatment", F.col("n_converted"))
+        ).alias("xt"),
+    )
+    pc = F.col("xc").cast("double") / F.col("nc")
+    pt = F.col("xt").cast("double") / F.col("nt")
+    pool = (F.col("xc") + F.col("xt")).cast("double") / (
+        F.col("nc") + F.col("nt")
+    )
+    z = (pt - pc) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / F.col("nc") + F.lit(1.0) / F.col("nt"))
+    )
+    return wide.select(
+        F.col("nc").alias("n_control"),
+        F.col("xc").alias("conv_control"),
+        F.col("nt").alias("n_treatment"),
+        F.col("xt").alias("conv_treatment"),
+        F.round(pt - pc, 6).alias("abs_lift"),
+        F.round(z, 4).alias("z_score"),
+    )
