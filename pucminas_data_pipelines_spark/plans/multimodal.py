@@ -259,3 +259,120 @@ def multimodal_webdataset_shard_layout(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("shard_id")
     )
+
+
+@query(
+    "multimodal_shard_roundtrip",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id AS asset_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents
+    ),
+    laid AS (
+      SELECT asset_id, text, byte_len,
+             SUM(byte_len) OVER (ORDER BY asset_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - byte_len AS start_off
+      FROM sized
+    ),
+    placed AS (
+      SELECT asset_id, text, byte_len,
+             CAST(FLOOR(start_off / 65536.0) AS BIGINT) AS shard_id,
+             start_off
+               - CAST(FLOOR(start_off / 65536.0) AS BIGINT) * 65536
+               AS offset_in_stream
+      FROM laid
+    ),
+    blobs AS (
+      SELECT shard_id, string_agg(text, '' ORDER BY asset_id) AS blob
+      FROM placed GROUP BY shard_id
+    ),
+    extracted AS (
+      SELECT p.shard_id, p.asset_id,
+             md5(SUBSTRING(b.blob, CAST(p.offset_in_stream + 1 AS INTEGER),
+                           CAST(p.byte_len AS INTEGER))) = md5(p.text)
+               AS roundtrip_ok
+      FROM placed p JOIN blobs b USING (shard_id)
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           BOOL_AND(roundtrip_ok) AS all_roundtrip_ok
+    FROM extracted
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def multimodal_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ROUND-TRIP: assets are physically packed into
+    per-shard blobs (binary concat in layout order) and then re-extracted
+    by the manifest's (offset, length) — md5 of every extracted slice must
+    equal the original payload, per shard. This proves the layout
+    arithmetic end-to-end on real bytes, not just the manifest counts
+    (multimodal_webdataset_shard_layout's check).
+
+    Scale: packing groups by shard (bounded blob size by construction —
+    the 64 KiB shard cap IS the memory bound per group); extraction joins
+    the manifest to its shard blob and slices with substring-on-binary,
+    all expression-level. The training-loader read path this models does
+    the same slice over a ranged GET."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.attach_binary_payload(docs, "doc_id", "text").select(
+        "asset_id",
+        "payload",
+        F.col("meta.byte_len").cast("bigint").alias("byte_len"),
+    )
+    w = Window.orderBy("asset_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    laid = assets.select(
+        "asset_id",
+        "payload",
+        "byte_len",
+        (F.sum("byte_len").over(w) - F.col("byte_len")).alias("start_off"),
+    )
+    placed = laid.select(
+        "asset_id",
+        "payload",
+        "byte_len",
+        F.floor(F.col("start_off") / 65536.0).cast("bigint").alias("shard_id"),
+        (
+            F.col("start_off")
+            - F.floor(F.col("start_off") / 65536.0).cast("bigint") * 65536
+        ).alias("offset_in_stream"),
+    )
+    blobs = (
+        placed.groupBy("shard_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("asset_id", "payload"))
+                    ),
+                    lambda s: s["payload"],
+                ),
+                F.lit(b"").cast("binary"),
+                lambda acc, x: F.concat(acc, x),
+            ).alias("blob")
+        )
+    )
+    extracted = placed.join(blobs, "shard_id").select(
+        "shard_id",
+        (
+            F.md5(
+                F.expr(
+                    "substring(blob, CAST(offset_in_stream + 1 AS INT), "
+                    "CAST(byte_len AS INT))"
+                )
+            )
+            == F.md5(F.col("payload"))
+        ).alias("roundtrip_ok"),
+    )
+    return (
+        extracted.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.bool_and("roundtrip_ok").alias("all_roundtrip_ok"),
+        )
+        .orderBy("shard_id")
+    )
