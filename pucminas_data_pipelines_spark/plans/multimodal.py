@@ -276,13 +276,16 @@ def multimodal_webdataset_shard_layout(spark: SparkSession, sf_dir: str) -> Data
                                  AND CURRENT ROW) - byte_len AS start_off
       FROM sized
     ),
-    placed AS (
-      SELECT asset_id, text, byte_len,
-             CAST(FLOOR(start_off / 65536.0) AS BIGINT) AS shard_id,
-             start_off
-               - CAST(FLOOR(start_off / 65536.0) AS BIGINT) * 65536
-               AS offset_in_stream
+    sharded AS (
+      SELECT asset_id, text, byte_len, start_off,
+             CAST(FLOOR(start_off / 65536.0) AS BIGINT) AS shard_id
       FROM laid
+    ),
+    placed AS (
+      SELECT asset_id, text, byte_len, shard_id,
+             start_off - MIN(start_off) OVER (PARTITION BY shard_id)
+               AS offset_in_shard
+      FROM sharded
     ),
     blobs AS (
       SELECT shard_id, string_agg(text, '' ORDER BY asset_id) AS blob
@@ -290,7 +293,7 @@ def multimodal_webdataset_shard_layout(spark: SparkSession, sf_dir: str) -> Data
     ),
     extracted AS (
       SELECT p.shard_id, p.asset_id,
-             md5(SUBSTRING(b.blob, CAST(p.offset_in_stream + 1 AS INTEGER),
+             md5(SUBSTRING(b.blob, CAST(p.offset_in_shard + 1 AS INTEGER),
                            CAST(p.byte_len AS INTEGER))) = md5(p.text)
                AS roundtrip_ok
       FROM placed p JOIN blobs b USING (shard_id)
@@ -331,15 +334,20 @@ def multimodal_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_len",
         (F.sum("byte_len").over(w) - F.col("byte_len")).alias("start_off"),
     )
-    placed = laid.select(
-        "asset_id",
-        "payload",
-        "byte_len",
-        F.floor(F.col("start_off") / 65536.0).cast("bigint").alias("shard_id"),
-        (
-            F.col("start_off")
-            - F.floor(F.col("start_off") / 65536.0).cast("bigint") * 65536
-        ).alias("offset_in_stream"),
+    sharded = laid.withColumn(
+        "shard_id", F.floor(F.col("start_off") / 65536.0).cast("bigint")
+    )
+    # in-shard offsets are relative to the shard's FIRST asset: assets are
+    # never split, so a boundary-crossing asset pushes the next shard's
+    # base PAST shard_id*65536 — anchoring offsets there (the roundtrip's
+    # original bug, caught by the md5 check) would slice garbage.
+    placed = sharded.withColumn(
+        "offset_in_shard",
+        F.col("start_off")
+        - F.min("start_off").over(
+            Window.partitionBy("shard_id").orderBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
     )
     blobs = (
         placed.groupBy("shard_id")
@@ -361,7 +369,7 @@ def multimodal_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.md5(
                 F.expr(
-                    "substring(blob, CAST(offset_in_stream + 1 AS INT), "
+                    "substring(blob, CAST(offset_in_shard + 1 AS INT), "
                     "CAST(byte_len AS INT))"
                 )
             )

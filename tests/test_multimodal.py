@@ -68,3 +68,15 @@ def test_resize_stub_geometry_and_features(spark):
         # never upscale
         assert out["resized_width"] <= r["width"]
         assert out["resized_height"] <= r["height"]
+
+
+def test_shard_roundtrip_recovers_every_asset(spark):
+    """Every shard must report all_roundtrip_ok=True — the md5 extraction
+    check is the point of the query, not just a column to hash-match (the
+    original offset math anchored at shard_id*64KiB and sliced garbage for
+    shards whose first asset crossed the boundary; this pins the fix)."""
+    from pucminas_data_pipelines_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["multimodal_shard_roundtrip"](spark, SF_SMOKE).collect()
+    assert rows and all(r["all_roundtrip_ok"] for r in rows)
