@@ -203,10 +203,7 @@ def multimodal_bytes_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     placed AS (
       SELECT asset_id, byte_len,
-             CAST(FLOOR((cum_end - byte_len) / 65536.0) AS BIGINT) AS shard_id,
-             cum_end - byte_len
-               - CAST(FLOOR((cum_end - byte_len) / 65536.0) AS BIGINT) * 65536
-               AS offset_in_stream
+             CAST(FLOOR((cum_end - byte_len) / 65536.0) AS BIGINT) AS shard_id
       FROM laid
     )
     SELECT shard_id,
@@ -223,7 +220,9 @@ def multimodal_webdataset_shard_layout(spark: SparkSession, sf_dir: str) -> Data
     """WebDataset-style shard layout for binary training assets: assets are
     packed in deterministic key order into ~64 KiB shards by cumulative
     byte offset (shard = floor(start_offset / shard_size)), the manifest a
-    tar-shard writer needs (asset -> shard, offset). Training loaders then
+    tar-shard writer needs (asset -> shard; in-shard offsets anchor at the
+    shard's first asset — see multimodal_shard_roundtrip, which extracts
+    bytes back through them). Training loaders then
     read whole shards sequentially instead of issuing one random GET per
     asset — the I/O pattern that makes 100 TB multimodal training feasible.
 
