@@ -2214,3 +2214,91 @@ def stats_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pt - pc, 6).alias("abs_lift"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@query(
+    "stats_welch_t_test",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'click' THEN sx END) AS sx1,
+        MAX(CASE WHEN event_type = 'click' THEN sxx END) AS sxx1,
+        MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'purchase' THEN sx END) AS sx2,
+        MAX(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxx2
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_purchase,
+           ROUND(sx1 / n1 - sx2 / n2, 6) AS mean_diff,
+           ROUND((sx1 / n1 - sx2 / n2)
+                 / SQRT(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                        + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2), 4)
+             AS welch_t,
+           ROUND(POWER(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                       + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2, 2)
+                 / (POWER(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1, 2)
+                      / (n1 - 1)
+                    + POWER(((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2, 2)
+                      / (n2 - 1)), 2) AS welch_df
+    FROM wide
+    """,
+)
+def stats_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between click and purchase values:
+    t statistic and Welch-Satterthwaite degrees of freedom from exact
+    DECIMAL moment sums (the agg_variance_manual discipline), so both
+    engines produce identical statistics — the two-sample mean-difference
+    test the A/B z-test's continuous-metric sibling (z handles rates;
+    Welch handles revenue-per-user without the equal-variance lie).
+
+    POWER(x, 2) here is x*x (exact-rounded multiply, not libm pow — both
+    engines compute integer powers by multiplication).
+
+    Scale: one map-side-combined moment aggregate to 2 rows; everything
+    after is single-row arithmetic."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    def pick(t, c):
+        return F.max(F.when(F.col("event_type") == t, F.col(c)))
+    wide = s.agg(
+        pick("click", "n").alias("n1"),
+        pick("click", "sx").alias("sx1"),
+        pick("click", "sxx").alias("sxx1"),
+        pick("purchase", "n").alias("n2"),
+        pick("purchase", "sx").alias("sx2"),
+        pick("purchase", "sxx").alias("sxx2"),
+    )
+    v1 = ((F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1"))
+          / (F.col("n1") - 1)) / F.col("n1")
+    v2 = ((F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2"))
+          / (F.col("n2") - 1)) / F.col("n2")
+    mean_diff = F.col("sx1") / F.col("n1") - F.col("sx2") / F.col("n2")
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_purchase"),
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(mean_diff / F.sqrt(v1 + v2), 4).alias("welch_t"),
+        F.round(
+            ((v1 + v2) * (v1 + v2))
+            / (v1 * v1 / (F.col("n1") - 1) + v2 * v2 / (F.col("n2") - 1)),
+            2,
+        ).alias("welch_df"),
+    )
