@@ -2335,3 +2335,102 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_heaps_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+             AS t(token)
+    ),
+    doc_tokens AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    first_seen AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             SUM(d.n_tok) OVER (ORDER BY d.doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_tokens,
+             SUM(COALESCE(f.new_types, 0))
+               OVER (ORDER BY d.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_vocab
+      FROM doc_tokens d
+      LEFT JOIN (SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS new_types
+                 FROM first_seen GROUP BY first_doc) f
+        ON f.first_doc = d.doc_id
+    )
+    SELECT doc_id AS checkpoint_doc,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab,
+           ROUND(CAST(cum_vocab AS DOUBLE) / cum_tokens, 6) AS type_token_ratio
+    FROM per_doc
+    WHERE doc_id % 50 = 0
+    ORDER BY checkpoint_doc
+    """,
+)
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct vocabulary
+    vs cumulative tokens at every 50th document (in corpus order), plus
+    the type-token ratio — Zipf's companion diagnostic (natural text grows
+    vocabulary ~ n^0.5-0.8; a flattening curve means the crawl started
+    repeating itself, a super-linear one means junk/IDs are flooding the
+    vocabulary).
+
+    Scale: each token's FIRST document (min over a map-side-combined
+    group) attributes every vocabulary item exactly once, so the
+    cumulative curve needs only per-doc token counts + per-doc new-type
+    counts — two small tables under one ordered prefix-sum window; the
+    corpus-sized explode feeds combiners, never the window."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    doc_tokens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    new_types = (
+        tok.groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_doc = (
+        doc_tokens.join(
+            new_types, doc_tokens["doc_id"] == new_types["first_doc"], "left"
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum("new_types").over(w).alias("cum_vocab"),
+        )
+    )
+    return (
+        per_doc.where(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("checkpoint_doc"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+            F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+            F.round(
+                F.col("cum_vocab").cast("double") / F.col("cum_tokens"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("checkpoint_doc")
+    )
