@@ -2434,3 +2434,97 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint_doc")
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH tok AS (
+      SELECT regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+      FROM documents
+    ),
+    unigrams AS (
+      SELECT u.token, CAST(COUNT(*) AS BIGINT) AS uc
+      FROM tok, UNNEST(t) AS u(token) GROUP BY u.token
+    ),
+    totals AS (
+      SELECT CAST(SUM(uc) AS DOUBLE) AS n_uni FROM unigrams
+    ),
+    pairs AS (
+      SELECT p.pr[1] AS w1, p.pr[2] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS pc
+      FROM tok, UNNEST(list_zip(t[:-2], t[2:])) AS p(pr)
+      GROUP BY w1, w2
+    ),
+    pair_total AS (SELECT CAST(SUM(pc) AS DOUBLE) AS n_pair FROM pairs)
+    SELECT p.w1, p.w2, p.pc,
+           ROUND(LN((p.pc / pt.n_pair)
+                    / ((u1.uc / t.n_uni) * (u2.uc / t.n_uni))), 4) AS pmi
+    FROM pairs p
+    JOIN unigrams u1 ON u1.token = p.w1
+    JOIN unigrams u2 ON u2.token = p.w2
+    CROSS JOIN totals t CROSS JOIN pair_total pt
+    WHERE p.pc >= 5
+    ORDER BY pmi DESC, p.w1, p.w2
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: pointwise mutual information
+    ln(p(w1,w2) / (p(w1)p(w2))) over adjacent token pairs (support >= 5),
+    top 20 — the statistic that separates real collocations ("machine
+    learning") from frequency accidents ("of the"), and the classic
+    phrase-vocabulary induction signal (word2vec's phrase pass uses
+    exactly this score family).
+
+    Scale: unigram and pair counts are the two map-side-combined
+    aggregates (pairs zipped in-row, no positional self-join — same plan
+    as text_bpe_merge_pairs); unigram probabilities broadcast into the
+    pair table; PMI's single LN rounds at 4 over exact-integer
+    probability ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    unigrams = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    totals = unigrams.agg(F.sum("uc").cast("double").alias("n_uni"))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = (
+        d.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, n1).alias("l"),
+                    F.slice(toks, 2, n1).alias("r"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.l").alias("w1"), F.col("p.r").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .where(F.col("pc") >= 5)
+    )
+    pair_total = (
+        d.select(F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n1).alias("l"),
+                F.slice(toks, 2, n1).alias("r"),
+            )
+        ).alias("p"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_pair"))
+    )
+    u1 = unigrams.select(F.col("token").alias("w1"), F.col("uc").alias("uc1"))
+    u2 = unigrams.select(F.col("token").alias("w2"), F.col("uc").alias("uc2"))
+    pmi = F.log(
+        (F.col("pc") / F.col("n_pair"))
+        / ((F.col("uc1") / F.col("n_uni")) * (F.col("uc2") / F.col("n_uni")))
+    )
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(pair_total))
+        .select("w1", "w2", "pc", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
