@@ -1266,3 +1266,94 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@query(
+    "events_linear_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS c_ts,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) % 4
+               AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.p_id, c.channel,
+             CAST(COUNT(*) OVER (PARTITION BY p.p_id) AS BIGINT) AS n_touches
+      FROM purchases p
+      JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+       AND c.c_ts < p.p_ts
+    ),
+    credited AS (
+      SELECT channel,
+             CAST(ROUND(1.0 / n_touches, 9) AS DECIMAL(18,9)) AS credit
+      FROM touches
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+           CAST(ROUND(SUM(credit), 6) AS DOUBLE) AS attributed_conversions
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every click in the 30 minutes
+    before a purchase shares the conversion credit equally (1/n per
+    touch), rolled up by channel (the props.k bucket standing in for a
+    campaign id) — the equal-credit counterpart to
+    events_first_touch_attribution, and the model marketers reach for
+    when last/first-touch over-rewards one end of the journey. Total
+    attributed credit across channels equals the attributed-purchase
+    count by construction.
+
+    Determinism: per-touch credit quantizes to DECIMAL(18,9) (1/3-style
+    repeating fractions are rounded identically on both engines), so
+    channel sums are exact and order-free.
+
+    Scale: the touch join is user-equi + time-band (hash-partitioned on
+    user, band as residual — the as-of join family's plan); per-purchase
+    touch counts ride a window over the join output, already partitioned
+    by purchase."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        (
+            F.get_json_object("props", "$.k").cast("int") % 4
+        ).alias("channel"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    w = Window.partitionBy("p_id")
+    credited = touches.select(
+        "channel",
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 9)
+        .cast("decimal(18,9)")
+        .alias("credit"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touchpoints"),
+            F.round(F.sum("credit"), 6).cast("double").alias(
+                "attributed_conversions"
+            ),
+        )
+        .orderBy("channel")
+    )
