@@ -2528,3 +2528,72 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# theoretical LSH capture probability 1-(1-s^4)^16 (64 hashes, 16 bands,
+# r=4 rows/band) at each jaccard-bin midpoint, precomputed as literals so
+# both engines compare against the identical constant (no cross-engine
+# pow()): {bin: P(candidate | jaccard≈midpoint)}
+_S_CURVE = {
+    0: 0.0001, 1: 0.008069, 2: 0.060702, 3: 0.214881, 4: 0.488256,
+    5: 0.784647, 6: 0.95698, 7: 0.997726, 8: 0.999993, 9: 1.0,
+}
+
+
+@query(
+    "dedup_lsh_s_curve_calibration",
+    oracle=_JACCARD_CTE
+    + f"""
+    , binned AS (
+      SELECT id_a, id_b,
+             LEAST(CAST(FLOOR(jaccard * 10) AS INTEGER), 9) AS bin
+      FROM jac WHERE jaccard >= 0.01
+    )
+    SELECT bin,
+           ROUND(bin / 10.0 + 0.05, 2) AS bin_mid,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CASE bin {' '.join(f'WHEN {b} THEN {p}' for b, p in _S_CURVE.items())}
+           END AS DOUBLE) AS theoretical_capture
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def dedup_lsh_s_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve calibration table: the exact-Jaccard pair population
+    bucketed into 0.1-wide similarity bins, each annotated with the
+    THEORETICAL capture probability 1-(1-s^4)^16 of the registry's
+    standard 64-hash/16-band MinHash configuration — the table an
+    operator reads to pick bands/rows for a target threshold (steepness
+    at s=0.5, near-certain capture above 0.75). Pair finding reuses the
+    lossless prefix-filter join at threshold ~0 so the bin population is
+    the complete nonzero-Jaccard pair set, oracled against all-pairs
+    exact Jaccard.
+
+    Scale: the calibration is corpus-bounded by the same PPJoin pruning
+    as dedup_prefix_filter_join; theoretical values are literals (a pure
+    function of the config, precomputed — no cross-engine pow)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.01)
+    jac = D.ngram_jaccard_pairs(cands, docs, "doc_id", "text", threshold=0.01)
+    binned = jac.select(
+        F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias(
+            "bin"
+        )
+    )
+    theo = F.lit(None).cast("double")
+    expr = None
+    for b, p in _S_CURVE.items():
+        cond = F.when(F.col("bin") == b, F.lit(p))
+        expr = cond if expr is None else expr.when(F.col("bin") == b, F.lit(p))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.col("bin") / 10.0 + 0.05, 2).alias("bin_mid"),
+            "n_pairs",
+            expr.alias("theoretical_capture"),
+        )
+        .orderBy("bin")
+    )
