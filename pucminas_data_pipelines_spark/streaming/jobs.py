@@ -323,7 +323,7 @@ def run_late_data_drop_scenario(spark: SparkSession, src_dir: str) -> DataFrame:
     schema = "event_id bigint, ts timestamp, user_id bigint, value double"
 
     def _rows(ids_ts):
-        return [(i, ts, 1, 1.0) for i, ts in ids_ts]
+        return [(i, ts, 1, 1.0) for i, ts in ids_ts]  # (id, ts, user, value)
 
     b1 = _rows(
         [(i, f"2024-01-01 00:{5 + i:02d}:00") for i in range(10)]
@@ -334,20 +334,35 @@ def run_late_data_drop_scenario(spark: SparkSession, src_dir: str) -> DataFrame:
     b3 = _rows([(200 + i, "2024-01-01 00:30:00") for i in range(5)])
 
     def _write(rows, sub, mtime):
-        p = f"{src_dir}/{sub}"
-        from datetime import datetime
+        # pyarrow directly: the fixture is 21 rows, and three Spark write
+        # jobs cost multiple seconds of pure scheduling — the file source
+        # only cares about bytes-on-disk and mtime order
+        from datetime import datetime, timezone
 
-        df = spark.createDataFrame(
-            [
-                (i, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), u, v)
-                for i, ts, u, v in rows
-            ],
-            schema,
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = f"{src_dir}/{sub}"
+        os.makedirs(p, exist_ok=True)
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        datetime.strptime(r[1], "%Y-%m-%d %H:%M:%S").replace(
+                            tzinfo=timezone.utc
+                        )
+                        for r in rows
+                    ],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
         )
-        df.coalesce(1).write.mode("overwrite").parquet(p)
-        for f in os.listdir(p):
-            full = f"{p}/{f}"
-            os.utime(full, (mtime, mtime))
+        full = f"{p}/data.parquet"
+        pq.write_table(table, full)
+        os.utime(full, (mtime, mtime))
 
     base = 1_700_000_000
     _write(b1, "b1", base)
@@ -368,7 +383,9 @@ def run_late_data_drop_scenario(spark: SparkSession, src_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
-    return run_to_memory(counted, output_mode="append", state_partitions=4)
+    # 15 distinct keys across 3 windows: 2 state partitions, not the
+    # CPU-wide default (each partition pays store init/commit per batch)
+    return run_to_memory(counted, output_mode="append", state_partitions=2)
 
 
 def transform_with_state_available() -> bool:
