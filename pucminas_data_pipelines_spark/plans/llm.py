@@ -2597,3 +2597,120 @@ def dedup_lsh_s_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "dedup_content_defined_chunks",
+    oracle="""
+    WITH tok AS (
+      SELECT d.doc_id, d.source, t.token, t.pos
+      FROM documents d,
+           (SELECT doc_id AS tid, unnest(w) AS token,
+                   generate_subscripts(w, 1) AS pos
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS w
+                  FROM documents)) t
+      WHERE t.tid = d.doc_id
+    ),
+    flagged AS (
+      SELECT doc_id, source, token, pos,
+             CASE WHEN pos = 1 OR
+                  CAST(('0x' || SUBSTRING(md5(token), 1, 8)) AS BIGINT)
+                    % 16 = 0
+                  THEN 1 ELSE 0 END AS is_boundary
+      FROM tok
+    ),
+    chunked AS (
+      SELECT doc_id, source, token, pos,
+             SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS chunk_no
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, source, chunk_no,
+             md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash,
+             CAST(SUM(LENGTH(token) + 1) AS BIGINT) AS chunk_bytes
+      FROM chunked
+      GROUP BY doc_id, source, chunk_no
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(chunk_bytes) AS BIGINT) AS raw_bytes,
+           ROUND(1.0 - CAST(COUNT(DISTINCT chunk_hash) AS DOUBLE)
+                 / COUNT(*), 6) AS chunk_dup_rate
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS/restic/borg family, token-level):
+    chunk boundaries fall where a token's hash % 16 == 0 — a pure
+    function of CONTENT, so an insertion shifts only the chunk it lands
+    in, unlike fixed-size blocks where one edit re-chunks the rest of the
+    document. Chunk-hash dedup across the corpus then measures the
+    storage-level redundancy (per source: chunks, distinct chunks, dup
+    rate) that document-level dedup (text_fingerprint) and span dedup
+    (dedup_substring_spans) each miss half of.
+
+    Scale: boundary flags are per-row expressions; chunk ids are one
+    per-doc prefix-sum window; chunk assembly aggregates tokens in
+    position order INSIDE each (doc, chunk) group (bounded by expected
+    chunk length = 16 tokens); the dedup rollup is a distinct-count.
+    Nothing is quadratic and no chunk text leaves its executor — only
+    16-byte hashes shuffle for the distinct."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("pos", "token"),
+    )
+    boundary = (F.col("pos") == 0) | (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % 16
+        == 0
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = tok.select(
+        "doc_id",
+        "source",
+        "token",
+        "pos",
+        F.sum(boundary.cast("int")).over(w).alias("chunk_no"),
+    )
+    chunks = chunked.groupBy("doc_id", "source", "chunk_no").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("chunk_hash"),
+        F.sum(F.length("token") + 1).alias("chunk_bytes"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("chunk_hash").alias("n_distinct_chunks"),
+            F.sum("chunk_bytes").alias("raw_bytes"),
+            F.round(
+                F.lit(1.0)
+                - F.count_distinct("chunk_hash").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("chunk_dup_rate"),
+        )
+        .orderBy("source")
+    )
