@@ -308,3 +308,111 @@ def test_prefix_filter_candidates_are_lossless(spark, rows, threshold):
     assert true_pairs <= cands, (
         f"lost true pairs at t={threshold}: {true_pairs - cands}"
     )
+
+
+@_SETTINGS
+@given(
+    st.lists(_words, min_size=8, max_size=40),
+    st.integers(0, 7),
+    _words,
+)
+def test_content_defined_chunking_localizes_edits(spark, words, edit_pos, new_word):
+    """The CDC property: inserting one token changes only the chunk it
+    lands in — the original chunk disappears, at most two replacements
+    appear, and every OTHER chunk hash survives (|symmetric difference|
+    <= 3). Fixed-size blocks lack this; it is why CDC dedup survives
+    insertions."""
+    from pyspark.sql import Window
+
+    def chunk_hashes(text: str) -> list[str]:
+        d = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        tok = d.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "pos", "token"
+            ),
+        )
+        boundary = (F.col("pos") == 0) | (
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+            % 16
+            == 0
+        )
+        w = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        chunks = (
+            tok.select(
+                "doc_id",
+                "pos",
+                "token",
+                F.sum(boundary.cast("int")).over(w).alias("chunk_no"),
+            )
+            .groupBy("doc_id", "chunk_no")
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "token"))
+                            ),
+                            lambda s: s["token"],
+                        ),
+                        " ",
+                    ).cast("binary")
+                ).alias("h")
+            )
+        )
+        return [r["h"] for r in chunks.collect()]
+
+    original = " ".join(words)
+    pos = min(edit_pos, len(words))
+    edited = " ".join(words[:pos] + [new_word] + words[pos:])
+    a, b = chunk_hashes(original), chunk_hashes(edited)
+    from collections import Counter
+
+    diff = Counter(a) - Counter(b), Counter(b) - Counter(a)
+    n_changed = sum(diff[0].values()) + sum(diff[1].values())
+    assert n_changed <= 3, (original, edited, diff)
+
+
+@_SETTINGS
+@given(st.lists(st.integers(1, 50), min_size=5, max_size=60))
+def test_count_min_never_undercounts(spark, keys):
+    """CMS one-sided error on arbitrary key multisets: the minimum over
+    hash rows is always >= the true count (collisions only ADD)."""
+    P, W = 2147483647, 16  # tiny width to force collisions
+    HASHES = [(1103515245, 12345), (69069, 362437), (214013, 2531011)]
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    grid = df.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (((F.lit(a) * F.col("k") + F.lit(b)) % P) % W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i, (a, b) in enumerate(HASHES)
+                ]
+            )
+        ).alias("h"),
+    )
+    sketch = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in grid.groupBy(F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    from collections import Counter
+
+    true = Counter(keys)
+    for k, n in true.items():
+        est = min(
+            sketch[(i, ((a * k + b) % P) % W)]
+            for i, (a, b) in enumerate(HASHES)
+        )
+        assert est >= n, (k, est, n)
