@@ -809,3 +809,48 @@ def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d
         """
     )
+
+
+@query(
+    "join_strategy_hints",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey <= 5000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical-join-strategy control: the same orders-lineitem
+    join executed under a SHUFFLE_HASH hint (plan-asserted to produce a
+    ShuffledHashJoin where the default picks sort-merge) — the planner
+    override for the case where one side comfortably fits a per-partition
+    hash map and the sort phase is pure waste. Completes the hint surface
+    next to join_broadcast_hint.
+
+    Scale: shuffle-hash beats sort-merge when the build side per
+    partition fits memory and spilling is unlikely — a deliberate,
+    measured override, never a default; the hint documents the decision
+    in code where a conf would hide it."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    return (
+        o.hint("shuffle_hash")
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )

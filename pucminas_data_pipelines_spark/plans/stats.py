@@ -2302,3 +2302,56 @@ def stats_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+@query(
+    "stats_crosstab_contingency",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p1_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p2_high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p3_medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p5_low
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def stats_crosstab_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via DataFrameStatFunctions.crosstab — the one-call
+    status x priority cross-tabulation (the raw table stats_chi_squared
+    derives its independence test from), with columns renamed to stable
+    snake_case so the output schema is engine-portable.
+
+    Scale: crosstab compiles to a pivoted count aggregate — one map-side-
+    combined pass, result bounded by |status| x |priority| cells. For
+    high-cardinality pairs prefer the long-format groupBy (pivot width is
+    a driver-side schema cost)."""
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    renames = {
+        "o_orderstatus_o_orderpriority": "status",
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_not_specified",
+        "5-LOW": "p5_low",
+    }
+    out = ct
+    for old, new in renames.items():
+        if old in out.columns:
+            out = out.withColumnRenamed(old, new)
+    return out.select(
+        "status",
+        "p1_urgent",
+        "p2_high",
+        "p3_medium",
+        "p4_not_specified",
+        "p5_low",
+    ).orderBy("status")

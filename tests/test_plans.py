@@ -492,3 +492,11 @@ def test_bloom_membership_bit_set_is_aggregated(spark):
     plan = _plan(QUERIES["stats_bloom_filter_membership"](spark, SF_SMOKE))
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_hash_hint_takes_effect(spark):
+    """join_strategy_hints must plan a ShuffledHashJoin (the hint's whole
+    point), never fall back silently to sort-merge."""
+    plan = _plan(QUERIES["join_strategy_hints"](spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
