@@ -1357,3 +1357,70 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+             CAST(ts AS DATE) AS d,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT d.month,
+           CAST(COUNT(*) AS BIGINT) AS active_days,
+           CAST(SUM(d.dau) AS BIGINT) AS dau_sum,
+           m.mau,
+           ROUND(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / m.mau, 6)
+             AS stickiness
+    FROM daily d JOIN monthly m USING (month)
+    GROUP BY d.month, m.mau
+    ORDER BY d.month
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month (average daily actives over monthly
+    actives — the engagement-frequency ratio growth teams track; 1.0
+    means every monthly user shows up every day). Exact integer distinct
+    counts, one final division.
+
+    Scale: two distinct-count aggregates (per day, per month) over the
+    same scan — both expand-and-combine map-side; the join carries
+    |months| rows. At billions of users swap count_distinct for the
+    registry's mergeable sketches (agg_hll_sketch_mergeable /
+    agg_bitmap_exact_distinct) and the shape is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.to_date("ts").alias("d"),
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    monthly = e.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("month")
+    ).agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        daily.join(monthly, "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count(F.lit(1)).alias("active_days"),
+            F.sum("dau").alias("dau_sum"),
+        )
+        .select(
+            "month",
+            "active_days",
+            "dau_sum",
+            "mau",
+            F.round(
+                F.col("dau_sum").cast("double")
+                / F.col("active_days")
+                / F.col("mau"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
