@@ -2714,3 +2714,75 @@ def dedup_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_oov_rate_by_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT d.lang, t.token
+      FROM documents d,
+           UNNEST(regexp_split_to_array(TRIM(LOWER(d.text)), '\\s+'))
+             AS t(token)
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+        FROM tok GROUP BY token
+      ) WHERE rk <= 20
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against a top-20 corpus
+    vocabulary — the fairness metric for a shared tokenizer/vocab: a
+    language whose OOV rate is high pays byte-fallback costs the head
+    language never sees (the companion to text_tokenizer_fertility's
+    pieces-per-word view).
+
+    Scale: vocabulary selection is an aggregate + TakeOrdered-sized head;
+    the membership join BROADCASTS the vocab (20 rows — a real vocab's
+    50k entries still broadcast trivially); per-lang rollup map-side
+    combines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(20)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )

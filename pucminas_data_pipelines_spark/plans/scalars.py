@@ -840,3 +840,69 @@ def scalar_collation_ci_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.lower("seg")).alias("first_segment_ci"),
         F.max(F.lower("seg")).alias("last_segment_ci"),
     )
+
+
+@query(
+    "scalar_ipv4_suite",
+    oracle="""
+    WITH ips AS (
+      SELECT c_custkey,
+             ((c_custkey * 2654435761) % 4294967296 + 4294967296)
+               % 4294967296 AS ip
+      FROM customer WHERE c_custkey <= 300
+    )
+    SELECT c_custkey,
+           CAST(FLOOR(ip / 16777216) AS BIGINT) || '.'
+             || CAST(FLOOR(ip / 65536) % 256 AS BIGINT) || '.'
+             || CAST(FLOOR(ip / 256) % 256 AS BIGINT) || '.'
+             || CAST(ip % 256 AS BIGINT) AS dotted,
+           CAST(FLOOR(ip / 256) * 256 AS BIGINT) AS subnet24_base,
+           FLOOR(ip / 16777216) = 10
+             OR (FLOOR(ip / 16777216) = 172
+                 AND FLOOR(ip / 65536) % 256 BETWEEN 16 AND 31)
+             OR (FLOOR(ip / 16777216) = 192
+                 AND FLOOR(ip / 65536) % 256 = 168) AS is_private,
+           FLOOR(ip / 16777216) >= 224 AND FLOOR(ip / 16777216) <= 239
+             AS is_multicast
+    FROM ips
+    ORDER BY c_custkey
+    """,
+)
+def scalar_ipv4_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 arithmetic without an inet type: dotted-quad rendering, /24
+    subnet base, RFC-1918 private-range and multicast classification —
+    the log-enrichment expressions access/firewall pipelines run per row
+    (addresses synthesized deterministically from keys via a Knuth
+    multiplicative hash so both engines classify the identical set).
+
+    Scale: pure integer div/mod whole-stage-codegen; at 100 TB of logs
+    the /24 base is the usual pre-aggregation key (bounded cardinality)
+    before any per-IP analysis."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    ip = (
+        (F.col("c_custkey") * F.lit(2654435761)) % 4294967296 + 4294967296
+    ) % 4294967296
+    ips = c.select("c_custkey", ip.alias("ip"))
+    o1 = F.floor(F.col("ip") / 16777216)
+    o2 = F.floor(F.col("ip") / 65536) % 256
+    o3 = F.floor(F.col("ip") / 256) % 256
+    o4 = F.col("ip") % 256
+    return ips.select(
+        "c_custkey",
+        F.concat_ws(
+            ".",
+            o1.cast("bigint").cast("string"),
+            o2.cast("bigint").cast("string"),
+            o3.cast("bigint").cast("string"),
+            o4.cast("bigint").cast("string"),
+        ).alias("dotted"),
+        (F.floor(F.col("ip") / 256) * 256).cast("bigint").alias(
+            "subnet24_base"
+        ),
+        (
+            (o1 == 10)
+            | ((o1 == 172) & o2.between(16, 31))
+            | ((o1 == 192) & (o2 == 168))
+        ).alias("is_private"),
+        ((o1 >= 224) & (o1 <= 239)).alias("is_multicast"),
+    ).orderBy("c_custkey")
