@@ -383,3 +383,70 @@ def multimodal_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@query(
+    "multimodal_aspect_ratio_buckets",
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id AS asset_id,
+             CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+             CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT asset_id, width, height,
+             CASE WHEN width * 4 < height * 3 THEN 'tall'
+                  WHEN width * 3 > height * 4 THEN 'wide'
+                  ELSE 'near_square' END AS bucket
+      FROM geo
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           ROUND(AVG(CAST(width AS DOUBLE) / height), 6) AS mean_aspect,
+           CAST(MIN(width) AS INTEGER) AS min_width,
+           CAST(MAX(height) AS INTEGER) AS max_height
+    FROM bucketed
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def multimodal_aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (the SDXL/NovelAI training trick): assets
+    grouped into tall / near-square / wide bands by integer cross-ratio
+    (w·4 < h·3 etc. — no float in the branch) so each training batch can
+    resize to ITS bucket's shape instead of center-cropping everything
+    square. Geometry comes from the deterministic stub decoder
+    (multimodal_decode_stub's width/height law), so the bucketing is
+    oracled while the real codec stays honestly stubbed.
+
+    Scale: per-row arithmetic + one rollup over 3 buckets; at training
+    scale the bucket id becomes the repartition key so same-shape batches
+    co-locate — the same layout idea as the WebDataset sharding."""
+    docs = load_table(spark, sf_dir, "documents")
+    geo = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.octet_length(F.col("text").cast("binary")) % 640 + 1).alias(
+            "width"
+        ),
+        (F.octet_length(F.col("text").cast("binary")) % 480 + 1).alias(
+            "height"
+        ),
+    )
+    bucket = (
+        F.when(F.col("width") * 4 < F.col("height") * 3, "tall")
+        .when(F.col("width") * 3 > F.col("height") * 4, "wide")
+        .otherwise("near_square")
+    )
+    return (
+        geo.select("asset_id", "width", "height", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.round(
+                F.avg(F.col("width").cast("double") / F.col("height")), 6
+            ).alias("mean_aspect"),
+            F.min("width").alias("min_width"),
+            F.max("height").alias("max_height"),
+        )
+        .orderBy("bucket")
+    )
