@@ -1051,3 +1051,77 @@ def curation_chat_format_validation(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint")
         .alias("n_valid"),
     )
+
+
+@query(
+    "curation_epoch_repeat_plan",
+    oracle="""
+    WITH counted AS (
+      SELECT source,
+             CAST(SUM(LEN(regexp_split_to_array(TRIM(text), '\\s+')))
+                  AS BIGINT) AS avail_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    shared AS (
+      SELECT source, avail_tokens, n_docs,
+             SQRT(CAST(avail_tokens AS DOUBLE))
+               / SUM(SQRT(CAST(avail_tokens AS DOUBLE))) OVER () AS t_share
+      FROM counted
+    ),
+    planned AS (
+      SELECT source, avail_tokens, n_docs,
+             t_share * 100000 AS target_tokens,
+             LEAST(4.0, t_share * 100000 / avail_tokens) AS epochs
+      FROM shared
+    )
+    SELECT source, avail_tokens,
+           CAST(ROUND(target_tokens) AS BIGINT) AS target_tokens,
+           ROUND(epochs, 4) AS epochs,
+           CAST(ROUND(LEAST(target_tokens, 4.0 * avail_tokens)) AS BIGINT)
+             AS effective_tokens,
+           epochs >= 4.0 AS repeat_capped
+    FROM planned
+    ORDER BY source
+    """,
+)
+def curation_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repeat planning under data constraints (Muennighoff et al.
+    2023): temperature-scaled target tokens per source against a 100k
+    training budget, with repeats CAPPED at 4 epochs — past ~4 repeats a
+    source's marginal value decays to near zero, so the plan reports the
+    effective (cap-clipped) token contribution and flags capped sources;
+    the shortfall is what you go buy more data for. Composes
+    curation_temperature_mixture (shares) with curation_token_budget_fill
+    (budget) into the table a training run actually consumes.
+
+    Scale: per-source token counts are one map-side-combined aggregate;
+    the plan math runs on |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("avail_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = Window.partitionBy()
+    shared = counted.select(
+        "source",
+        "avail_tokens",
+        (
+            F.sqrt(F.col("avail_tokens").cast("double"))
+            / F.sum(F.sqrt(F.col("avail_tokens").cast("double"))).over(tot)
+        ).alias("t_share"),
+    )
+    target = F.col("t_share") * 100000
+    epochs = F.least(F.lit(4.0), target / F.col("avail_tokens"))
+    return shared.select(
+        "source",
+        "avail_tokens",
+        F.round(target).cast("bigint").alias("target_tokens"),
+        F.round(epochs, 4).alias("epochs"),
+        F.round(F.least(target, F.lit(4.0) * F.col("avail_tokens")))
+        .cast("bigint")
+        .alias("effective_tokens"),
+        (epochs >= 4.0).alias("repeat_capped"),
+    ).orderBy("source")

@@ -2355,3 +2355,97 @@ def stats_crosstab_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p4_not_specified",
         "p5_low",
     ).orderBy("status")
+
+
+@query(
+    "stats_runs_test_randomness",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type
+    ),
+    signed AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             CASE WHEN e.value > md.m THEN 1 ELSE 0 END AS above
+      FROM events e JOIN med md USING (event_type)
+      WHERE e.value != md.m
+    ),
+    runs AS (
+      SELECT event_type, above,
+             CASE WHEN LAG(above) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) IS DISTINCT
+                       FROM above THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(new_run) AS DOUBLE) AS r,
+             CAST(SUM(above) AS DOUBLE) AS n1,
+             CAST(SUM(1 - above) AS DOUBLE) AS n2
+      FROM runs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           ROUND((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                 / SQRT(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 4)
+             AS runs_z
+    FROM s ORDER BY event_type
+    """,
+)
+def stats_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: the time-ordered
+    above/below-median sign sequence is collapsed into runs and compared
+    against the expected run count under randomness — too FEW runs means
+    trending/stickiness, too MANY means oscillation; the serial-
+    randomness check that catches what lag-1 autocorrelation
+    (stats_autocorrelation_lag1) sees only linearly.
+
+    Determinism: run boundaries are integer events under a deterministic
+    (ts, event_id) order; the z arithmetic is fixed-order IEEE on exact
+    integer counts.
+
+    Scale: one broadcast of per-type medians, one lag window per type
+    partition, a map-side-combined count rollup."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    signed = (
+        e.join(F.broadcast(med), "event_type")
+        .where(F.col("value") != F.col("m"))
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            (F.col("value") > F.col("m")).cast("int").alias("above"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    runs = signed.select(
+        "event_type",
+        "above",
+        (~F.lag("above").over(w).eqNullSafe(F.col("above")))
+        .cast("int")
+        .alias("new_run"),
+    )
+    s = runs.groupBy("event_type").agg(
+        F.sum("new_run").cast("double").alias("r"),
+        F.sum("above").cast("double").alias("n1"),
+        F.sum(F.lit(1) - F.col("above")).cast("double").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return s.select(
+        "event_type",
+        r.cast("bigint").alias("n_runs"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        F.round((r - mu) / F.sqrt(var), 4).alias("runs_z"),
+    ).orderBy("event_type")
