@@ -854,3 +854,41 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sql_group_by_all_ordinal",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY 1, 2
+    """,
+)
+def sql_group_by_all_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ordinal ORDER BY (both Spark 4 and DuckDB dialect):
+    every non-aggregate select item groups implicitly — the
+    keep-the-query-in-sync convenience that removes the classic
+    added-a-column-forgot-the-group-by bug; the oracle runs the IDENTICAL
+    modern-SQL text, making this a dialect-parity check as much as a
+    feature demo.
+
+    Scale: compiles to exactly the explicit-list aggregate — one
+    map-side-combined pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_gba"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders_gba
+        GROUP BY ALL
+        ORDER BY 1, 2
+        """
+    )

@@ -2449,3 +2449,69 @@ def stats_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("bigint").alias("n_below"),
         F.round((r - mu) / F.sqrt(var), 4).alias("runs_z"),
     ).orderBy("event_type")
+
+
+@query(
+    "stats_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    marg AS (SELECT cur, SUM(nab) AS na FROM trans GROUP BY cur),
+    tot AS (SELECT CAST(SUM(nab) AS DOUBLE) AS n FROM trans)
+    SELECT CAST(t.n AS BIGINT) AS n_transitions,
+           ROUND(-SUM((tr.nab / t.n)
+                      * LN(CAST(tr.nab AS DOUBLE) / m.na)), 4)
+             AS entropy_rate_nats,
+           ROUND(LN(5.0), 4) AS max_entropy_nats
+    FROM trans tr
+    JOIN marg m USING (cur)
+    CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+)
+def stats_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov entropy rate of per-user event sequences:
+    H(next | current) = -Σ p(a,b)·ln p(b|a) over the transition counts —
+    the sequence-predictability number (0 = deterministic journeys,
+    ln(5) ≈ 1.609 = memoryless uniform over the 5 types) that tells a
+    recommender/prefetcher whether conditioning on the last action buys
+    anything; the sequential sibling of stats_mutual_information's
+    column-pair view.
+
+    Determinism: probabilities are exact integer ratios; the LN terms
+    round at 4 after the (small, |types|² ≤ 25-term) sum.
+
+    Scale: one lag window per user partition, transition counts map-side
+    combine to ≤ |types|² rows, everything after is constant-size."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("nab"))
+    marg = trans.groupBy("cur").agg(F.sum("nab").alias("na"))
+    tot = trans.agg(F.sum("nab").cast("double").alias("n"))
+    joined = trans.join(F.broadcast(marg), "cur").crossJoin(F.broadcast(tot))
+    return joined.groupBy("n").agg(
+        F.round(
+            -F.sum(
+                (F.col("nab") / F.col("n"))
+                * F.log(F.col("nab").cast("double") / F.col("na"))
+            ),
+            4,
+        ).alias("entropy_rate_nats"),
+        F.round(F.log(F.lit(5.0)), 4).alias("max_entropy_nats"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_transitions"),
+        "entropy_rate_nats",
+        "max_entropy_nats",
+    )
