@@ -60,17 +60,24 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # mutation cdc/scd2 + pii/url (3) + the 4 sources deferred from r5
 # (csv_semicolon, range_sorted, zorder, python_datasource) + llm misc
 # (text_lm_quality_score, embedding_label_centroids). ~51 remained after
-# the r5 window was pinned; the ~35 NEW round-5 queries (sketches: CMS /
-# KMV distinct / KMV intersection; DPP + dynamic-partition overwrite;
-# OHLC / Benford / autocorr / weighted-median / Gini / seasonality /
-# temporal audit / peak concurrency / RFM / journey paths / streaks;
-# BPE pairs / char diversity / zipf / fertility / seq-len histogram;
-# prefix-filter join / matryoshka / contrastive pairs / norm gate; Luhn;
-# recursive CTE; try_* suite; SCD2 as-of; grouped k-fold; CSV-multiline /
-# codec / python-writer sinks; watermark late-drop) queue behind them —
-# round 6 takes the 50 highest-leverage of the combined pool and the
-# remainder rolls to r7; all are pinned by the full-parity suite
-# meanwhile.
+# the r5 window was pinned; round 5 then added ~95 NEW queries (registry
+# 217 -> 312: the sketch family CMS/KMV/KMV-intersect/Bloom; DPP +
+# dynamic-partition overwrite + snapshot expiry + SCD2 as-of; the
+# analytics sweep OHLC/Benford/Gini/autocorr/weighted-median/winsorized/
+# seasonality/runs-test/Welch/A-B z/heatmap/streaks/journeys/RFM/peak-
+# concurrency/outage/DAU-MAU/attribution/affinity/decay; the text/LLM
+# sweep BPE-pairs/char-diversity/zipf/Heaps/PMI/fertility/OOV/
+# readability/code-detection/chat-validation/CDC-chunking/seq-len/
+# epoch-plan/temperature-mixture/dataset-card; prefix-filter join +
+# S-curve calibration; matryoshka + contrastive + norm-gate embeddings;
+# Luhn + k-anonymity; recursive CTE, GROUP BY ALL, collation, try_*,
+# higher-order, grouping_id, ignore-nulls windows, iterator UDF, IPv4,
+# crosstab, join hints; CSV-multiline/codec/python-writer sinks; shard
+# layout + byte-range roundtrip + aspect buckets; assortativity +
+# entropy-rate; watermark late-drop + reconciliation). All queue behind
+# the r5 window — round 6 takes the 50 highest-leverage of the combined
+# pool and the remainder rolls forward; everything is pinned by the
+# full-parity suite meanwhile.
 DRIVER_WINDOW: list[str] = [
     # canaries (driver-green in CORRECTNESS_r04)
     "q1_pricing_summary",
