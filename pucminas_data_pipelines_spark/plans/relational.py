@@ -892,3 +892,74 @@ def sql_group_by_all_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1, 2
         """
     )
+
+
+@query(
+    "join_null_key_short_circuit",
+    oracle="""
+    WITH fact AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END
+               AS cust_fk,
+             o_totalprice
+      FROM orders
+    )
+    SELECT COALESCE(c.c_mktsegment, 'UNMATCHED') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN f.cust_fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_keys,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM fact f LEFT JOIN customer c ON f.cust_fk = c.c_custkey
+    GROUP BY 1
+    ORDER BY segment
+    """,
+)
+def join_null_key_short_circuit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key join short-circuit: every 5th order's FK is nulled (the
+    orphaned-record reality of production data) and the left join is
+    SPLIT — null-key rows bypass the join entirely and union back with
+    the joined remainder. Semantically identical to the naive left join
+    (SQL null never matches), but physically critical: null keys all hash
+    to ONE shuffle partition, so a 100 TB fact with 10% orphans sends
+    10 TB to a single reducer unless they're short-circuited. The oracle
+    runs the naive join; equality proves the rewrite is sound.
+
+    Plan-asserted: only the non-null slice reaches the join (a fraction
+    of the fact shuffles)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+        "o_totalprice",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    with_key = o.where(F.col("cust_fk").isNotNull()).join(
+        c, F.col("cust_fk") == F.col("c_custkey"), "left"
+    )
+    null_key = o.where(F.col("cust_fk").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    unioned = with_key.select(
+        "cust_fk", "o_totalprice", "c_mktsegment"
+    ).unionByName(null_key.select("cust_fk", "o_totalprice", "c_mktsegment"))
+    return (
+        unioned.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNMATCHED")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("cust_fk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("segment")
+    )

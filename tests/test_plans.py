@@ -500,3 +500,14 @@ def test_shuffle_hash_hint_takes_effect(spark):
     plan = _plan(QUERIES["join_strategy_hints"](spark, SF_SMOKE))
     assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_null_key_short_circuit_filters_before_join(spark):
+    """The join input must carry an isnotnull filter on the key — null-key
+    rows bypass the shuffle (they'd all land on one partition)."""
+    plan = _plan(QUERIES["join_null_key_short_circuit"](spark, SF_SMOKE))
+    # Catalyst rewrites the filter through the CASE that derives the key,
+    # pushing it into the fact scan — either spelling proves the join
+    # input excludes null keys before the exchange
+    assert "isnotnull(cust_fk" in plan or "isnotnull(o_custkey" in plan
+    assert "Union" in plan
