@@ -2786,3 +2786,143 @@ def text_oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dedup_survivorship_report",
+    oracle=_JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+    , doc_tok AS (
+      SELECT doc_id,
+             CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    exact_drop AS (
+      SELECT d.doc_id, t.n_tok
+      FROM documents d JOIN doc_tok t USING (doc_id)
+      WHERE d.doc_id != (
+        SELECT MIN(d2.doc_id) FROM documents d2
+        WHERE md5({_NORM_SQL.replace('text', 'd2.text')})
+              = md5({_NORM_SQL.replace('text', 'd.text')})
+      )
+    ),
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.3),
+    uedges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM uedges
+      UNION
+      SELECT reach.id, uedges.b FROM reach JOIN uedges ON reach.r = uedges.a
+    ),
+    lab AS (SELECT id AS member_id, MIN(r) AS rep FROM reach GROUP BY id),
+    near_drop AS (
+      SELECT l.member_id AS doc_id, t.n_tok
+      FROM lab l JOIN doc_tok t ON t.doc_id = l.member_id
+      WHERE l.member_id != l.rep
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos
+      FROM (SELECT doc_id,
+                   regexp_split_to_array({_NORM_SQL}, ' ') AS w
+            FROM documents),
+           LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE len(w) >= 8
+        AND array_to_string(w[i:i+7], ' ') IN (
+          SELECT array_to_string(w2[j:j+7], ' ')
+          FROM (SELECT doc_id AS did2,
+                       regexp_split_to_array({_NORM_SQL}, ' ') AS w2
+                FROM documents),
+               LATERAL unnest(generate_series(1, len(w2) - 7)) AS t2(j)
+          WHERE len(w2) >= 8
+          GROUP BY 1 HAVING COUNT(DISTINCT did2) >= 2
+        )
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM grams
+    ),
+    span_tok AS (
+      SELECT CAST(SUM(mx - mn + 8) AS BIGINT) AS toks,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+      FROM (SELECT doc_id, MIN(pos) AS mn, MAX(pos) AS mx
+            FROM isl GROUP BY doc_id, g)
+    )
+    SELECT 'exact' AS method,
+           CAST(COUNT(*) AS BIGINT) AS docs_affected,
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS tokens_affected
+    FROM exact_drop
+    UNION ALL
+    SELECT 'near_dup_clusters',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+    FROM near_drop
+    UNION ALL
+    SELECT 'duplicated_spans', docs, toks FROM span_tok
+    ORDER BY method
+    """,
+)
+def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DASHBOARD: one table comparing what each method would
+    remove — exact (normalized-hash twins beyond the first), near-dup
+    cluster collapse (every member that is not its cluster's
+    representative), and exact-substring span redaction (tokens inside
+    duplicated >=8-gram spans). Methods overlap but answer different
+    questions (whole-doc vs partial redundancy), and this report is what
+    a data lead reads before choosing the pipeline's dedup budget.
+
+    Scale: composes three already-plan-audited operators (hash groupBy;
+    banded LSH + label propagation; inverted-index span merge) and adds
+    only |methods| result rows; nothing here introduces a new shuffle
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    doc_tok = docs.select("doc_id", n_tok.alias("n_tok"))
+
+    from pucminas_data_pipelines_spark.functions.text import normalize_text
+
+    hashed = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text")).cast("binary")).alias("h")
+    )
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact_drop = (
+        hashed.join(keep, "h")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .join(doc_tok, "doc_id")
+    )
+
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.3
+    ).select("id_a", "id_b")
+    labels = D.dedup_clusters(pairs)
+    near_drop = labels.where(
+        F.col("member_id") != F.col("cluster_rep")
+    ).join(doc_tok, F.col("member_id") == F.col("doc_id"))
+
+    spans = D.duplicated_spans(docs, "doc_id", "text", span_tokens=8)
+
+    def _row(method, df, tok_col):
+        return df.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).alias("docs_affected"),
+            F.coalesce(F.sum(tok_col), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_affected"),
+        ).select("method", "docs_affected", "tokens_affected")
+
+    span_row = spans.agg(
+        F.lit("duplicated_spans").alias("method"),
+        F.count_distinct("doc_id").alias("docs_affected"),
+        F.coalesce(F.sum("span_len_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_affected"),
+    ).select("method", "docs_affected", "tokens_affected")
+    return (
+        _row("exact", exact_drop, "n_tok")
+        .unionByName(_row("near_dup_clusters", near_drop, "n_tok"))
+        .unionByName(span_row)
+        .orderBy("method")
+    )
