@@ -727,3 +727,79 @@ def agg_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_id", "o_orderstatus", "o_orderpriority")
     )
+
+
+@query(
+    "agg_accumulating_snapshot",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS ordered_at,
+           CAST(MIN(l.l_shipdate) AS TIMESTAMP) AS first_ship,
+           CAST(MAX(l.l_shipdate) AS TIMESTAMP) AS last_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST((EXTRACT(epoch FROM MIN(l.l_shipdate))
+                 - EXTRACT(epoch FROM o.o_orderdate)) / 86400 AS BIGINT)
+             AS days_to_first_ship,
+           CAST((EXTRACT(epoch FROM MAX(l.l_shipdate))
+                 - EXTRACT(epoch FROM MIN(l.l_shipdate))) / 86400 AS BIGINT)
+             AS ship_window_days
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey <= 2000
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY o.o_orderkey
+    """,
+)
+def agg_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact (Kimball's third fact-table type): one
+    row per order carrying its milestone timeline — ordered, first ship,
+    last ship — plus the inter-milestone durations that measure process
+    velocity. The standard shape for pipeline/fulfillment analytics,
+    rebuilt here by rolling the line-item grain up to the order grain.
+
+    Scale: one fact-fact equi-join on orderkey (AQE-skew-safe) and a
+    map-side-combined min/max rollup; durations are exact integer epoch
+    math. In production this table is MERGE-maintained incrementally
+    (operators/upsert) rather than rebuilt — same row shape."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    j = o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("ordered_at"),
+            "first_ship",
+            "last_ship",
+            "n_lines",
+            (
+                (
+                    F.unix_timestamp("first_ship")
+                    - F.unix_timestamp("o_orderdate")
+                )
+                / 86400
+            )
+            .cast("bigint")
+            .alias("days_to_first_ship"),
+            (
+                (
+                    F.unix_timestamp("last_ship")
+                    - F.unix_timestamp("first_ship")
+                )
+                / 86400
+            )
+            .cast("bigint")
+            .alias("ship_window_days"),
+        )
+        .orderBy("o_orderkey")
+    )

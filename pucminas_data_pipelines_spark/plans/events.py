@@ -1424,3 +1424,68 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "events_interarrival_distribution",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             EXTRACT(epoch FROM ts)
+               - EXTRACT(epoch FROM LAG(ts) OVER (
+                   PARTITION BY event_type, user_id ORDER BY ts, event_id))
+               AS gap_s
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             CAST(FLOOR(LN(CAST(GREATEST(gap_s, 1) AS DOUBLE)) / LN(2.0))
+                  AS INTEGER) AS log2_bucket
+      FROM gaps WHERE gap_s IS NOT NULL
+    )
+    SELECT event_type, log2_bucket,
+           CAST(POW(2, log2_bucket) AS BIGINT) AS bucket_min_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM binned
+    GROUP BY event_type, log2_bucket
+    ORDER BY event_type, log2_bucket
+    """,
+)
+def events_interarrival_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type (per-user
+    consecutive-event gaps in power-of-two second buckets) — the workload
+    characterization behind every capacity model and the empirical basis
+    for choosing session gaps (events_session_window's 30-minute
+    parameter should sit in this histogram's valley) and stream watermark
+    delays.
+
+    Scale: one lag window per (type, user) partition, integer-exact
+    bucketing, map-side-combined rollup over ~|types| x ~40 buckets."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")).alias(
+            "gap_s"
+        ),
+    ).where(F.col("gap_s").isNotNull())
+    binned = gaps.select(
+        "event_type",
+        F.floor(
+            F.log(F.greatest(F.col("gap_s"), F.lit(1)).cast("double"))
+            / F.log(F.lit(2.0))
+        )
+        .cast("int")
+        .alias("log2_bucket"),
+    )
+    return (
+        binned.groupBy("event_type", "log2_bucket")
+        .agg(
+            F.pow(F.lit(2), F.col("log2_bucket")).cast("bigint").alias(
+                "bucket_min_seconds"
+            ),
+            F.count(F.lit(1)).alias("n_gaps"),
+        )
+        .select("event_type", "log2_bucket", "bucket_min_seconds", "n_gaps")
+        .orderBy("event_type", "log2_bucket")
+    )
