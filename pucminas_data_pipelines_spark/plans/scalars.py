@@ -906,3 +906,63 @@ def scalar_ipv4_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_private"),
         ((o1 >= 224) & (o1 <= 239)).alias("is_multicast"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "scalar_haversine_distance",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 7 % 120) - 60 + 0.5 AS lat1,
+             (c_custkey * 13 % 360) - 180 + 0.5 AS lon1,
+             (c_custkey * 11 % 120) - 60 + 0.5 AS lat2,
+             (c_custkey * 17 % 360) - 180 + 0.5 AS lon2
+      FROM customer WHERE c_custkey <= 200
+    )
+    SELECT c_custkey, lat1, lon1, lat2, lon2,
+           ROUND(2 * 6371.0088 * ASIN(SQRT(
+             POW(SIN(RADIANS(lat2 - lat1) / 2), 2)
+             + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
+               * POW(SIN(RADIANS(lon2 - lon1) / 2), 2)
+           )), 3) AS haversine_km
+    FROM pts
+    ORDER BY c_custkey
+    """,
+)
+def scalar_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance between deterministic synthetic
+    coordinate pairs — the geo primitive under store-radius joins and
+    delivery-zone assignment, computed as pure expressions (no UDF, no
+    geo library). Trig functions are libm; since the value is PER-ROW
+    (never summed), the worst cross-engine deviation is one ulp on one
+    term — rounding the final kilometers at 3 decimals leaves six orders
+    of magnitude of margin (contrast the summed-exp lesson at
+    events_decayed_engagement, where ulps accumulate).
+
+    Scale: whole-stage codegen; for a geo JOIN at 100 TB the pattern is
+    geohash/S2-cell bucketing first (the interval-join decomposition's
+    spatial sibling), haversine only inside candidate cells."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7 % 120) - 60 + 0.5).alias("lat1"),
+        ((F.col("c_custkey") * 13 % 360) - 180 + 0.5).alias("lon1"),
+        ((F.col("c_custkey") * 11 % 120) - 60 + 0.5).alias("lat2"),
+        ((F.col("c_custkey") * 17 % 360) - 180 + 0.5).alias("lon2"),
+    )
+    dlat = F.radians(F.col("lat2") - F.col("lat1")) / 2
+    dlon = F.radians(F.col("lon2") - F.col("lon1")) / 2
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians("lat1"))
+        * F.cos(F.radians("lat2"))
+        * F.pow(F.sin(dlon), 2)
+    )
+    return pts.select(
+        "c_custkey",
+        "lat1",
+        "lon1",
+        "lat2",
+        "lon2",
+        F.round(2 * 6371.0088 * F.asin(F.sqrt(h)), 3).alias("haversine_km"),
+    ).orderBy("c_custkey")
