@@ -2926,3 +2926,134 @@ def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(span_row)
         .orderBy("method")
     )
+
+
+@query(
+    "text_entity_resolution_clusters",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT c_custkey * 10 AS rec_id, c_name AS name
+      FROM customer WHERE c_custkey <= 150
+    ),
+    variant1 AS (
+      SELECT c_custkey * 10 + 1,
+             SUBSTRING(c_name, 1, 4) || SUBSTRING(c_name, 6)
+      FROM customer WHERE c_custkey <= 150 AND c_custkey % 3 = 0
+    ),
+    variant2 AS (
+      SELECT c_custkey * 10 + 2, REPLACE(c_name, 'Customer', 'Custmer')
+      FROM customer WHERE c_custkey <= 150 AND c_custkey % 5 = 0
+    ),
+    records AS (
+      SELECT * FROM base UNION ALL SELECT * FROM variant1
+      UNION ALL SELECT * FROM variant2
+    ),
+    blocked AS (
+      SELECT rec_id, name,
+             SUBSTRING(name, LENGTH(name) - 3) AS block_key
+      FROM records
+    ),
+    pairs AS (
+      SELECT a.rec_id AS ra, b.rec_id AS rb
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS (
+      SELECT ra AS a, rb AS b FROM pairs UNION SELECT rb, ra FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+    ),
+    lab AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+    all_labeled AS (
+      SELECT r.rec_id, COALESCE(l.rep, r.rec_id) AS rep
+      FROM records r LEFT JOIN lab l ON l.id = r.rec_id
+    ),
+    sizes AS (
+      SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM all_labeled GROUP BY rep
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_records
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def text_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ENTITY RESOLUTION: deterministic typo'd variants of
+    customer names (a dropped character, a misspelled prefix) are blocked
+    on a stable key (trailing digits survive the planted typos), paired
+    within blocks under Levenshtein <= 2, and collapsed to entities via
+    connected components — the full dedupe-the-CRM pipeline (block →
+    match → cluster), reported as a cluster-size histogram (singletons =
+    clean entities; size 2-3 = the planted duplicate groups).
+
+    Scale: blocking is what makes ER tractable — edit distance runs only
+    within blocks (the quadratic term is per-block, bounded), components
+    reuse the checkpointed label propagation. The oracle replays the
+    exact pipeline with a recursive-CTE closure."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 150)
+        .select("c_custkey", "c_name")
+    )
+    base = c.select(
+        (F.col("c_custkey") * 10).alias("rec_id"), F.col("c_name").alias("name")
+    )
+    v1 = c.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") * 10 + 1).alias("rec_id"),
+        F.concat(
+            F.substring("c_name", 1, 4), F.expr("substring(c_name, 6)")
+        ).alias("name"),
+    )
+    v2 = c.where(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") * 10 + 2).alias("rec_id"),
+        F.replace(
+            F.col("c_name"), F.lit("Customer"), F.lit("Custmer")
+        ).alias("name"),
+    )
+    records = base.unionByName(v1).unionByName(v2)
+    blocked = records.select(
+        "rec_id",
+        "name",
+        F.expr("substring(name, length(name) - 3)").alias("block_key"),
+    )
+    a = blocked.select(
+        F.col("rec_id").alias("ra"),
+        F.col("name").alias("na"),
+        "block_key",
+    )
+    b = blocked.select(
+        F.col("rec_id").alias("rb"),
+        F.col("name").alias("nb"),
+        "block_key",
+    )
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("ra") < F.col("rb"))
+        .where(F.levenshtein("na", "nb") <= 2)
+        .select(F.col("ra").alias("id_a"), F.col("rb").alias("id_b"))
+    )
+    labels = D.dedup_clusters(pairs)
+    all_labeled = records.join(
+        labels, records["rec_id"] == labels["member_id"], "left"
+    ).select(
+        "rec_id",
+        F.coalesce(F.col("cluster_rep"), F.col("rec_id")).alias("rep"),
+    )
+    sizes = all_labeled.groupBy("rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_records"),
+        )
+        .orderBy("cluster_size")
+    )
