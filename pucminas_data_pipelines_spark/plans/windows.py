@@ -491,3 +491,93 @@ def window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_rolling_trend_slope",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS x
+      FROM events
+    ),
+    rolled AS (
+      SELECT event_type, x,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(x AS DOUBLE)) OVER w AS sx,
+             SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sy,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) OVER w AS sxx,
+             SUM(CAST(x * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,2)))
+               OVER w AS sxy
+      FROM seq
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ),
+    slopes AS (
+      SELECT event_type, x,
+             (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+               / (n * sxx - sx * sx) AS slope
+      FROM rolled WHERE n = 10
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           ROUND(MAX(slope), 6) AS steepest_up,
+           ROUND(MIN(slope), 6) AS steepest_down
+    FROM slopes
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def window_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-point least-squares slope per event type (trend
+    detector): regression moments accumulate inside ONE window frame —
+    x is the dense sequence rank, y the measurement — and the steepest
+    up/down slopes summarize burst onset and collapse; the windowed
+    sibling of stats_autocorrelation_lag1's global serial signal.
+
+    Determinism: x is integer, y is 2-decimal — Σx·y runs in DECIMAL so
+    every frame's moments are exact; only the final slope division is
+    float, rounded at 6.
+
+    Scale: a single sort per type partition serves the rank AND all four
+    moment frames — Spark evaluates the shared-frame windows in one pass;
+    no self-join, no per-window recompute."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("y"),
+        F.row_number().over(wseq).alias("x"),
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    rolled = seq.select(
+        "event_type",
+        "x",
+        F.count(F.lit(1)).over(frame).alias("n"),
+        F.sum(F.col("x").cast("double")).over(frame).alias("sx"),
+        F.sum("y").over(frame).alias("sy"),
+        F.sum(F.col("x").cast("double") * F.col("x").cast("double"))
+        .over(frame)
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,2)"))
+        .over(frame)
+        .alias("sxy"),
+    ).where(F.col("n") == 10)
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx") * F.col("sy").cast("double")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        rolled.select("event_type", slope.alias("slope"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.round(F.max("slope"), 6).alias("steepest_up"),
+            F.round(F.min("slope"), 6).alias("steepest_down"),
+        )
+        .orderBy("event_type")
+    )
