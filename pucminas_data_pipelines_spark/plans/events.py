@@ -1489,3 +1489,99 @@ def events_interarrival_distribution(spark: SparkSession, sf_dir: str) -> DataFr
         .select("event_type", "log2_bucket", "bucket_min_seconds", "n_gaps")
         .orderBy("event_type", "log2_bucket")
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH user_months AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS month
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, month,
+             LAG(month) OVER (PARTITION BY user_id ORDER BY month)
+               AS prev_month
+      FROM user_months
+    ),
+    staged AS (
+      SELECT month,
+             CASE WHEN prev_month IS NULL THEN 'new'
+                  WHEN month = prev_month + INTERVAL 1 MONTH THEN 'retained'
+                  ELSE 'resurrected' END AS stage
+      FROM seq
+    ),
+    actives AS (
+      SELECT month, stage, CAST(COUNT(*) AS BIGINT) AS n
+      FROM staged GROUP BY month, stage
+    ),
+    churned AS (
+      SELECT a.month + INTERVAL 1 MONTH AS month,
+             'churned' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM user_months a
+      LEFT JOIN user_months b
+        ON b.user_id = a.user_id AND b.month = a.month + INTERVAL 1 MONTH
+      WHERE b.user_id IS NULL
+        AND a.month + INTERVAL 1 MONTH <= (SELECT MAX(month) FROM user_months)
+      GROUP BY 1
+    )
+    SELECT CAST(month AS TIMESTAMP) AS month, stage, n
+    FROM (SELECT * FROM actives UNION ALL SELECT * FROM churned)
+    ORDER BY month, stage
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the new / retained / resurrected / churned
+    decomposition): each user-month is staged by comparing to the user's
+    previous active month, and churn is counted into the FOLLOWING month
+    (actives last month, absent this month) — the monthly growth ledger
+    where net MAU change = new + resurrected - churned, the
+    lifecycle-flow view that DAU/MAU stickiness
+    (events_dau_mau_stickiness) collapses into one ratio.
+
+    Scale: distinct user-months collapse first (map-side combined); the
+    staging lag is one window over that reduced table; churn is a
+    self-join on (user, month+1) — all hash joins on the reduced
+    cardinality, never the raw event stream."""
+    e = load_table(spark, sf_dir, "events")
+    um = e.select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("month")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("month")
+    staged = um.withColumn("prev_month", F.lag("month").over(w)).select(
+        "month",
+        F.when(F.col("prev_month").isNull(), "new")
+        .when(
+            F.col("month") == F.col("prev_month") + F.expr("INTERVAL 1 MONTH"),
+            "retained",
+        )
+        .otherwise("resurrected")
+        .alias("stage"),
+    )
+    actives = staged.groupBy("month", "stage").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    max_month = um.agg(F.max("month").alias("mx"))
+    a = um.select(F.col("user_id").alias("u"), F.col("month").alias("m"))
+    b = um.select(
+        F.col("user_id").alias("u2"), F.col("month").alias("m2")
+    )
+    churn = (
+        a.join(
+            b,
+            (F.col("u") == F.col("u2"))
+            & (F.col("m2") == F.col("m") + F.expr("INTERVAL 1 MONTH")),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_month))
+        .where(F.col("m") + F.expr("INTERVAL 1 MONTH") <= F.col("mx"))
+        .select(
+            (F.col("m") + F.expr("INTERVAL 1 MONTH")).alias("month"),
+            F.lit("churned").alias("stage"),
+        )
+        .groupBy("month", "stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return actives.unionByName(churn).orderBy("month", "stage")
