@@ -134,6 +134,59 @@ def hop_distances(
     return dist
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for community
+    detection: every node starts as its own label; each round it adopts
+    the most frequent label among its neighbors, ties broken by the
+    smallest label (the deterministic variant — classic LPA breaks ties
+    randomly, which is useless under an exactness oracle). ``edges`` is
+    treated as directed; pass both orientations for an undirected graph.
+
+    Returns (node, community).
+
+    Scale design (same discipline as pagerank/hop_distances above): state
+    is one (node, label) row per node; each round is one join keyed on
+    node id + one (node, label) count with map-side partials + one
+    per-node top-1 window (WindowGroupLimit pushes the rank-1 filter
+    map-side); lineage truncated per round with eager localCheckpoint.
+    Fixed iteration count keeps the DuckDB oracle expressible as unrolled
+    CTEs; convergence-driven runs reuse the body with a changed-label
+    counter. Synchronous updates can oscillate on bipartite graphs —
+    fixed rounds make the output well-defined regardless."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    from pyspark.sql import Window
+
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iterations):
+        neigh = e.join(
+            labels.select(F.col("node").alias("_dst"), "lbl"), "_dst"
+        ).select(F.col("_src").alias("node"), "lbl")
+        counted = neigh.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counted.withColumn("rk", F.row_number().over(top1))
+            .where(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Count triangles in the undirected simple graph induced by ``edges``
     (direction, self-loops, and multi-edges are discarded). Returns a
