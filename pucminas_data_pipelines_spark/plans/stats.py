@@ -2515,3 +2515,128 @@ def stats_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy_rate_nats",
         "max_entropy_nats",
     )
+
+
+_DD_GAMMA = 1.04  # relative-error alpha = (g-1)/(g+1) ~ 1.96%
+
+
+@query(
+    "stats_ddsketch_quantiles",
+    oracle=f"""
+    WITH hist AS (
+      SELECT event_type,
+             CEIL(LN(value) / LN({_DD_GAMMA})) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE value > 0
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(MAX(n) AS BIGINT) AS n_values,
+             MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN bucket END) AS b50,
+             MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN bucket END) AS b95
+      FROM cum GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.50), 6) AS exact_p50,
+             ROUND(quantile_cont(value, 0.95), 6) AS exact_p95
+      FROM events WHERE value > 0 GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_buckets, e.n_values,
+           ROUND(2 * POWER({_DD_GAMMA}, b50) / {_DD_GAMMA + 1.0}, 6) AS est_p50,
+           ROUND(2 * POWER({_DD_GAMMA}, b95) / {_DD_GAMMA + 1.0}, 6) AS est_p95,
+           x.exact_p50, x.exact_p95,
+           ABS(ROUND(2 * POWER({_DD_GAMMA}, b50) / {_DD_GAMMA + 1.0}, 6)
+               - x.exact_p50) / x.exact_p50 <= 0.03 AS p50_within_bound,
+           ABS(ROUND(2 * POWER({_DD_GAMMA}, b95) / {_DD_GAMMA + 1.0}, 6)
+               - x.exact_p95) / x.exact_p95 <= 0.03 AS p95_within_bound
+    FROM est e JOIN exact x USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def stats_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantile sketch (Masson et al., VLDB 2019): values
+    hash to geometric buckets ceil(log_gamma(v)); a quantile is answered
+    by walking the cumulative histogram and returning the bucket midpoint
+    2*gamma^b/(gamma+1), with RELATIVE error guaranteed <= (gamma-1)/
+    (gamma+1) (~2% at gamma=1.04). The fourth mergeable sketch here next
+    to HLL/CMS/KMV — and the one production metric pipelines standardize
+    on for latency percentiles, because relative error is uniform across
+    the dynamic range (approx_percentile's q-digest bounds RANK error
+    instead).
+
+    The query emits the sketch estimate AND the exact interpolated
+    quantile plus within-bound booleans, so the oracle checks the
+    guarantee itself, not just engine agreement.
+
+    Scale: the shuffle after the map-side partial count carries at most
+    (event_type x occupied buckets) rows — bucket count is bounded by the
+    value dynamic range (~log_gamma(max/min) ~ 276 cells per type at any
+    data size), the property that makes the sketch a shippable summary at
+    100 TB where quantile_cont's global sort is not. Determinism: one
+    ln() per row is boundary-safe (a bucket flip needs ln(v) within 1 ulp
+    of a multiple of ln(gamma)); no float sums cross engines."""
+    gamma = _DD_GAMMA
+    import math as _math
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    hist = e.groupBy(
+        "event_type",
+        F.ceil(F.log(F.col("value")) / F.lit(_math.log(gamma))).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("event_type").orderBy("bucket")
+    wn = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    est = cum.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("n_values"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.50 * F.col("n")), F.col("bucket"))
+        ).alias("b50"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.95 * F.col("n")), F.col("bucket"))
+        ).alias("b95"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("exact_p95"),
+    )
+
+    def mid(b):
+        return F.round(2 * F.pow(F.lit(gamma), F.col(b)) / F.lit(gamma + 1.0), 6)
+
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_buckets",
+            "n_values",
+            mid("b50").alias("est_p50"),
+            mid("b95").alias("est_p95"),
+            "exact_p50",
+            "exact_p95",
+            (
+                F.abs(mid("b50") - F.col("exact_p50")) / F.col("exact_p50")
+                <= 0.03
+            ).alias("p50_within_bound"),
+            (
+                F.abs(mid("b95") - F.col("exact_p95")) / F.col("exact_p95")
+                <= 0.03
+            ).alias("p95_within_bound"),
+        )
+        .orderBy("event_type")
+    )
