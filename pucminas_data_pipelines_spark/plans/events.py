@@ -1585,3 +1585,74 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return actives.unionByName(churn).orderBy("month", "stage")
+
+
+@query(
+    "events_cep_v_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value,
+             lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    ),
+    v AS (
+      SELECT event_type,
+             CAST(prev + nxt - 2 * value AS DECIMAL(18, 6)) AS depth
+      FROM seq
+      WHERE prev IS NOT NULL AND nxt IS NOT NULL
+        AND prev > value AND nxt > value
+        AND prev + nxt - 2 * value >= 200
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns,
+           ROUND(CAST(SUM(depth) AS DOUBLE) / COUNT(*), 6) AS avg_depth
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_cep_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern detection (the MATCH_RECOGNIZE /
+    Flink-CEP shape 'A then B then C' on a per-key ordered stream): a
+    V-shaped dip is a strict local minimum in a user's value sequence
+    whose combined drop+recovery depth clears a threshold — the
+    drop-then-rebound signature monitoring pipelines alert on. SQL engines
+    express this as lag/lead over the per-key event-time order, which is
+    exactly how Spark runs it: one shuffle keyed by user_id, then the
+    pattern predicate is row-local.
+
+    Determinism: depth = prev + nxt - 2*value uses only +/- (exactly
+    rounded IEEE ops, identical across engines); per-row DECIMAL
+    quantization before the group sum makes the average order-free.
+
+    Scale: pattern matching never leaves the per-key window — no
+    self-join over the event table (the naive CEP translation); state per
+    key is the 3-row lag/lead frame, the same bound a streaming
+    transformWithState implementation would hold."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev"),
+        F.lead("value").over(w).alias("nxt"),
+    )
+    depth = F.col("prev") + F.col("nxt") - 2 * F.col("value")
+    v = seq.where(
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("prev") > F.col("value"))
+        & (F.col("nxt") > F.col("value"))
+        & (depth >= 200)
+    ).select("event_type", depth.cast("decimal(18,6)").alias("depth"))
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+            F.round(
+                F.sum("depth").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_depth"),
+        )
+        .orderBy("event_type")
+    )

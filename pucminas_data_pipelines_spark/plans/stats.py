@@ -2640,3 +2640,74 @@ def stats_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    c AS (
+      SELECT d, x,
+             CAST(SUM(x) OVER (ORDER BY d) AS BIGINT) AS cx,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+             CAST(SUM(x) OVER () AS BIGINT) AS tot,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM daily
+    ),
+    dev AS (SELECT *, k * cx - t * tot AS dev FROM c),
+    best AS (SELECT * FROM dev ORDER BY ABS(dev) DESC, d LIMIT 1)
+    SELECT d AS changepoint_date,
+           k AS n_days,
+           CAST(ABS(dev) AS BIGINT) AS scaled_max_dev,
+           ROUND(CAST(cx AS DOUBLE) / t, 6) AS mean_before,
+           ROUND(CAST(tot - cx AS DOUBLE) / NULLIF(k - t, 0), 6) AS mean_after
+    FROM best
+    """,
+)
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint detection (Page 1954 / Taylor's
+    mean-shift scan): over the daily 'error'-event count series, the
+    changepoint estimate is argmax_t |S_t| where S_t = sum_{i<=t}(x_i -
+    mean). The pipeline use: locating WHEN a crawler/source started
+    misbehaving, so the curation cut can be dated instead of discarding
+    the whole source.
+
+    Determinism: |S_t| is compared via the integer k*cumsum_t - t*total
+    (= k*S_t) — counts are integers, so the argmax involves no float at
+    all; the before/after means are single exact-integer divisions.
+
+    Scale: the daily rollup is a map-side-combined count keyed by day;
+    the scan state is one row per DAY (3 orders below the event count),
+    so the single-partition window over days is over a dimension-sized
+    frame — the standard shape for per-series changepoint scans, run
+    per-key via the same window partitioned by series id."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wd = Window.orderBy("d")
+    wall = Window.partitionBy()
+    c = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(wd).cast("bigint").alias("cx"),
+        F.row_number().over(wd).cast("bigint").alias("t"),
+        F.sum("x").over(wall).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("k"),
+    )
+    dev = c.withColumn("dev", F.col("k") * F.col("cx") - F.col("t") * F.col("tot"))
+    best = dev.orderBy(F.abs(F.col("dev")).desc(), F.col("d")).limit(1)
+    return best.select(
+        F.col("d").alias("changepoint_date"),
+        F.col("k").alias("n_days"),
+        F.abs(F.col("dev")).cast("bigint").alias("scaled_max_dev"),
+        F.round(F.col("cx").cast("double") / F.col("t"), 6).alias("mean_before"),
+        F.round(
+            (F.col("tot") - F.col("cx")).cast("double")
+            / F.nullif(F.col("k") - F.col("t"), F.lit(0)),
+            6,
+        ).alias("mean_after"),
+    )
