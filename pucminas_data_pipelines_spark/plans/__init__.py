@@ -14,6 +14,7 @@ from pucminas_data_pipelines_spark.plans import (  # noqa: F401
     aggregates,
     curation,
     events,
+    features,
     graph,  # noqa: F401  (registers graph_pagerank/_triangle queries)
     llm,
     multimodal,

@@ -3057,3 +3057,102 @@ def text_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "text_bigram_lm_crossentropy",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(TRIM(text), '\s+') AS arr
+      FROM documents
+    ),
+    positioned AS (
+      SELECT doc_id, lang, g.i AS pos, arr[g.i] AS token
+      FROM toks, UNNEST(generate_series(1, len(arr))) AS g(i)
+    ),
+    pairs AS (
+      SELECT doc_id, lang, token AS w1,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM positioned
+    ),
+    bi AS (SELECT lang, w1, w2 FROM pairs WHERE w2 IS NOT NULL),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bi GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vsz FROM positioned),
+    scored AS (
+      SELECT b.lang,
+             CAST(LN(CAST(c1.n1 + v.vsz AS DOUBLE))
+                  - LN(CAST(c2.n2 + 1 AS DOUBLE)) AS DECIMAL(18, 9)) AS nll
+      FROM bi b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS cross_entropy_nats,
+           ROUND(EXP(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6)), 4)
+             AS perplexity
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def text_bigram_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram language model trained on the corpus and
+    scored over it, reported as per-language cross-entropy (nats/bigram)
+    and perplexity — the classic KenLM-style quality signal LLM-data
+    pipelines threshold on (CCNet/Gopher score documents by LM perplexity
+    and drop the tail). nll(w1,w2) = ln(c(w1)+V) - ln(c(w1,w2)+1).
+
+    Determinism: each pair's nll is quantized to DECIMAL(18,9) before the
+    group sum (the registry's float discipline — 1-ulp libm drift cannot
+    survive a 1e-9 round), the aggregate divides exact decimal by an
+    integer count, and perplexity exponentiates the already-rounded
+    entropy so both engines exponentiate the identical double.
+
+    Scale: counts tables are vocab-bounded (c1) and distinct-pair-bounded
+    (c2, Zipf-truncated), both orders below corpus token volume — in
+    production they broadcast; the scoring join shuffles on the pair key
+    once. Training and scoring are the same two map-side-combined
+    aggregates a trillion-token corpus needs."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    positioned = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = positioned.select(
+        "lang",
+        F.col("token").alias("w1"),
+        F.lead("token").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    v = positioned.agg(
+        F.countDistinct("token").cast("bigint").alias("vsz")
+    )
+    scored = (
+        pairs.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            (
+                F.log((F.col("n1") + F.col("vsz")).cast("double"))
+                - F.log((F.col("n2") + 1).cast("double"))
+            )
+            .cast("decimal(18,9)")
+            .alias("nll"),
+        )
+    )
+    ce = F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            ce.alias("cross_entropy_nats"),
+            F.round(F.exp(ce), 4).alias("perplexity"),
+        )
+        .orderBy("lang")
+    )
