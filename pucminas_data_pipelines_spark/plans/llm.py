@@ -3156,3 +3156,135 @@ def text_bigram_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_KM_K = 8
+_KM_ITER = 2
+_KM_D2_SQL = (
+    "list_aggregate(list_transform(list_zip(e.embedding, c.cvec), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+    "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')"
+)
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITER) -> str:
+    base = f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < {k}
+    )"""
+    for i in range(iters):
+        base += f""",
+    d{i + 1} AS (
+      SELECT e.vec_id, c.cid, {_KM_D2_SQL} AS d2
+      FROM emb e CROSS JOIN c{i} c
+    ),
+    a{i + 1} AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rk
+        FROM d{i + 1}
+      ) WHERE rk = 1
+    )"""
+        if i < iters - 1:
+            base += f""",
+    x{i + 1} AS (
+      SELECT a.cid, g.i AS dim,
+             CAST(e.embedding[g.i] AS DECIMAL(28, 9)) AS v
+      FROM a{i + 1} a JOIN emb e USING (vec_id),
+           UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+    ),
+    cd{i + 1} AS (
+      SELECT cid, dim, ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS cv
+      FROM x{i + 1} GROUP BY cid, dim
+    ),
+    c{i + 1} AS (
+      SELECT cid, list(cv ORDER BY dim) AS cvec FROM cd{i + 1} GROUP BY cid
+    )"""
+    return base + f"""
+    SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_sqdist
+    FROM a{iters} GROUP BY cid ORDER BY cid
+    """
+
+
+@query("embedding_kmeans_lloyd", oracle=_kmeans_oracle())
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm, k=8, 2 fixed rounds,
+    deterministic lowest-id init) over the embedding corpus — the
+    clustering pass behind SemDeDup-style semantic dedup, IVF coarse
+    quantizer training, and topic-balanced sampling, here expressed as
+    pure DataFrame rounds so the SAME body scales where the driver-side
+    trainer (operators/similarity._train_centroids_*) cannot: assignment
+    is a broadcast cross join against k rows (never shuffles the corpus),
+    the update is one (cid, dim)-keyed map-side-combined aggregate.
+
+    Determinism across engines: per-element centroid updates quantize to
+    DECIMAL(28,9) before the group sum (order-free), so both engines
+    carry bit-identical centroids into the next round; distances are
+    index-ordered folds (the knn oracle's proven zip_with ==
+    list_aggregate equivalence); argmin tie-breaks on cid. The oracle
+    unrolls the fixed rounds as chained CTEs (PageRank oracle scheme).
+
+    Scale: per-round state is k x dim numbers; the corpus is read once
+    per round with no shuffle on the fact side at all — the (cid, dim)
+    aggregate shuffles k*dim partials per executor core, constant in
+    corpus size."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = None
+    for i in range(_KM_ITER):
+        d2 = F.aggregate(
+            F.zip_with(
+                "embedding",
+                "cvec",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        scored = emb.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+        assign = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "cid", "d2")
+        )
+        if i < _KM_ITER - 1:
+            x = assign.join(emb, "vec_id").select(
+                "cid", F.posexplode("embedding").alias("dim", "v")
+            )
+            cd = x.groupBy("cid", "dim").agg(
+                F.round(
+                    F.sum(F.col("v").cast("decimal(28,9)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("cv")
+            )
+            cent = cd.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s.getField("cv"),
+                ).alias("cvec")
+            )
+    return (
+        assign.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_sqdist"),
+        )
+        .orderBy("cluster_id")
+    )
