@@ -139,6 +139,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 2,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) for community
     detection: every node starts as its own label; each round it adopts
@@ -164,9 +165,9 @@ def label_propagation(
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
-    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
-        eager=True
-    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
     from pyspark.sql import Window
 
     top1 = Window.partitionBy("node").orderBy(
@@ -181,8 +182,9 @@ def label_propagation(
             counted.withColumn("rk", F.row_number().over(top1))
             .where(F.col("rk") == 1)
             .select("node", "lbl")
-            .localCheckpoint(eager=True)
         )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
     e.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))
 

@@ -3230,34 +3230,49 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_aggregate equivalence); argmin tie-breaks on cid. The oracle
     unrolls the fixed rounds as chained CTEs (PageRank oracle scheme).
 
-    Scale: per-round state is k x dim numbers; the corpus is read once
-    per round with no shuffle on the fact side at all — the (cid, dim)
-    aggregate shuffles k*dim partials per executor core, constant in
-    corpus size."""
-    from pyspark.sql.window import Window
-
+    Scale: per-round state is k x dim numbers; assignment is ROW-LOCAL —
+    the k centroids collapse into one broadcast array row and the argmin
+    is an array_min over per-row fold distances, so the corpus is never
+    shuffled for assignment at all (a per-vec_id window or groupBy argmin
+    would shuffle k x corpus rows); the (cid, dim) update aggregate
+    shuffles k*dim partials per executor core, constant in corpus size;
+    pytest asserts the no-corpus-shuffle plan shape."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = emb.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     assign = None
     for i in range(_KM_ITER):
-        d2 = F.aggregate(
-            F.zip_with(
-                "embedding",
-                "cvec",
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
+        cents_row = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
         )
-        scored = emb.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+        best = F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("embedding"),
+                            c.getField("cvec"),
+                            lambda x, y: (x.cast("double") - y)
+                            * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ).alias("d2"),
+                    c.getField("cid").alias("cid"),
+                ),
+            )
+        )
         assign = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("vec_id", "cid", "d2")
+            emb.crossJoin(F.broadcast(cents_row))
+            .select("vec_id", best.alias("best"))
+            .select(
+                "vec_id",
+                F.col("best.cid").alias("cid"),
+                F.col("best.d2").alias("d2"),
+            )
         )
         if i < _KM_ITER - 1:
             x = assign.join(emb, "vec_id").select(

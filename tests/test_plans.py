@@ -511,3 +511,39 @@ def test_null_key_short_circuit_filters_before_join(spark):
     # input excludes null keys before the exchange
     assert "isnotnull(cust_fk" in plan or "isnotnull(o_custkey" in plan
     assert "Union" in plan
+
+
+def test_kmeans_assignment_never_shuffles_corpus(spark):
+    """embedding_kmeans_lloyd's assignment is row-local (centroids
+    collapse into one broadcast array row, argmin = array_min over fold
+    distances): the executed plan must contain NO exchange keyed by
+    vec_id (a window/groupBy argmin would shuffle k x corpus rows per
+    round) and no CartesianProduct."""
+    plan = _plan(QUERIES["embedding_kmeans_lloyd"](spark, SF_SMOKE))
+    assert "hashpartitioning(vec_id" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_ddsketch_shuffle_is_bucket_bounded(spark):
+    """The sketch histogram must be a map-side-combined HashAggregate on
+    (event_type, bucket) — the shuffle carries occupied buckets, not
+    events — and the exact-quantile check stays a separate branch."""
+    plan = _plan(QUERIES["stats_ddsketch_quantiles"](spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lpa_top1_uses_window_group_limit(spark):
+    """Label propagation's per-node mode pick must plan a
+    WindowGroupLimit (rank-1 filter pruned map-side before the window
+    sort), keeping per-round traffic at one row per (node, label). The
+    registered query localCheckpoints each round (lineage truncation
+    erases the round plan), so assert on an uncheckpointed round."""
+    from pucminas_data_pipelines_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src int, dst int"
+    )
+    plan = _plan(label_propagation(edges, iterations=1, checkpoint=False))
+    assert "WindowGroupLimit" in plan

@@ -416,3 +416,41 @@ def test_count_min_never_undercounts(spark, keys):
             for i, (a, b) in enumerate(HASHES)
         )
         assert est >= n, (k, est, n)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_label_propagation_refines_components(spark, edges):
+    """Every LPA community must lie inside one connected component
+    (labels only travel along edges), and every node must keep exactly
+    one label."""
+    from pucminas_data_pipelines_spark.operators.graph import label_propagation
+
+    rows = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+    e = spark.createDataFrame(rows, "src int, dst int")
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    comm = {
+        r["node"]: r["community"]
+        for r in label_propagation(und, iterations=2).collect()
+    }
+    comp = {
+        r["member_id"]: r["cluster_rep"]
+        for r in D.dedup_clusters(
+            und.selectExpr("src AS id_a", "dst AS id_b")
+        ).collect()
+    }
+    nodes = {a for a, _ in rows} | {b for _, b in rows}
+    assert set(comm) == nodes  # one label per node, no drops
+    by_community: dict[int, set[int]] = {}
+    for node, c in comm.items():
+        by_community.setdefault(c, set()).add(comp[node])
+    for c, comps in by_community.items():
+        assert len(comps) == 1, (c, comps)
