@@ -963,3 +963,90 @@ def join_null_key_short_circuit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "join_spatial_grid_neighbors",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 7919) % 1000 AS ix,
+             (c_custkey * 104729) % 1000 AS iy
+      FROM customer WHERE c_custkey <= 1500
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(SQRT(CAST((a.ix - b.ix) * (a.ix - b.ix)
+                         + (a.iy - b.iy) * (a.iy - b.iy) AS DOUBLE)) / 100,
+                 6) AS dist_deg
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.ix - b.ix) * (a.ix - b.ix)
+        + (a.iy - b.iy) * (a.iy - b.iy) <= 100
+    ORDER BY id_a, id_b
+    """,
+)
+def join_spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via grid bucketing: points (synthesized on an
+    integer centi-degree lattice from customer keys) pair up when within
+    0.1 degrees. The scalable plan hashes each point to a 0.2-degree grid
+    cell, explodes ONE side to its 3x3 cell neighborhood (cell size >=
+    radius, so every true pair shares an expanded cell exactly once),
+    equi-joins on the cell key, then applies the exact distance predicate
+    — the standard geospatial-join shape (geohash/S2 bucketing) that
+    replaces the quadratic cross join.
+
+    The oracle is the BRUTE-FORCE all-pairs distance filter, so parity
+    proves the bucketing is lossless, not merely self-consistent.
+
+    Determinism: coordinates and the distance predicate are pure integer
+    arithmetic (centi-degrees); only the output distance touches a float
+    (sqrt of an identical integer on both engines).
+
+    Scale: the equi-join shuffles on the cell key; candidate volume is
+    9 x sum(per-cell density squared) instead of n-squared — at planetary
+    scale the same plan swaps the 3x3 expansion for geohash prefixes and
+    salts oceanic-vs-urban cell skew (AQE handles it here)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 1500)
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % 1000).alias("ix"),
+        ((F.col("c_custkey") * 104729) % 1000).alias("iy"),
+    )
+    cell = pts.select(
+        "id",
+        "ix",
+        "iy",
+        (F.col("ix") / F.lit(20)).cast("bigint").alias("cx"),
+        (F.col("iy") / F.lit(20)).cast("bigint").alias("cy"),
+    )
+    off = F.array([F.lit(v) for v in (-1, 0, 1)])
+    a = (
+        cell.withColumn("ox", F.explode(off))
+        .withColumn("oy", F.explode(off))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("ix").alias("ax"),
+            F.col("iy").alias("ay"),
+            (F.col("cx") + F.col("ox")).alias("jx"),
+            (F.col("cy") + F.col("oy")).alias("jy"),
+        )
+    )
+    b = cell.select(
+        F.col("id").alias("id_b"),
+        F.col("ix").alias("bx"),
+        F.col("iy").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, ["jx", "jy"])
+        .where((F.col("id_a") < F.col("id_b")) & (d2 <= 100))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.sqrt(d2.cast("double")) / 100, 6).alias("dist_deg"),
+        )
+        .orderBy("id_a", "id_b")
+    )

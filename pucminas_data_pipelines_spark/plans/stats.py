@@ -2711,3 +2711,108 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_after"),
     )
+
+
+@query(
+    "quality_expectation_suite",
+    oracle="""
+    WITH e1 AS (
+      SELECT 'orders_rowcount_between' AS expectation,
+             CAST(COUNT(*) AS BIGINT) AS observed,
+             COUNT(*) BETWEEN 100 AND 100000000 AS passed
+      FROM orders
+    ),
+    e2 AS (
+      SELECT 'orderkey_unique' AS expectation,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS observed,
+             COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+      FROM orders
+    ),
+    e3 AS (
+      SELECT 'totalprice_never_null' AS expectation,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT)
+               AS observed,
+             COUNT(*) FILTER (WHERE o_totalprice IS NULL) = 0 AS passed
+      FROM orders
+    ),
+    e4 AS (
+      SELECT 'orderstatus_accepted_values' AS expectation,
+             CAST(COUNT(*) FILTER (
+               WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+               AS observed,
+             COUNT(*) FILTER (
+               WHERE o_orderstatus NOT IN ('O', 'F', 'P')) = 0 AS passed
+      FROM orders
+    ),
+    e5 AS (
+      SELECT 'lineitem_orderkey_ri' AS expectation,
+             CAST(COUNT(*) AS BIGINT) AS observed,
+             COUNT(*) = 0 AS passed
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    e6 AS (
+      SELECT 'totalprice_positive' AS expectation,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+               AS observed,
+             COUNT(*) FILTER (WHERE o_totalprice <= 0) = 0 AS passed
+      FROM orders
+    )
+    SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+    UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5
+    UNION ALL SELECT * FROM e6
+    ORDER BY expectation
+    """,
+)
+def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-Expectations/dbt-test-style data-quality gate: a suite of
+    declarative expectations (row-count bounds, key uniqueness, null
+    rate, accepted values, referential integrity, value bounds) evaluated
+    in one pass each and emitted as a (expectation, observed, passed)
+    ledger — the contract table a pipeline publishes before promoting a
+    batch, with `observed` carrying the violation count for triage.
+
+    Scale: every expectation is a map-side-combined aggregate over one
+    scan (the five orders expectations share a scan under Spark's plan
+    reuse); the RI probe is a broadcast/shuffle anti-join, never a
+    driver-side pull. All counters are integers — no float parity risk."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name, observed, passed):
+        return F.struct(
+            F.lit(name).alias("expectation"),
+            observed.cast("bigint").alias("observed"),
+            passed.alias("passed"),
+        )
+
+    n = F.count(F.lit(1))
+    dup = n - F.countDistinct("o_orderkey")
+    nulls = F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+    badval = F.sum(
+        F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+    )
+    nonpos = F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+    orders_exp = o.agg(
+        F.array(
+            row("orders_rowcount_between", n, n.between(100, 100000000)),
+            row("orderkey_unique", dup, dup == 0),
+            row("totalprice_never_null", nulls, nulls == 0),
+            row("orderstatus_accepted_values", badval, badval == 0),
+            row("totalprice_positive", nonpos, nonpos == 0),
+        ).alias("rows")
+    ).select(F.explode("rows").alias("r"))
+    orphans = li.join(
+        o.select("o_orderkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+        "left_anti",
+    ).agg(
+        row("lineitem_orderkey_ri", F.count(F.lit(1)), F.count(F.lit(1)) == 0).alias(
+            "r"
+        )
+    )
+    return (
+        orders_exp.unionByName(orphans)
+        .select("r.expectation", "r.observed", "r.passed")
+        .orderBy("expectation")
+    )
