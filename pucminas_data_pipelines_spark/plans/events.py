@@ -1656,3 +1656,55 @@ def events_cep_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_sliding_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      SELECT ud.user_id, ud.d + CAST(o.i AS INTEGER) AS window_end
+      FROM ud, UNNEST(generate_series(0, 6)) AS o(i)
+    )
+    SELECT c.window_end AS d,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS distinct_users_7d
+    FROM contrib c JOIN days ON days.d = c.window_end
+    GROUP BY c.window_end
+    ORDER BY d
+    """,
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window COUNT DISTINCT (7-day rolling distinct active users
+    per day) — the aggregate SQL windows cannot express (COUNT(DISTINCT)
+    OVER a moving frame is unsupported in Spark and most engines). The
+    scalable rewrite: dedup to (user, day) grain first, explode each
+    user-day to the <=7 window-ends it contributes to, then an ordinary
+    distinct count per window-end — shuffle volume is 7x the DEDUPED
+    grain, not 7x the raw events.
+
+    Determinism: all date/integer arithmetic.
+
+    Scale: the (user, day) dedup is the volume cliff (map-side combined);
+    the explode multiplies by window width — for wide windows (90d) the
+    same query swaps the explode for an HLL-sketch merge tree
+    (agg_hll_sketch_mergeable) at the cost of exactness."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("window_end"))
+    return (
+        contrib.join(
+            F.broadcast(days.select(F.col("d").alias("window_end"))),
+            "window_end",
+        )
+        .groupBy(F.col("window_end").alias("d"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("distinct_users_7d"))
+        .orderBy("d")
+    )

@@ -581,3 +581,52 @@ def window_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, rn AS seq_no, ROUND(med, 6) AS rolling_median_10
+    FROM seq
+    WHERE user_id <= 20
+    ORDER BY user_id, seq_no
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over a trailing 10-row frame per user — the
+    robust-smoothing companion to window_rolling_trend_slope. Spark's
+    `percentile` and DuckDB's `quantile_cont` both linear-interpolate
+    order statistics (the equivalence agg_percentile_interpolated pins),
+    and both run as true window aggregates here.
+
+    Determinism: the median of a 10-row frame is an order statistic (or
+    the midpoint of two — one exactly-rounded add/divide), no running
+    float sums.
+
+    Scale: one shuffle keyed by user_id; the frame state is 10 rows per
+    key. An unbounded-median variant would need the two-heap trick —
+    bounded frames are what keep rolling robust stats shippable."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-9, 0)
+    return (
+        e.select(
+            "user_id",
+            F.row_number().over(w).alias("seq_no"),
+            F.round(F.expr("percentile(value, 0.5)").over(frame), 6).alias(
+                "rolling_median_10"
+            ),
+        )
+        .orderBy("user_id", "seq_no")
+    )
