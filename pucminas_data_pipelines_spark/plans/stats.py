@@ -2816,3 +2816,140 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.expectation", "r.observed", "r.passed")
         .orderBy("expectation")
     )
+
+
+# Poisson(1) CDF cutoffs scaled by 2^32: P(W<=k) for k=0..4. A uniform
+# 32-bit hash u maps to weight w = #{cutoffs <= u} — the standard Poisson
+# bootstrap resample weight, made deterministic (and cross-engine exact)
+# by deriving u from md5(row_id | replica).
+_POIS_CUT = (1580030168, 3160060337, 3950075541, 4213413480, 4279249216)
+
+
+@query(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, CAST(value AS DECIMAL(18, 2)) AS xd
+      FROM events WHERE event_type = 'purchase'
+    ),
+    rep AS (
+      SELECT x.event_id, x.xd, b.i AS b,
+             CAST(('0x' || SUBSTRING(
+               md5(CAST(x.event_id AS VARCHAR) || '|' || CAST(b.i AS VARCHAR)),
+               1, 8)) AS BIGINT) AS h
+      FROM x, UNNEST(generate_series(0, 31)) AS b(i)
+    ),
+    wtd AS (
+      SELECT b, xd,
+             CASE WHEN h < {_POIS_CUT[0]} THEN 0
+                  WHEN h < {_POIS_CUT[1]} THEN 1
+                  WHEN h < {_POIS_CUT[2]} THEN 2
+                  WHEN h < {_POIS_CUT[3]} THEN 3
+                  WHEN h < {_POIS_CUT[4]} THEN 4
+                  ELSE 5 END AS w
+      FROM rep
+    ),
+    means AS (
+      SELECT b, CAST(SUM(w * xd) AS DOUBLE) / SUM(w) AS m
+      FROM wtd GROUP BY b
+    ),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 6) AS point_mean
+      FROM x
+    )
+    SELECT pt.n, CAST(32 AS BIGINT) AS n_replicas, pt.point_mean,
+           ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means CROSS JOIN pt
+    GROUP BY pt.n, pt.point_mean
+    """,
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012, Google) 95% CI for the
+    mean purchase value: each of 32 replicas reweights every row by a
+    Poisson(1) draw — THE distributed bootstrap, because rows draw their
+    replica weights independently (one pass, map-side), where the classic
+    resample-n-with-replacement needs coordinated global sampling. Weights
+    derive from md5(row|replica) against fixed Poisson CDF cutoffs, so
+    both engines draw identical 'randomness'.
+
+    Determinism: weights are integers from exact hash comparisons; each
+    replica mean is an exact decimal weighted sum over one integer
+    division; the CI bounds are interpolated order statistics over 32
+    identical doubles.
+
+    Scale: one scan explodes rows x 32 replicas into a (replica)-keyed
+    map-side-combined aggregate — state is B partial sums per task. At
+    100 TB, B=32 replicas cost 32 partial aggregates, not 32 shuffles of
+    the data; the explode factor trades against running 32 separate
+    jobs."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    x = e.select(
+        "event_id", F.col("value").cast("decimal(18,2)").alias("xd")
+    )
+    rep = x.select(
+        "xd",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "xd",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = (
+        F.when(F.col("h") < _POIS_CUT[0], 0)
+        .when(F.col("h") < _POIS_CUT[1], 1)
+        .when(F.col("h") < _POIS_CUT[2], 2)
+        .when(F.col("h") < _POIS_CUT[3], 3)
+        .when(F.col("h") < _POIS_CUT[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        rep.select("b", "xd", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("xd")).cast("double") / F.sum("w")).alias(
+                "m"
+            )
+        )
+    )
+    pt = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("xd").cast("double") / F.count(F.lit(1)), 6).alias(
+            "point_mean"
+        ),
+    )
+    return (
+        means.crossJoin(F.broadcast(pt))
+        .groupBy("n", "point_mean")
+        .agg(
+            F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+            F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        )
+        .select(
+            "n",
+            F.lit(32).cast("bigint").alias("n_replicas"),
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
