@@ -49,6 +49,11 @@ HEADLINE = [
     # set-similarity join — both LLM-pipeline headliners
     "dedup_substring_spans",
     "dedup_prefix_filter_join",
+    # appended r5 (second batch): the iterative-ML and graph headliners —
+    # distributed Lloyd rounds with row-local assignment, and the wedge
+    # join behind link prediction
+    "embedding_kmeans_lloyd",
+    "graph_jaccard_link_prediction",
 ]
 
 

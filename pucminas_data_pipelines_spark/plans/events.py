@@ -1708,3 +1708,75 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("user_id").cast("bigint").alias("distinct_users_7d"))
         .orderBy("d")
     )
+
+
+@query(
+    "events_conversion_lag_percentiles",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN signups s
+        ON e.user_id = s.user_id AND e.ts > s.signup_ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ),
+    lags AS (
+      SELECT CAST(epoch(purchase_ts) - epoch(signup_ts) AS BIGINT) AS lag_s
+      FROM first_purchase f JOIN signups s USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(lag_s, 0.50), 6) AS p50_lag_s,
+           ROUND(quantile_cont(lag_s, 0.90), 6) AS p90_lag_s,
+           CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+    FROM lags
+    """,
+)
+def events_conversion_lag_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from first signup
+    to the first STRICTLY LATER purchase, summarized as interpolated
+    percentiles — the activation-latency readout growth teams pair with
+    funnel counts (events_funnel_conversion says how many converted; this
+    says how long conversion takes).
+
+    Determinism: lags are exact integer epoch-seconds; the percentiles
+    interpolate order statistics (no running float sums).
+
+    Scale: two map-side-combined MIN aggregates keyed by user plus one
+    user-keyed join — the event table is never self-joined at event grain
+    (a naive 'pair every signup with every later purchase' explodes
+    quadratically on active users); the percentile runs over user-grain
+    lags."""
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    first_purchase = (
+        purchases.join(signups, "user_id")
+        .where(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    lags = first_purchase.select(
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        )
+        .cast("bigint")
+        .alias("lag_s")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(lag_s, 0.50)"), 6).alias("p50_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.90)"), 6).alias("p90_lag_s"),
+        F.max("lag_s").cast("bigint").alias("max_lag_s"),
+    )

@@ -2953,3 +2953,72 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+@query(
+    "stats_pareto_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DECIMAL(38, 2))
+               AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT total,
+             SUM(total) OVER (ORDER BY total DESC, user_id) AS cum,
+             SUM(total) OVER () AS grand,
+             ROW_NUMBER() OVER (ORDER BY total DESC, user_id) AS rk,
+             COUNT(*) OVER () AS n_users
+      FROM per_user
+    )
+    SELECT CAST(MIN(CASE WHEN cum * 10 >= grand * 8 THEN rk END) AS BIGINT)
+             AS users_for_80pct,
+           CAST(MAX(n_users) AS BIGINT) AS n_users,
+           ROUND(CAST(MIN(CASE WHEN cum * 10 >= grand * 8 THEN rk END)
+                      AS DOUBLE) / MAX(n_users), 6) AS vital_few_share
+    FROM ranked
+    """,
+)
+def stats_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 concentration: the smallest set of top-spending users
+    covering >=80% of purchase value — the 'vital few' number behind
+    whale-account analysis, hot-key capacity planning, and (in corpus
+    terms) 'how few domains contribute 80% of tokens'. Companion to
+    stats_gini_concentration: Gini summarizes the whole Lorenz curve,
+    this reads one actionable point off it.
+
+    Determinism: per-user totals are exact decimals; the 80% crossing is
+    the integer comparison cum*10 >= grand*8 (no float division until the
+    final reported share).
+
+    Scale: the per-user rollup is map-side combined; the ranked scan is a
+    single-partition window over USER-grain rows (dimension-sized, like
+    stats_cusum_changepoint's day scan) — for billion-user tables the
+    same crossing comes from an equi-depth histogram of user totals
+    instead of an exact sort."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total")
+    )
+    wo = Window.orderBy(F.col("total").desc(), F.col("user_id"))
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        F.sum("total").over(wo).alias("cum"),
+        F.sum("total").over(wall).alias("grand"),
+        F.row_number().over(wo).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n_users"),
+    )
+    crossing = F.min(
+        F.when(F.col("cum") * 10 >= F.col("grand") * 8, F.col("rk"))
+    )
+    return ranked.agg(
+        crossing.cast("bigint").alias("users_for_80pct"),
+        F.max("n_users").cast("bigint").alias("n_users"),
+        F.round(
+            crossing.cast("double") / F.max("n_users"), 6
+        ).alias("vital_few_share"),
+    )
