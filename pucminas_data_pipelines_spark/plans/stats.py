@@ -3022,3 +3022,117 @@ def stats_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             crossing.cast("double") / F.max("n_users"), 6
         ).alias("vital_few_share"),
     )
+
+
+# Shared Cramer's-rule expression text for the 2-feature + intercept
+# normal-equation solve: both engines evaluate the SAME arithmetic over
+# identically-named exact-moment columns (n, sx1, sx2, s11, s22, s12, sy,
+# s1y, s2y, syy all already DOUBLE), so the solved betas are bit-identical
+# by construction.
+_REG_DET = (
+    "(n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s12 - s11 * sx2))"
+)
+_REG_B0 = (
+    "(sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y)"
+    " + sx2 * (s1y * s12 - s11 * s2y))"
+)
+_REG_B1 = (
+    "(n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s2y - s1y * sx2))"
+)
+_REG_B2 = (
+    "(n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2)"
+    " + sy * (sx1 * s12 - s11 * sx2))"
+)
+_REG_SSR = (
+    f"(({_REG_B0} / {_REG_DET}) * sy + ({_REG_B1} / {_REG_DET}) * s1y"
+    f" + ({_REG_B2} / {_REG_DET}) * s2y - sy * sy / n)"
+)
+_REG_SST = "(syy - sy * sy / n)"
+
+
+@query(
+    "stats_linear_regression_multifeature",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS x1,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT p.x1, p.x2, CAST(o.o_totalprice AS DECIMAL(18, 2)) AS y
+      FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS sx1,
+             CAST(SUM(x2) AS DOUBLE) AS sx2,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM joined
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           ROUND({_REG_B0} / {_REG_DET}, 6) AS beta_intercept,
+           ROUND({_REG_B1} / {_REG_DET}, 6) AS beta_n_items,
+           ROUND({_REG_B2} / {_REG_DET}, 6) AS beta_total_qty,
+           ROUND({_REG_SSR} / {_REG_SST}, 6) AS r_squared
+    FROM m
+    """,
+)
+def stats_linear_regression_multifeature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-feature OLS by normal equations (predict order value from
+    item count and total quantity): the sufficient-statistics pattern —
+    one map-side-combined aggregate produces the 10 exact moments, and
+    the 3x3 solve (Cramer's rule) runs on that single row. This is how
+    regression actually scales: the 100 TB fact table compresses to ten
+    numbers; no gradient passes, no per-row model state.
+
+    Determinism: moments are exact integer/decimal sums cast to double;
+    the solve and R² are evaluated from IDENTICAL expression text on both
+    engines over those identical doubles — parity by construction
+    (registry float discipline taken to its logical end).
+
+    Scale: per-order rollup + one fact-dim join keyed on o_orderkey, then
+    a single-row reduce. Adding features grows the moment vector
+    quadratically (k² moments), not the data passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x1"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x2"),
+    )
+    joined = per_order.join(
+        o.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        ),
+        "l_orderkey",
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.expr(f"{_REG_B0} / {_REG_DET}"), 6).alias("beta_intercept"),
+        F.round(F.expr(f"{_REG_B1} / {_REG_DET}"), 6).alias("beta_n_items"),
+        F.round(F.expr(f"{_REG_B2} / {_REG_DET}"), 6).alias("beta_total_qty"),
+        F.round(F.expr(f"{_REG_SSR} / {_REG_SST}"), 6).alias("r_squared"),
+    )
