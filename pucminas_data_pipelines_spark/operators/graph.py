@@ -240,3 +240,47 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return wedges.join(closing, ["x", "z"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """K-core peeling: ``rounds`` iterations of dropping nodes with degree
+    < k (and their edges) from the directed edge list (pass both
+    orientations for an undirected graph). With enough rounds this
+    reaches the k-core fixpoint; a fixed count keeps the oracle
+    expressible as unrolled CTEs (same scheme as pagerank above).
+
+    Returns the surviving edge DataFrame with the input column names.
+
+    Scale: each round is one map-side-combined degree count (node grain)
+    and two broadcast semi-joins of the edge list against the survivor
+    set; the edge state shrinks monotonically and is localCheckpoint'd
+    per round (lineage discipline shared by every iterative operator
+    here)."""
+    g = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    for _ in range(rounds):
+        keep = (
+            g.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("a").alias("node"))
+        )
+        g = (
+            g.join(
+                F.broadcast(keep.select(F.col("node").alias("a"))),
+                "a",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(keep.select(F.col("node").alias("b"))),
+                "b",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return g.select(F.col("a").alias(src), F.col("b").alias(dst))

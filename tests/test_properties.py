@@ -454,3 +454,42 @@ def test_label_propagation_refines_components(spark, edges):
         by_community.setdefault(c, set()).add(comp[node])
     for c, comps in by_community.items():
         assert len(comps) == 1, (c, comps)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_kcore_peel_reaches_peeling_fixpoint(spark, edges):
+    """With rounds >= |V|, kcore_peel must agree with a reference Python
+    peel run to fixpoint: every surviving node keeps degree >= k inside
+    the survivor subgraph, and the survivor edge sets match exactly."""
+    from pucminas_data_pipelines_spark.operators.graph import kcore_peel
+
+    k = 2
+    rows = sorted({(a, b) for a, b in edges if a != b})
+    rows = rows or [(0, 1)]
+    und = sorted({(a, b) for a, b in rows} | {(b, a) for a, b in rows})
+
+    # reference: peel to fixpoint in plain Python
+    cur = set(und)
+    while True:
+        deg: dict[int, int] = {}
+        for a, _ in cur:
+            deg[a] = deg.get(a, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in alive and b in alive}
+        if nxt == cur:
+            break
+        cur = nxt
+
+    e = spark.createDataFrame(und, "a int, b int")
+    got = {
+        (r["a"], r["b"])
+        for r in kcore_peel(e, k=k, rounds=12).collect()
+    }
+    assert got == cur
