@@ -60,7 +60,14 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # aggregates not yet green (5) + udf/udtf (3) + graph_triangle_count +
 # mutation cdc/scd2 + pii/url (3) + the 4 sources deferred from r5
 # (csv_semicolon, range_sorted, zorder, python_datasource) + llm misc
-# (text_lm_quality_score, embedding_label_centroids). ~51 remained after
+# (text_lm_quality_score, embedding_label_centroids). The late-r5 build
+# added a further ~20 (registry -> 338): LPA communities, k-core,
+# Jaccard link prediction, Lloyd k-means, DDSketch, CUSUM, Poisson
+# bootstrap, multi-feature OLS, CEP V-pattern, sliding distinct, rolling
+# median, bigram-LM perplexity, feature scaler + LOO target encoding,
+# spatial grid join, expectation suite, Pareto crossing, conversion
+# lags — all queue for the r6/r7 windows with the rest.
+# ~51 remained after
 # the r5 window was pinned; round 5 then added ~95 NEW queries (registry
 # 217 -> 312: the sketch family CMS/KMV/KMV-intersect/Bloom; DPP +
 # dynamic-partition overwrite + snapshot expiry + SCD2 as-of; the
