@@ -1780,3 +1780,57 @@ def events_conversion_lag_percentiles(
         F.round(F.expr("percentile(lag_s, 0.90)"), 6).alias("p90_lag_s"),
         F.max("lag_s").cast("bigint").alias("max_lag_s"),
     )
+
+
+@query(
+    "events_fraud_velocity_rule",
+    oracle="""
+    WITH counted AS (
+      SELECT user_id, ts, event_id,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+      FROM events
+    ),
+    flagged AS (SELECT * FROM counted WHERE n_1h >= 4)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_violations,
+           CAST(MAX(n_1h) AS BIGINT) AS peak_rate_1h
+    FROM flagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_fraud_velocity_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rule (fraud/abuse detection): flag any event that is the
+    4th-or-later event by the same user within a trailing 1-hour window,
+    then report per-offender violation counts and peak observed rate —
+    the rate-limit primitive risk engines evaluate per transaction.
+    Expressed as a time-RANGE window frame (the streaming twin holds the
+    same per-key frame as timer state in transformWithState).
+
+    Determinism: pure integer epoch arithmetic and counts.
+
+    Scale: one shuffle keyed by user_id; frame state is bounded by the
+    per-user event rate within the window, never the history. Zipfian
+    offenders are exactly the keys AQE skew-split."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    counted = e.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("n_1h")
+    )
+    return (
+        counted.where(F.col("n_1h") >= 4)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+            F.max("n_1h").cast("bigint").alias("peak_rate_1h"),
+        )
+        .orderBy("user_id")
+    )

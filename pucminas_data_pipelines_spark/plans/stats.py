@@ -3136,3 +3136,71 @@ def stats_linear_regression_multifeature(
         F.round(F.expr(f"{_REG_B2} / {_REG_DET}"), 6).alias("beta_total_qty"),
         F.round(F.expr(f"{_REG_SSR} / {_REG_SST}"), 6).alias("r_squared"),
     )
+
+
+@query(
+    "stats_ab_power_analysis",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(28, 6))) AS DOUBLE)
+               AS sxx
+      FROM events GROUP BY event_type
+    ),
+    p AS (
+      SELECT event_type, n,
+             sx / n AS mu,
+             (n * sxx - sx * sx) / (n * CAST(n - 1 AS DOUBLE)) AS var
+      FROM m
+    )
+    SELECT event_type, n, ROUND(mu, 6) AS mu,
+           ROUND(SQRT(var), 6) AS sigma,
+           CAST(CEIL(15.698844 * var / (0.05 * mu * 0.05 * mu)) AS BIGINT)
+             AS n_per_arm_mde_5pct,
+           CAST(CEIL(15.698844 * var / (0.01 * mu * 0.01 * mu)) AS BIGINT)
+             AS n_per_arm_mde_1pct
+    FROM p
+    ORDER BY event_type
+    """,
+)
+def stats_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power analysis from observed variance: per metric
+    (event_type), the sample size each arm needs to detect a 5% and a 1%
+    relative lift at alpha=0.05 / power=0.8 — n = 2(z_a/2+z_b)^2 sigma^2
+    / delta^2 with 2(1.959964+0.841621)^2 = 15.698844 folded into a
+    literal, so neither engine evaluates a normal quantile. The
+    experiment-sizing readout every experimentation platform derives from
+    the same exact moments as feature_standard_scaler.
+
+    Determinism: exact decimal moments; identical double arithmetic both
+    engines; constants are literals.
+
+    Scale: one map-side-combined aggregate; output is metric-grain."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        F.col("n") * (F.col("n") - 1).cast("double")
+    )
+
+    def n_arm(rel):
+        return F.ceil(F.lit(15.698844) * var / ((rel * mu) * (rel * mu))).cast(
+            "bigint"
+        )
+
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mu, 6).alias("mu"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        n_arm(0.05).alias("n_per_arm_mde_5pct"),
+        n_arm(0.01).alias("n_per_arm_mde_1pct"),
+    ).orderBy("event_type")
