@@ -295,3 +295,58 @@ def streaming_watermark_late_drop_live(spark: SparkSession, sf_dir: str) -> Data
         spark, "/root/repo/.tmp/stream_late_src"
     )
     return out.select("window_start", "n_events").orderBy("window_start")
+
+
+@query(
+    "streaming_state_store_inspection",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS state_count
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_state_store_inspection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """State-store reader (Spark 4 `statestore` data source): run a
+    stateful streaming count to completion against an explicit
+    checkpoint, then read the operator's STATE — not its output — back as
+    a DataFrame straight from the checkpoint files. The ops surface
+    behind state debugging, state-size audits, and offline state
+    migration/repair; parity against the batch aggregate proves the
+    persisted state equals the semantics it encodes.
+
+    Scale: the reader loads state files partition-parallel (one task per
+    state partition) without replaying the stream — on a TB-state
+    production job that is the difference between inspecting state and
+    re-running the pipeline. A fresh uuid checkpoint per call keeps
+    repeated bench/driver invocations isolated."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.streaming.jobs import (
+        _pinned_shuffle_partitions,
+        read_events_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = f"/root/repo/.tmp/state_inspect_{_uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle_partitions(spark, 4):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"ssr_{_uuid.uuid4().hex[:8]}")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("bigint").alias("state_count"),
+        )
+        .orderBy("event_type")
+    )
