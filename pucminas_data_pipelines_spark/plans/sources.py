@@ -882,3 +882,33 @@ def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_nationkey bigint, n_name string, n_regionkey bigint"
     ).json(f"{path}/part-*.jsonl")
     return back.orderBy("n_nationkey")
+
+
+@query(
+    "source_file_metadata_columns",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(0) AS BIGINT) AS min_row_index,
+           CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index
+    FROM lineitem
+    """,
+)
+def source_file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` file columns on file-source scans (file_name,
+    row_index): per-file row accounting straight from the scan, no UDF,
+    no input_file_name() legacy function — the provenance primitive
+    behind per-file quarantine ('which file produced the bad rows') and
+    exactly-once file-level reconciliation. The oracle pins the testdata
+    contract: lineitem is one parquet file whose row_index runs dense
+    from 0 to n-1.
+
+    Scale: _metadata is generated per split at scan time (constant
+    per-row cost, no shuffle); grouping by file_name gives per-file audit
+    rows at file cardinality."""
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    return df.groupBy(F.col("_metadata.file_name").alias("file_name")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("_metadata.row_index").cast("bigint").alias("min_row_index"),
+        F.max("_metadata.row_index").cast("bigint").alias("max_row_index"),
+    )

@@ -350,3 +350,57 @@ def streaming_state_store_inspection(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_state_metadata_inspection",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS operator_id,
+           'stateStoreSave' AS operator_name,
+           CAST(4 AS INTEGER) AS num_partitions,
+           CAST(0 AS BIGINT) AS min_batch_id,
+           CAST(0 AS BIGINT) AS max_batch_id
+    """,
+)
+def streaming_state_metadata_inspection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """State-METADATA reader (Spark 4 `state-metadata` source), companion
+    to streaming_state_store_inspection: enumerate a checkpoint's
+    stateful operators, their store names, partition counts and batch-id
+    ranges without touching the state payload — what an operator reads
+    FIRST when sizing a state migration or diagnosing a partition-count
+    mismatch (the state_partitions lesson from PERFORMANCE.md, made
+    queryable). The oracle pins the contract: one stateful operator,
+    the pinned 4 partitions, exactly batch 0 committed by the
+    AvailableNow run."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.streaming.jobs import (
+        _pinned_shuffle_partitions,
+        read_events_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = f"/root/repo/.tmp/state_meta_{_uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle_partitions(spark, 4):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"ssm_{_uuid.uuid4().hex[:8]}")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    md = spark.read.format("state-metadata").load(ckpt)
+    return md.select(
+        F.col("operatorId").cast("bigint").alias("operator_id"),
+        F.col("operatorName").alias("operator_name"),
+        F.col("numPartitions").cast("int").alias("num_partitions"),
+        F.col("minBatchId").cast("bigint").alias("min_batch_id"),
+        F.col("maxBatchId").cast("bigint").alias("max_batch_id"),
+    )
