@@ -331,6 +331,11 @@ def streaming_state_store_inspection(
 
     events = read_events_stream(spark, sf_dir)
     agg = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    import glob as _glob
+    import shutil as _shutil
+
+    for old in _glob.glob("/root/repo/.tmp/state_inspect_*"):
+        _shutil.rmtree(old, ignore_errors=True)  # stale uuid checkpoints
     ckpt = f"/root/repo/.tmp/state_inspect_{_uuid.uuid4().hex[:8]}"
     with _pinned_shuffle_partitions(spark, 4):
         q = (
@@ -385,6 +390,11 @@ def streaming_state_metadata_inspection(
 
     events = read_events_stream(spark, sf_dir)
     agg = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    import glob as _glob
+    import shutil as _shutil
+
+    for old in _glob.glob("/root/repo/.tmp/state_meta_*"):
+        _shutil.rmtree(old, ignore_errors=True)  # stale uuid checkpoints
     ckpt = f"/root/repo/.tmp/state_meta_{_uuid.uuid4().hex[:8]}"
     with _pinned_shuffle_partitions(spark, 4):
         q = (
