@@ -147,6 +147,10 @@ def label_propagation(
     smallest label (the deterministic variant — classic LPA breaks ties
     randomly, which is useless under an exactness oracle). ``edges`` is
     treated as directed; pass both orientations for an undirected graph.
+    A node with no out-edges (a pure sink under directed input) receives
+    no neighbor labels in a round and KEEPS its previous label — the
+    top-1 table is left-joined back onto the full label state each
+    round, so the output always covers every node in ``edges``.
 
     Returns (node, community).
 
@@ -178,10 +182,19 @@ def label_propagation(
             labels.select(F.col("node").alias("_dst"), "lbl"), "_dst"
         ).select(F.col("_src").alias("node"), "lbl")
         counted = neigh.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
+        adopted = (
             counted.withColumn("rk", F.row_number().over(top1))
             .where(F.col("rk") == 1)
-            .select("node", "lbl")
+            .select("node", F.col("lbl").alias("_new"))
+        )
+        # carry forward: sinks (no incoming neighbor labels this round)
+        # keep their previous label instead of silently vanishing
+        labels = (
+            labels.select("node", F.col("lbl").alias("_prev"))
+            .join(adopted, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("_new"), F.col("_prev")).alias("lbl")
+            )
         )
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
@@ -258,10 +271,18 @@ def kcore_peel(
     Returns the surviving edge DataFrame with the input column names.
 
     Scale: each round is one map-side-combined degree count (node grain)
-    and two broadcast semi-joins of the edge list against the survivor
-    set; the edge state shrinks monotonically and is localCheckpoint'd
-    per round (lineage discipline shared by every iterative operator
-    here)."""
+    and two semi-joins of the edge list against the survivor set; the
+    edge state shrinks monotonically and is localCheckpoint'd per round
+    (lineage discipline shared by every iterative operator here).
+
+    The survivor set is deliberately NOT broadcast-hinted: on round 1 it
+    is approximately every node with degree >= k — |V|-sized on a big
+    graph, the one set an unconditional hint would force through the
+    driver (unlike hop_distances' frontier, which starts seed-sized and
+    is safe to pin). AQE sizes each round's exchange at runtime and
+    switches to broadcast by itself once the post-shrink survivor set
+    fits under autoBroadcastJoinThreshold — the hint adds nothing the
+    statistics don't, and removes the failure mode."""
     g = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     for _ in range(rounds):
         keep = (
@@ -271,16 +292,8 @@ def kcore_peel(
             .select(F.col("a").alias("node"))
         )
         g = (
-            g.join(
-                F.broadcast(keep.select(F.col("node").alias("a"))),
-                "a",
-                "left_semi",
-            )
-            .join(
-                F.broadcast(keep.select(F.col("node").alias("b"))),
-                "b",
-                "left_semi",
-            )
+            g.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
     return g.select(F.col("a").alias(src), F.col("b").alias(dst))

@@ -1,0 +1,208 @@
+"""Two-pass range-partitioned ordered analytics: scalable replacements
+for unpartitioned global windows (prefix sums, global row numbers,
+NTILE, LEAD).
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` routes EVERY row
+through ONE task — Spark's WindowExec is not range-parallel (unlike a
+global ``orderBy``, which range-partitions). At 100 TB that single task
+is the job. The scalable equivalent is the classic two-pass scheme used
+by every distributed prefix-scan (e.g. MPI_Scan, cub::DeviceScan,
+Flink's keyed pre-aggregation):
+
+  pass 0  pick ~``n_buckets``-1 split points of the order key via
+          ``approxQuantile`` (a bounded driver-side list, embedded as
+          LITERALS so the bucket id is a deterministic per-row
+          expression — stable across plan branches without any
+          cache/checkpoint, because both branches evaluate the same
+          literal boundaries);
+  pass 1  per-bucket partials (one map-side-combined aggregate, bucket
+          grain), then cumulative base offsets over the <= n_buckets
+          partial rows — the only unpartitioned window left, and its
+          input cardinality is bounded by CONFIG, not data (the plan
+          hygiene gate in tests/test_plan_hygiene.py recognizes it by
+          the reserved ``_rb`` order key);
+  pass 2  a bucket-partitioned window plus the broadcast base offset.
+
+Correctness does NOT depend on boundary quality: any monotone boundary
+set yields the right answer (skewed boundaries only unbalance the
+buckets), and equal keys always land in the same bucket, so a
+partition-local order by the full key extends to a global total order.
+
+Used by: events_peak_concurrency, quality_id_gap_summary,
+stats_equidepth_histogram, stats_ks_drift, stats_gini_concentration,
+events_rfm_segmentation, multimodal_webdataset_shard_layout,
+multimodal_shard_roundtrip, text_heaps_vocab_growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_BUCKET = "_rb"  # reserved bucket-id column; hygiene gate keys on it
+
+
+def with_range_buckets(
+    df: DataFrame, key_col: str, n_buckets: int = 32
+) -> DataFrame:
+    """Append the deterministic range-bucket id column ``_rb``.
+
+    ``key_col`` must be numeric (cast timestamps with
+    ``.cast("double")`` first). Boundaries come from one bounded
+    ``approxQuantile`` action (n_buckets-1 doubles on the driver — the
+    same "sample split points" pass every distributed sort does) and are
+    embedded as literals, so ``_rb`` is a pure row expression: every
+    plan branch that re-evaluates it agrees, with no materialization.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(key_col, probs, 0.001)))
+    if not bounds:
+        return df.withColumn(_BUCKET, F.lit(0))
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    key = F.col(key_col).cast("double")
+    pid = F.size(F.filter(arr, lambda b: b < key))
+    return df.withColumn(_BUCKET, pid)
+
+
+def _bases(
+    bucketed: DataFrame, partial_aggs: list[Column], names: list[str]
+) -> DataFrame:
+    """Per-bucket partials -> exclusive cumulative base offsets.
+
+    The window here is unpartitioned but runs over the AGGREGATED
+    bucket table (<= n_buckets rows — bounded by config, not data)."""
+    partials = bucketed.groupBy(_BUCKET).agg(
+        *[a.alias(f"_p_{n}") for a, n in zip(partial_aggs, names)]
+    )
+    wb = Window.orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+    return partials.select(
+        _BUCKET,
+        *[
+            F.coalesce(F.sum(f"_p_{n}").over(wb), F.lit(0)).alias(f"_base_{n}")
+            for n in names
+        ],
+    )
+
+
+def range_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    key_col: str,
+    n_buckets: int = 32,
+    out_prefix: str = "cum_",
+) -> DataFrame:
+    """Global running SUM of each ``value_cols`` ordered by
+    ``order_cols`` (ROWS UNBOUNDED PRECEDING..CURRENT ROW semantics),
+    computed without a single-partition window. ``key_col`` is the
+    numeric bucketing key — normally ``order_cols[0]`` or a cast of it;
+    equal keys share a bucket so the result is exact for any total
+    order whose first component is ``key_col``-monotone."""
+    b = with_range_buckets(df, key_col, n_buckets)
+    bases = _bases(b, [F.sum(c) for c in value_cols], value_cols)
+    wloc = Window.partitionBy(_BUCKET).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = b.join(F.broadcast(bases), _BUCKET, "left")
+    for c in value_cols:
+        out = out.withColumn(
+            out_prefix + c,
+            F.sum(c).over(wloc) + F.coalesce(F.col(f"_base_{c}"), F.lit(0)),
+        )
+    return out.drop(_BUCKET, *[f"_base_{c}" for c in value_cols])
+
+
+def range_row_number(
+    df: DataFrame,
+    order_cols: list,
+    key_col: str,
+    n_buckets: int = 32,
+    out: str = "rn",
+) -> DataFrame:
+    """Global 1-based ROW_NUMBER over ``order_cols`` (which must be a
+    total order, all ascending, with ``key_col`` as — or monotone in —
+    the leading component), as bucket-local row_number + broadcast
+    exclusive count base."""
+    b = with_range_buckets(df, key_col, n_buckets)
+    bases = _bases(b, [F.count(F.lit(1))], ["n"])
+    wloc = Window.partitionBy(_BUCKET).orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(bases), _BUCKET, "left")
+        .withColumn(
+            out,
+            (
+                F.row_number().over(wloc)
+                + F.coalesce(F.col("_base_n"), F.lit(0))
+            ).cast("bigint"),
+        )
+        .drop(_BUCKET, "_base_n")
+    )
+
+
+def range_ntile(
+    df: DataFrame,
+    order_cols: list,
+    key_col: str,
+    k: int,
+    out: str = "tile",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Global NTILE(k) over ``order_cols`` via the two-pass global row
+    number plus the closed-form tile assignment: with n rows, q = n/k
+    and r = n%k, the first r tiles hold q+1 rows — so
+    tile(rn) = ceil(rn/(q+1)) while rn <= r(q+1), else
+    r + ceil((rn - r(q+1))/q). Matches SQL NTILE exactly (both engines
+    verified by the stats_equidepth_histogram / events_rfm_segmentation
+    oracles)."""
+    rn = range_row_number(df, order_cols, key_col, n_buckets, out="_grn")
+    tot = df.agg(F.count(F.lit(1)).alias("_n_total"))
+    q = F.floor(F.col("_n_total") / k)
+    r = F.col("_n_total") % k
+    big = r * (q + F.lit(1))
+    tile = (
+        F.when(
+            F.col("_grn") <= big, F.ceil(F.col("_grn") / (q + F.lit(1)))
+        )
+        .otherwise(r + F.ceil((F.col("_grn") - big) / q))
+        .cast("int")
+    )
+    return (
+        rn.crossJoin(F.broadcast(tot))
+        .withColumn(out, tile)
+        .drop("_grn", "_n_total")
+    )
+
+
+def range_lead(
+    df: DataFrame,
+    order_cols: list[str],
+    col: str,
+    key_col: str,
+    n_buckets: int = 32,
+    out: str = "lead",
+) -> DataFrame:
+    """Global LEAD(col) over ``order_cols``: bucket-local lead, then the
+    last row of each bucket takes the first value of the next non-empty
+    bucket (a tiny per-bucket firsts table, stitched with one
+    bucket-grain window and broadcast back)."""
+    b = with_range_buckets(df, key_col, n_buckets)
+    wloc = Window.partitionBy(_BUCKET).orderBy(*order_cols)
+    led = b.withColumn("_lead_loc", F.lead(col).over(wloc))
+    firsts = b.groupBy(_BUCKET).agg(
+        F.min(
+            F.struct(
+                *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+                F.col(col).alias("_v"),
+            )
+        ).alias("_s")
+    )
+    wb = Window.orderBy(_BUCKET)
+    nexts = firsts.select(
+        _BUCKET, F.lead("_s._v").over(wb).alias("_next_first")
+    )
+    return (
+        led.join(F.broadcast(nexts), _BUCKET, "left")
+        .withColumn(out, F.coalesce(F.col("_lead_loc"), F.col("_next_first")))
+        .drop(_BUCKET, "_lead_loc", "_next_first")
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pucminas_data_pipelines_spark.operators import ordered as ORD
 from pucminas_data_pipelines_spark.plans.registry import query
 from pucminas_data_pipelines_spark.tables import load_table
 
@@ -828,12 +829,11 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically.
 
     Scale: the endpoint aggregate is map-side combined to distinct
-    timestamps; the sweep is the one global ordered window (a range-
-    partitioned sort at cluster scale — day boundaries carry the running
-    count forward, so per-day partitioned sweeps + per-day base offsets
-    from subtotals is the 100 TB refinement, same two-pass shape as the
-    WebDataset layout). No self-join, no explosion beyond 2 rows per
-    event."""
+    timestamps; the sweep is a two-pass range-partitioned prefix sum
+    (operators/ordered.py: literal-boundary buckets -> per-bucket
+    partials -> broadcast base offsets -> bucket-local window), so no
+    task ever sees more than one bucket's endpoints. No self-join, no
+    explosion beyond 2 rows per event."""
     e = load_table(spark, sf_dir, "events")
     iv = e.select(
         F.col("ts").alias("s"),
@@ -843,12 +843,14 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
     merged = endpoints.groupBy("t").agg(F.sum("delta").alias("net"))
-    sweep = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    swept = merged.select(
+    swept = ORD.range_prefix_sum(
+        merged.withColumn("_tk", F.col("t").cast("double")),
+        ["t"],
+        ["net"],
+        "_tk",
+    ).select(
         F.date_trunc("day", F.col("t")).alias("day"),
-        F.sum("net").over(sweep).alias("concurrent"),
+        F.col("cum_net").alias("concurrent"),
     )
     return (
         swept.groupBy("day")
@@ -1001,10 +1003,12 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid — counts per segment. Tie-breaks on user_id make every NTILE
     deterministic across engines.
 
-    Scale: one per-user aggregate, then three rank windows over the USER
-    table (already 3 orders of magnitude smaller than events); the
-    single-partition NTILE windows would become range-partitioned
-    percent_rank at billions of users."""
+    Scale: one per-user aggregate, then three two-pass range-partitioned
+    NTILEs over the USER table (operators/ordered.py range_ntile: global
+    row number from bucket-local rank + broadcast base counts, tile from
+    the closed-form NTILE formula) — no single-partition window at any
+    user count. DESC orders are expressed as ASC over the negated key so
+    one ascending bucketer serves all three."""
     e = load_table(spark, sf_dir, "events")
     anchor = e.agg(F.max("ts").alias("max_ts"))
     per_user = (
@@ -1022,15 +1026,14 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "recency_s", "frequency", "monetary")
     )
-    r = Window.orderBy("recency_s", "user_id")
-    f = Window.orderBy(F.col("frequency").desc(), "user_id")
-    m = Window.orderBy(F.col("monetary").desc(), "user_id")
-    scored = per_user.select(
-        "user_id",
-        F.ntile(4).over(r).alias("r_score"),
-        F.ntile(4).over(f).alias("f_score"),
-        F.ntile(4).over(m).alias("m_score"),
-    )
+    s1 = ORD.range_ntile(
+        per_user, ["recency_s", "user_id"], "recency_s", 4, out="r_score"
+    ).withColumn("_negf", (-F.col("frequency")).cast("double"))
+    s2 = ORD.range_ntile(
+        s1, ["_negf", "user_id"], "_negf", 4, out="f_score"
+    ).withColumn("_negm", -F.col("monetary"))
+    s3 = ORD.range_ntile(s2, ["_negm", "user_id"], "_negm", 4, out="m_score")
+    scored = s3.select("user_id", "r_score", "f_score", "m_score")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -1725,7 +1728,8 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
       GROUP BY e.user_id
     ),
     lags AS (
-      SELECT CAST(epoch(purchase_ts) - epoch(signup_ts) AS BIGINT) AS lag_s
+      SELECT CAST(floor(epoch(purchase_ts)) - floor(epoch(signup_ts))
+                  AS BIGINT) AS lag_s
       FROM first_purchase f JOIN signups s USING (user_id)
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
@@ -1744,8 +1748,12 @@ def events_conversion_lag_percentiles(
     funnel counts (events_funnel_conversion says how many converted; this
     says how long conversion takes).
 
-    Determinism: lags are exact integer epoch-seconds; the percentiles
-    interpolate order statistics (no running float sums).
+    Determinism: both engines pin TRUNCATED-second semantics — Spark's
+    unix_timestamp floors each timestamp to whole seconds, and the
+    oracle matches with floor(epoch(..)) per timestamp (epoch(p)-epoch(s)
+    cast would ROUND the fractional difference and disagree on ~25% of
+    users at other scale factors); the percentiles interpolate order
+    statistics (no running float sums).
 
     Scale: two map-side-combined MIN aggregates keyed by user plus one
     user-keyed join — the event table is never self-joined at event grain
@@ -1788,7 +1796,7 @@ def events_conversion_lag_percentiles(
     WITH counted AS (
       SELECT user_id, ts, event_id,
              COUNT(*) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
       FROM events
     ),
@@ -1809,7 +1817,10 @@ def events_fraud_velocity_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expressed as a time-RANGE window frame (the streaming twin holds the
     same per-key frame as timer state in transformWithState).
 
-    Determinism: pure integer epoch arithmetic and counts.
+    Determinism: pure integer epoch arithmetic and counts; the oracle
+    orders its RANGE frame by floor(epoch(ts)) so frame membership and
+    peer grouping use the same truncated-second key as Spark's
+    unix_timestamp on every row, not just away from hour boundaries.
 
     Scale: one shuffle keyed by user_id; frame state is bounded by the
     per-user event rate within the window, never the history. Zipfian

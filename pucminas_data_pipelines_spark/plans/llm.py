@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pucminas_data_pipelines_spark.functions import text as T
 from pucminas_data_pipelines_spark.operators import dedup as D
+from pucminas_data_pipelines_spark.operators import ordered as ORD
 from pucminas_data_pipelines_spark.operators import similarity as S
 from pucminas_data_pipelines_spark.plans.registry import query
 from pucminas_data_pipelines_spark.tables import load_table
@@ -2131,11 +2132,14 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanity check before training.
 
     Scale: token counting is the standard map-side-combined aggregate;
-    ranking the top 500 is a TakeOrdered-sized head (the window here runs
-    on the already-aggregated vocabulary, not the corpus); the regression
-    is a single-row moment reduce. Log terms are IEEE-identical per
-    value; sums agree to ~1e-13 relative, far inside the 4-decimal
-    rounding."""
+    the top 500 comes from orderBy+limit — physically TakeOrderedAndProject
+    (per-partition top-500, driver merge), never a sort or a global
+    window over the VOCABULARY (Heaps-law-unbounded at corpus scale);
+    only the 500 surviving rows see the rank window (the plan-hygiene
+    gate admits it because a GlobalLimit bounds its input). The
+    regression is a single-row moment reduce. Log terms are
+    IEEE-identical per value; sums agree to ~1e-13 relative, far inside
+    the 4-decimal rounding."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(
@@ -2148,10 +2152,10 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    top = freq.orderBy(F.col("f").desc(), F.col("token")).limit(500)
     w = Window.orderBy(F.col("f").desc(), F.col("token"))
     pts = (
-        freq.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= 500)
+        top.withColumn("r", F.row_number().over(w))
         .select(
             F.log(F.col("r").cast("double")).alias("x"),
             F.log(F.col("f")).alias("y"),
@@ -2386,8 +2390,10 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each token's FIRST document (min over a map-side-combined
     group) attributes every vocabulary item exactly once, so the
     cumulative curve needs only per-doc token counts + per-doc new-type
-    counts — two small tables under one ordered prefix-sum window; the
-    corpus-sized explode feeds combiners, never the window."""
+    counts — a doc-grain table swept by the two-pass range-partitioned
+    prefix sum (operators/ordered.py; no single-partition window at any
+    corpus size); the corpus-sized explode feeds combiners, never the
+    sweep."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -2402,25 +2408,19 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("first_doc")
         .agg(F.count(F.lit(1)).alias("new_types"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    per = doc_tokens.join(
+        new_types, doc_tokens["doc_id"] == new_types["first_doc"], "left"
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
     )
-    per_doc = (
-        doc_tokens.join(
-            new_types, doc_tokens["doc_id"] == new_types["first_doc"], "left"
-        )
-        .select(
-            "doc_id",
-            "n_tok",
-            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
-        )
-        .select(
-            "doc_id",
-            F.sum("n_tok").over(w).alias("cum_tokens"),
-            F.sum("new_types").over(w).alias("cum_vocab"),
-        )
+    per_doc = ORD.range_prefix_sum(
+        per, ["doc_id"], ["n_tok", "new_types"], "doc_id"
+    ).select(
+        "doc_id",
+        F.col("cum_n_tok").alias("cum_tokens"),
+        F.col("cum_new_types").alias("cum_vocab"),
     )
     return (
         per_doc.where(F.col("doc_id") % 50 == 0)
@@ -2540,9 +2540,26 @@ _S_CURVE = {
 }
 
 
+# Calibration runs on a deterministic 30% hash-sample of the corpus: the
+# oracle applies the IDENTICAL sample predicate, so the comparison stays
+# exact while the near-zero-threshold pair census (quadratic in corpus
+# size) is bounded. Same md5-bucket expression as plans/sampling.py.
+_CAL_SAMPLE_PCT = 30
+_CAL_BUCKET_SQL = (
+    "(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+)
+_JACCARD_CTE_SAMPLED = (
+    "WITH _cal_sample AS (SELECT * FROM documents "
+    f"WHERE {_CAL_BUCKET_SQL} < {_CAL_SAMPLE_PCT})"
+    + _JACCARD_CTE.replace("FROM documents", "FROM _cal_sample").replace(
+        "WITH toks AS", ", toks AS"
+    )
+)
+
+
 @query(
     "dedup_lsh_s_curve_calibration",
-    oracle=_JACCARD_CTE
+    oracle=_JACCARD_CTE_SAMPLED
     + f"""
     , binned AS (
       SELECT id_a, id_b,
@@ -2567,13 +2584,27 @@ def dedup_lsh_s_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     operator reads to pick bands/rows for a target threshold (steepness
     at s=0.5, near-certain capture above 0.75). Pair finding reuses the
     lossless prefix-filter join at threshold ~0 so the bin population is
-    the complete nonzero-Jaccard pair set, oracled against all-pairs
-    exact Jaccard.
+    the complete nonzero-Jaccard pair set OF THE SAMPLE, oracled against
+    all-pairs exact Jaccard over the identical sample.
 
-    Scale: the calibration is corpus-bounded by the same PPJoin pruning
-    as dedup_prefix_filter_join; theoretical values are literals (a pure
+    Scale: at threshold 0.01 PPJoin's prefix prune keeps nearly the whole
+    shingle set, so the census volume approaches every shingle-sharing
+    pair — quadratic-ish in corpus size. Calibration is a DIAGNOSTIC of
+    the similarity distribution, not an operator over every document, so
+    it runs on a deterministic 30% md5-bucket sample (engine-stable,
+    map-side predicate; the oracle applies the same predicate) — the bin
+    HISTOGRAM shape it exists to report is preserved while the pair
+    census is bounded at ~9% of the full cost at any corpus size (pick
+    the sample rate to taste at real scale: the S-curve read-off only
+    needs enough pairs per bin). Theoretical values are literals (a pure
     function of the config, precomputed — no cross-engine pow)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from pucminas_data_pipelines_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = deterministic_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", _CAL_SAMPLE_PCT
+    )
     cands = D.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.01)
     jac = D.ngram_jaccard_pairs(cands, docs, "doc_id", "text", threshold=0.01)
     binned = jac.select(

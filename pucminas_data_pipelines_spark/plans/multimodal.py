@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pucminas_data_pipelines_spark.operators import multimodal as M
+from pucminas_data_pipelines_spark.operators import ordered as ORD
 from pucminas_data_pipelines_spark.plans.registry import query
 from pucminas_data_pipelines_spark.tables import load_table
 
@@ -226,22 +227,22 @@ def multimodal_webdataset_shard_layout(spark: SparkSession, sf_dir: str) -> Data
     read whole shards sequentially instead of issuing one random GET per
     asset — the I/O pattern that makes 100 TB multimodal training feasible.
 
-    Scale: the cumulative-offset window is a global ordered prefix sum —
-    at real scale you'd first range-partition by key and compute per-range
-    base offsets from partition subtotals (two passes, no global sort of
-    payloads; only ids and sizes move). The payload bytes themselves never
-    shuffle here: the layout is computed from sizes alone."""
+    Scale: the cumulative offset is the two-pass range-partitioned
+    prefix sum (operators/ordered.py: per-bucket size subtotals ->
+    broadcast base offsets -> bucket-local window) — no global sort, no
+    single-partition window; only (id, size) pairs move. The payload
+    bytes themselves never shuffle here: the layout is computed from
+    sizes alone."""
     docs = load_table(spark, sf_dir, "documents")
     assets = M.attach_binary_payload(docs, "doc_id", "text").select(
         "asset_id", F.col("meta.byte_len").cast("bigint").alias("byte_len")
     )
-    w = Window.orderBy("asset_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    laid = assets.select(
+    laid = ORD.range_prefix_sum(
+        assets, ["asset_id"], ["byte_len"], "asset_id"
+    ).select(
         "asset_id",
         "byte_len",
-        (F.sum("byte_len").over(w) - F.col("byte_len")).alias("start_off"),
+        (F.col("cum_byte_len") - F.col("byte_len")).alias("start_off"),
     )
     placed = laid.select(
         "asset_id",
@@ -324,14 +325,13 @@ def multimodal_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload",
         F.col("meta.byte_len").cast("bigint").alias("byte_len"),
     )
-    w = Window.orderBy("asset_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    laid = assets.select(
+    laid = ORD.range_prefix_sum(
+        assets, ["asset_id"], ["byte_len"], "asset_id"
+    ).select(
         "asset_id",
         "payload",
         "byte_len",
-        (F.sum("byte_len").over(w) - F.col("byte_len")).alias("start_off"),
+        (F.col("cum_byte_len") - F.col("byte_len")).alias("start_off"),
     )
     sharded = laid.withColumn(
         "shard_id", F.floor(F.col("start_off") / 65536.0).cast("bigint")

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pucminas_data_pipelines_spark.operators import ordered as ORD
 from pucminas_data_pipelines_spark.plans.registry import query
 from pucminas_data_pipelines_spark.tables import load_table
 
@@ -461,19 +462,22 @@ def quality_id_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness check for an ingested partition that should be
     contiguous.
 
-    Scale: the global-order LEAD window is the cost — at 100 TB,
-    range-partition the ids and run the window per range, stitching the
-    boundaries (one row per partition) driver-side; the per-range plan
-    is identical to this one.
+    Scale: LEAD runs as the two-pass range-partitioned variant
+    (operators/ordered.py range_lead): bucket-local lead, with each
+    bucket's last row stitched to the next non-empty bucket's first id
+    via a broadcast bucket-grain firsts table — no single-partition
+    window at any id-space size.
     """
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
-    gap = F.lead("event_id").over(Window.orderBy("event_id")) - F.col("event_id")
+    led = ORD.range_lead(
+        e.select("event_id"), ["event_id"], "event_id", "event_id", out="_next"
+    )
     return (
-        e.select("event_id", gap.alias("_gap"))
+        led.select(
+            "event_id", (F.col("_next") - F.col("event_id")).alias("_gap")
+        )
         .where(F.col("_gap") > 1)
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
@@ -643,14 +647,21 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stats_value_histogram) hides density. NTILE ties broken by key so
     both engines bucket identically.
 
-    Scale note: a global NTILE is a total sort — correct for profiling
-    runs (Spark plans it as one rangepartition sort); the streaming-scale
-    alternative is approx_percentile boundaries (stats_percentiles)."""
+    Scale note: NTILE runs as the two-pass range-partitioned variant
+    (operators/ordered.py range_ntile: quantile-literal buckets ->
+    bucket-local row_number + broadcast base counts -> closed-form tile
+    assignment), so no task ever holds more than one bucket of orders —
+    the single-partition global-window shape never appears in the plan."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiled = ORD.range_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        "o_totalprice",
+        10,
+        out="decile",
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
@@ -1041,12 +1052,14 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not ROWS) makes tied values frame-peers, so both engines evaluate
     the empirical CDFs at identical points.
 
-    Scale: the exact statistic needs one global order of the pooled
-    sample — fine into the billions, but at 100 TB swap the input for an
-    equi-depth histogram (stats_equidepth_histogram) and evaluate D at
-    bin boundaries: error bounded by 1/bins, plan becomes one aggregate.
-    Counts are exact integers; the single double division happens at the
-    CDF compare, rounded once."""
+    Scale: the RANGE-frame CDF collapses to a groupBy(value) + a
+    two-pass range-partitioned prefix sum (operators/ordered.py): tied
+    values are frame-peers, so grouping them FIRST (map-side combined,
+    distinct-value grain) and prefix-summing the per-value counts
+    yields exactly the peer-inclusive cumulative counts — with no
+    single-partition window and a sweep input already collapsed to
+    distinct values. Counts are exact integers; the single double
+    division happens at the CDF compare, rounded once."""
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
@@ -1055,12 +1068,12 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i1"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("i2"),
     )
-    w = Window.orderBy("value").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
+    per_value = s.groupBy("value").agg(
+        F.sum("i1").alias("gi1"), F.sum("i2").alias("gi2")
     )
-    cum = s.select(
-        F.sum("i1").over(w).alias("c1"), F.sum("i2").over(w).alias("c2")
-    )
+    cum = ORD.range_prefix_sum(
+        per_value, ["value"], ["gi1", "gi2"], "value"
+    ).select(F.col("cum_gi1").alias("c1"), F.col("cum_gi2").alias("c2"))
     tot = s.agg(
         F.sum("i1").cast("double").alias("n1"),
         F.sum("i2").cast("double").alias("n2"),
@@ -1715,19 +1728,24 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank·spend products are 2-decimal-exact and their Σ stays within
     double's 2^53 integer range at any realistic SF.
 
-    Scale: one aggregate to per-customer totals, one global sort for
-    ranks (range-partitioned at scale), one final single-row reduce."""
+    Scale: one aggregate to per-customer totals, then ranks via the
+    two-pass range-partitioned row_number (operators/ordered.py:
+    bucket-local rank + broadcast base counts — no single-partition
+    window over the customer table), n_all via a broadcast 1-row count,
+    one final single-row reduce."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("spend")
     )
-    w = Window.orderBy("spend", "o_custkey")
-    ranked = per_cust.withColumn("rk", F.row_number().over(w))
+    ranked = ORD.range_row_number(
+        per_cust, ["spend", "o_custkey"], "spend", out="rk"
+    )
+    tot = per_cust.agg(F.count(F.lit(1)).alias("n_all"))
     n = F.count(F.lit(1))
-    return ranked.select(
-        "rk", "spend", F.count(F.lit(1)).over(Window.partitionBy()).alias("n_all")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rk", "spend", "n_all"
     ).agg(
         n.alias("n_customers"),
         F.round(
@@ -2991,11 +3009,14 @@ def stats_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer comparison cum*10 >= grand*8 (no float division until the
     final reported share).
 
-    Scale: the per-user rollup is map-side combined; the ranked scan is a
-    single-partition window over USER-grain rows (dimension-sized, like
-    stats_cusum_changepoint's day scan) — for billion-user tables the
-    same crossing comes from an equi-depth histogram of user totals
-    instead of an exact sort."""
+    Scale: the per-user rollup is map-side combined; the Lorenz sweep is
+    ONE two-pass range-partitioned prefix sum (operators/ordered.py)
+    over the user-grain totals — summing (total, 1) together makes the
+    running count double as the global row number, so no
+    single-partition window at any user count; grand totals ride in on
+    a broadcast 1-row aggregate. The DESC order is expressed as ASC over
+    the negated total (bucketing on its double cast — monotone, so
+    bucket-local order on the exact decimal stays globally correct)."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
@@ -3004,13 +3025,21 @@ def stats_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("total")
     )
-    wo = Window.orderBy(F.col("total").desc(), F.col("user_id"))
-    wall = Window.partitionBy()
-    ranked = per_user.select(
-        F.sum("total").over(wo).alias("cum"),
-        F.sum("total").over(wall).alias("grand"),
-        F.row_number().over(wo).alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("n_users"),
+    pu = per_user.withColumn("_neg_total", -F.col("total")).withColumn(
+        "_negd", (-F.col("total")).cast("double")
+    ).withColumn("_one", F.lit(1).cast("bigint"))
+    swept = ORD.range_prefix_sum(
+        pu, ["_neg_total", "user_id"], ["total", "_one"], "_negd"
+    )
+    grand = per_user.agg(
+        F.sum("total").alias("grand"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    ranked = swept.crossJoin(F.broadcast(grand)).select(
+        F.col("cum_total").alias("cum"),
+        "grand",
+        F.col("cum__one").alias("rk"),
+        "n_users",
     )
     crossing = F.min(
         F.when(F.col("cum") * 10 >= F.col("grand") * 8, F.col("rk"))

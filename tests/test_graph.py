@@ -87,3 +87,27 @@ def test_triangle_count_k4(spark):
         "src string, dst string",
     )
     assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_label_propagation_keeps_directed_sinks(spark):
+    """Directed input with a pure sink (node with no out-edges): the sink
+    must stay in the output with a carried-forward label, not vanish —
+    the docstring's '(node, community)' contract covers every node in
+    ``edges``. Regression for the r5 advisory: before the carry-forward
+    left-join, sinks were dropped after round 1 (and drops cascaded)."""
+    from pucminas_data_pipelines_spark.operators.graph import label_propagation
+
+    # a -> b -> c ; c has no out-edges (pure sink)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=2).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    # c never receives neighbor labels (directed), so it keeps its own
+    assert got["c"] == "c"
+    # round 1: a adopts lbl(b)='b', b adopts lbl(c)='c';
+    # round 2: a adopts round-1 lbl(b)='c', b adopts 'c' again
+    assert got["b"] == "c" and got["a"] == "c"

@@ -1,0 +1,108 @@
+"""operators/ordered.py: the two-pass range-partitioned ordered
+analytics must agree exactly with the single-partition global window it
+replaces, on skewed/tied/bucket-straddling inputs, and must never plan
+an unpartitioned Window over anything but the reserved bucket table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pucminas_data_pipelines_spark.operators import ordered as ORD
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k double, v bigint, id bigint")
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # heavy ties (k=5.0 x 40), negatives, a single outlier bucket
+    rows = (
+        [(5.0, i % 7 - 3, i) for i in range(40)]
+        + [(float(i), i, 100 + i) for i in range(30)]
+        + [(-2.5, 10, 200), (1e6, 1, 201), (1e6, 2, 202)]
+    )
+    return _df(spark, rows)
+
+
+def test_range_prefix_sum_matches_global_window(spark, skewed):
+    got = (
+        ORD.range_prefix_sum(skewed, ["k", "id"], ["v"], "k", n_buckets=7)
+        .select("id", "cum_v")
+        .collect()
+    )
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = skewed.select("id", F.sum("v").over(w).alias("cum_v")).collect()
+    assert sorted((r.id, r.cum_v) for r in got) == sorted(
+        (r.id, r.cum_v) for r in want
+    )
+
+
+def test_range_row_number_matches_global_window(spark, skewed):
+    got = (
+        ORD.range_row_number(skewed, ["k", "id"], "k", n_buckets=5, out="rn")
+        .select("id", "rn")
+        .collect()
+    )
+    w = Window.orderBy("k", "id")
+    want = skewed.select("id", F.row_number().over(w).alias("rn")).collect()
+    assert sorted((r.id, r.rn) for r in got) == sorted(
+        (r.id, r.rn) for r in want
+    )
+
+
+@pytest.mark.parametrize("k", [1, 3, 4, 10, 200])
+def test_range_ntile_matches_global_window(spark, skewed, k):
+    # k=200 > n exercises the one-row-per-tile branch (q=0)
+    got = (
+        ORD.range_ntile(skewed, ["k", "id"], "k", k, out="tile", n_buckets=6)
+        .select("id", "tile")
+        .collect()
+    )
+    w = Window.orderBy("k", "id")
+    want = skewed.select("id", F.ntile(k).over(w).alias("tile")).collect()
+    assert sorted((r.id, r.tile) for r in got) == sorted(
+        (r.id, r.tile) for r in want
+    )
+
+
+def test_range_lead_matches_global_window(spark, skewed):
+    got = (
+        ORD.range_lead(skewed, ["k", "id"], "id", "k", n_buckets=5, out="nx")
+        .select("id", "nx")
+        .collect()
+    )
+    w = Window.orderBy("k", "id")
+    want = skewed.select("id", F.lead("id").over(w).alias("nx")).collect()
+    assert sorted((r.id, r.nx) for r in got) == sorted(
+        (r.id, r.nx) for r in want
+    )
+
+
+def test_single_bucket_degenerate(spark):
+    # constant key -> approxQuantile returns one repeated bound -> all
+    # rows in <=2 buckets; still exact
+    df = _df(spark, [(1.0, i, i) for i in range(10)])
+    got = (
+        ORD.range_prefix_sum(df, ["k", "id"], ["v"], "k", n_buckets=4)
+        .select("id", "cum_v")
+        .collect()
+    )
+    assert sorted((r.id, r.cum_v) for r in got) == [
+        (i, i * (i + 1) // 2) for i in range(10)
+    ]
+
+
+def test_no_unpartitioned_window_outside_bucket_table(spark, skewed):
+    """The whole point: the plan may only contain unpartitioned Window
+    nodes ordered by the reserved ``_rb`` bucket column (bounded by
+    config, not data)."""
+    from tests.test_plan_hygiene import unpartitioned_window_orders
+
+    df = ORD.range_ntile(skewed, ["k", "id"], "k", 4, out="tile")
+    for names in unpartitioned_window_orders(df):
+        assert any("_rb" in n for n in names), names
