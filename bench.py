@@ -54,6 +54,13 @@ HEADLINE = [
     # join behind link prediction
     "embedding_kmeans_lloyd",
     "graph_jaccard_link_prediction",
+    # appended r6: two of the queries rewritten onto the two-pass
+    # range-partitioned ordered analytics (operators/ordered.py) — the
+    # global prefix-sum (shard layout) and the global NTILE over the
+    # largest fact table (equi-depth histogram); their timings prove the
+    # two-pass rewrite costs flat vs the retired single-partition window
+    "multimodal_webdataset_shard_layout",
+    "stats_equidepth_histogram",
 ]
 
 

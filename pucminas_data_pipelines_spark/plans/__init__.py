@@ -33,6 +33,30 @@ from pucminas_data_pipelines_spark.plans import (  # noqa: F401
 )
 from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 
+# ROUND-6 ROTATION (VERDICT r05 "Next round #1"): window = 5 r5-green
+# canaries + 45 first-evidence slots. Priorities this round:
+#   - the 11 queries rewritten onto operators/ordered.py's two-pass
+#     range-partitioned prefix-sum/rank (the r5 "scale-debt" set: peak
+#     concurrency, id-gap, equi-depth, KS drift, Gini, Pareto, RFM,
+#     both WebDataset shard queries, Heaps curve, zipf's TakeOrdered
+#     rank) — driver rows prove the rewrites, not just parity;
+#   - the 2 oracle-semantics fixes (conversion-lag, velocity rule:
+#     truncated-second pinning) and the 3 operator fixes (k-core
+#     unforced broadcast, LPA directed-sink carry-forward, sample-bound
+#     LSH S-curve calibration);
+#   - then breadth per the r5 plan: text 4, joins/filters/sql 10,
+#     aggregates 4, udf/udtf 3, graph triangle, mutation cdc/scd2,
+#     pii 1, the 4 sources deferred from r5.
+# Cumulative driver-green before this round: 164/343; a 50/50 window
+# lands 209/343. ROLL-FORWARD to r7/r8 (~130 remaining): the rest of
+# text (char_diversity, code_detection, fertility, oov, bigram LM,
+# pmi/readability if bumped), stats sketches + drift family, remaining
+# windows/scalars suites, remaining sources/sinks, sampling kfold,
+# feature scalers, embedding/cluster depth (kmeans, matryoshka,
+# contrastive, label centroids), dedup cluster family, multimodal
+# payload/aspect, mutation overwrite/expiry/asof, url/pii depth,
+# events analytics remainder, streaming state readers.
+#
 # ROUND-5 ROTATION (VERDICT r04 "Next round #1"): the driver scores only
 # the first 50 registry entries, so driver-green coverage accumulates by
 # rotating a DIFFERENT representative set each round. Rounds 3+4 windows
@@ -87,65 +111,66 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
 DRIVER_WINDOW: list[str] = [
-    # canaries (driver-green in CORRECTNESS_r04)
+    # canaries (driver-green in CORRECTNESS_r05)
     "q1_pricing_summary",
     "dedup_minhash_lsh",
     "join_asof",
     "mutation_merge_upsert",
     "events_session_window",
-    # r4 red rows, fixed this round — hard evidence for the fixes
-    "q12_priority_by_returnflag",
-    "scalar_array_construction_suite",
-    "scalar_map_construction_suite",
-    # round-4 ★ LLM operators, first driver rows
-    "dedup_substring_spans",
-    "dedup_incremental_batch",
-    "ann_ivf_pq_recall",
-    "curation_span_coverage_gate",
-    # events family (the 4 not yet driver-green)
-    "events_time_weighted_avg",
-    "events_session_window_dynamic_gap",
-    "events_gap_fill_ffill",
-    "events_first_touch_attribution",
-    # live structured-streaming jobs (all 8 remaining)
-    "streaming_tumbling_window_live",
-    "streaming_session_window_live",
-    "streaming_stateful_totals_live",
-    "streaming_dedup_live",
-    "streaming_static_join_live",
-    "streaming_foreachbatch_upsert_live",
-    "streaming_sliding_window_live",
-    "streaming_python_source_live",
-    # corpus curation (the 8 not yet driver-green)
-    "curation_doc_chunking",
-    "curation_sequence_packing",
-    "curation_repetition_detection",
-    "curation_contamination_overlap",
-    "curation_quality_rules",
-    "curation_domain_mixture",
-    "curation_shard_assignment",
-    "curation_token_budget_fill",
-    # sampling / splits (all 6)
-    "sample_hash_deterministic",
-    "split_train_test",
-    "sample_weighted_by_length",
-    "sample_capped_per_source",
-    "agg_freq_items_superset",
-    "sample_weighted_exact_k",
-    # set ops & sorts (all 5 remaining)
-    "setop_union_by_name",
-    "setop_distinct",
-    "setop_intersect",
-    "setop_except_all",
-    "sort_multi_key_nulls",
-    # sources/sinks (7 of the remaining 11; rest deferred to r6)
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "sink_append_mode",
-    "sink_compacted_files",
-    "source_schema_evolution_merge",
-    "source_text_lines",
-    "source_binary_files",
+    # the 11 global-window queries rewritten onto operators/ordered.py
+    # this round — first driver rows prove the two-pass rewrites
+    "events_peak_concurrency",
+    "quality_id_gap_summary",
+    "stats_equidepth_histogram",
+    "stats_ks_drift",
+    "stats_gini_concentration",
+    "stats_pareto_concentration",
+    "events_rfm_segmentation",
+    "multimodal_webdataset_shard_layout",
+    "multimodal_shard_roundtrip",
+    "text_heaps_vocab_growth",
+    "text_zipf_exponent",
+    # r6 semantics/operator fixes — hard evidence for each
+    "events_conversion_lag_percentiles",
+    "events_fraud_velocity_rule",
+    "graph_kcore_decomposition",
+    "graph_label_propagation_communities",
+    "dedup_lsh_s_curve_calibration",
+    # text analysis
+    "text_lm_quality_score",
+    "text_pmi_collocations",
+    "text_readability_scores",
+    "text_bpe_merge_pairs",
+    # joins / filters / raw SQL
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_theta",
+    "join_null_safe",
+    "join_interval_overlap",
+    "join_asof_nearest",
+    "join_broadcast_hint",
+    "filter_null_and_between",
+    "sql_lateral_topk_per_order",
+    # aggregates
+    "agg_mode_per_group",
+    "agg_hll_sketch_mergeable",
+    "agg_weighted_median",
+    "agg_percentile_approx",
+    # udf / udtf
+    "udf_pandas_grouped_agg",
+    "udtf_tokenize",
+    "udf_pandas_scalar_iter",
+    # graph + mutation + pii
+    "graph_triangle_count",
+    "mutation_cdc_version_diff",
+    "mutation_scd2_history",
+    "pii_scan_counts",
+    # sources/sinks deferred from r5
+    "sink_csv_semicolon_roundtrip",
+    "sink_range_sorted_layout",
+    "sink_zorder_layout",
+    "source_python_datasource",
 ]
 
 

@@ -2540,11 +2540,11 @@ _S_CURVE = {
 }
 
 
-# Calibration runs on a deterministic 30% hash-sample of the corpus: the
+# Calibration runs on a deterministic 20% hash-sample of the corpus: the
 # oracle applies the IDENTICAL sample predicate, so the comparison stays
 # exact while the near-zero-threshold pair census (quadratic in corpus
 # size) is bounded. Same md5-bucket expression as plans/sampling.py.
-_CAL_SAMPLE_PCT = 30
+_CAL_SAMPLE_PCT = 20
 _CAL_BUCKET_SQL = (
     "(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
 )
@@ -2591,10 +2591,10 @@ def dedup_lsh_s_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     shingle set, so the census volume approaches every shingle-sharing
     pair — quadratic-ish in corpus size. Calibration is a DIAGNOSTIC of
     the similarity distribution, not an operator over every document, so
-    it runs on a deterministic 30% md5-bucket sample (engine-stable,
+    it runs on a deterministic 20% md5-bucket sample (engine-stable,
     map-side predicate; the oracle applies the same predicate) — the bin
     HISTOGRAM shape it exists to report is preserved while the pair
-    census is bounded at ~9% of the full cost at any corpus size (pick
+    census is bounded at ~4% of the full cost at any corpus size (pick
     the sample rate to taste at real scale: the S-curve read-off only
     needs enough pairs per bin). Theoretical values are literals (a pure
     function of the config, precomputed — no cross-engine pow)."""

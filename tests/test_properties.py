@@ -493,3 +493,88 @@ def test_kcore_peel_reaches_peeling_fixpoint(spark, edges):
         for r in kcore_peel(e, k=k, rounds=12).collect()
     }
     assert got == cur
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([0.0, 1.0, 1.0, 2.5, 2.5, 2.5, -3.0, 1e6]),
+            st.integers(-50, 50),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 9),
+)
+def test_range_prefix_sum_equals_global_window(spark, rows, n_buckets):
+    """operators/ordered.py's two-pass prefix sum must equal the
+    single-partition global window on ANY input — heavy ties (keys drawn
+    from 5 values), negatives, outlier buckets, any bucket count. The
+    id column makes the order total so the comparison is well-defined."""
+    from pyspark.sql.window import Window
+
+    from pucminas_data_pipelines_spark.operators import ordered as ORD
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "k double, v bigint, id bigint",
+    )
+    got = {
+        r["id"]: r["cum_v"]
+        for r in ORD.range_prefix_sum(
+            df, ["k", "id"], ["v"], "k", n_buckets=n_buckets
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in df.select("id", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([0.0, 1.0, 1.0, 7.5, -2.0]),
+            st.integers(-50, 50),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 8),
+)
+def test_range_ntile_and_lead_equal_global_window(spark, rows, k):
+    """range_ntile and range_lead must equal their single-partition
+    twins for any tie pattern and any tile count (including k > n)."""
+    from pyspark.sql.window import Window
+
+    from pucminas_data_pipelines_spark.operators import ordered as ORD
+
+    df = spark.createDataFrame(
+        [(key, v, i) for i, (key, v) in enumerate(rows)],
+        "k double, v bigint, id bigint",
+    )
+    w = Window.orderBy("k", "id")
+    got_t = {
+        r["id"]: r["tile"]
+        for r in ORD.range_ntile(df, ["k", "id"], "k", k, n_buckets=4).collect()
+    }
+    want_t = {
+        r["id"]: r["t"]
+        for r in df.select("id", F.ntile(k).over(w).alias("t")).collect()
+    }
+    assert got_t == want_t
+    got_l = {
+        r["id"]: r["lead"]
+        for r in ORD.range_lead(df, ["k", "id"], "v", "k", n_buckets=4).collect()
+    }
+    want_l = {
+        r["id"]: r["l"]
+        for r in df.select("id", F.lead("v").over(w).alias("l")).collect()
+    }
+    assert got_l == want_l
