@@ -54,6 +54,11 @@ def with_range_buckets(
     same "sample split points" pass every distributed sort does) and are
     embedded as literals, so ``_rb`` is a pure row expression: every
     plan branch that re-evaluates it agrees, with no materialization.
+
+    NULL keys land in bucket 0 (the lambda predicate is null per
+    element, so the filter keeps nothing) and sort first inside it —
+    consistent with Spark's default ASC NULLS FIRST global order, the
+    only null placement these operators support.
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(df.approxQuantile(key_col, probs, 0.001)))

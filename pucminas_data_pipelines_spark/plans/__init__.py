@@ -48,14 +48,31 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 #     aggregates 4, udf/udtf 3, graph triangle, mutation cdc/scd2,
 #     pii 1, the 4 sources deferred from r5.
 # Cumulative driver-green before this round: 164/343; a 50/50 window
-# lands 209/343. ROLL-FORWARD to r7/r8 (~130 remaining): the rest of
-# text (char_diversity, code_detection, fertility, oov, bigram LM,
-# pmi/readability if bumped), stats sketches + drift family, remaining
-# windows/scalars suites, remaining sources/sinks, sampling kfold,
-# feature scalers, embedding/cluster depth (kmeans, matryoshka,
-# contrastive, label centroids), dedup cluster family, multimodal
-# payload/aspect, mutation overwrite/expiry/asof, url/pii depth,
-# events analytics remainder, streaming state readers.
+# lands 209/343, leaving 134 (132 scorable + the 2 rows-only ann_*).
+# ROLL-FORWARD PLAN (exact family counts, recomputed from the five
+# CORRECTNESS files + this window):
+#   r7 (45): stats 28 (correlation_matrix, value_histogram,
+#     table_profile, iqr, observed_gate, user_anomaly_zscore, MI, chi2,
+#     MAD, PSI, countmin, KMV x2, benford, autocorr, seasonality,
+#     bloom, winsorized, ab_ztest, welch, crosstab, runs_test,
+#     markov_entropy, ddsketch, cusum, poisson_bootstrap, multifeature
+#     OLS, ab_power) + quality 5 (dim_coverage, referential_integrity,
+#     temporal_consistency, source_reconciliation, expectation_suite)
+#     + window 5 (cumulative_distinct, activity_streaks,
+#     first_last_ignore_nulls, rolling_trend_slope, rolling_median)
+#     + agg 7 (linear_regression, argminmax, boolean, bitmap_distinct,
+#     grouping_id, accumulating_snapshot, variance_manual);
+#   r8 (45): events 12 + dedup 7 (clusters, keep_best, containment,
+#     span_redaction, prefix_filter, CDC chunks, survivorship)
+#     + embedding 4 + text 6 + explode 4 + scalar 6 + sql 3 + graph 3
+#     (connected_components, assortativity, jaccard_link_prediction);
+#   r9 (42): join 7 + source 4 + sink 2 + mutation 3 + multimodal 3
+#     + curation 6 + streaming 3 (watermark late-drop + both state
+#     readers) + pii 2 + url 2 + feature 2 + project 2 + corpus card,
+#     agg_percentile_interpolated, contrastive pairs, grouped kfold,
+#     udf_python_rowwise, udtf_table_argument_stats.
+# Each window keeps >=5 prior-round-green canaries on top (the contract
+# test enforces it), so full coverage lands end of r9.
 #
 # ROUND-5 ROTATION (VERDICT r04 "Next round #1"): the driver scores only
 # the first 50 registry entries, so driver-green coverage accumulates by

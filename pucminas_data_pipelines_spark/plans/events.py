@@ -911,11 +911,13 @@ def events_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     path string is built by sort_array over (ts, event_id, type) structs
     INSIDE the session aggregate (deterministic total order, no second
     window); path cardinality — not session count — sizes the final
-    rollup. The 2-5-step cap bounds the OUTPUT key; the collect_list
-    itself still materializes each full session in its aggregate buffer,
-    so at 100 TB a whale-session guard belongs BEFORE the aggregate
-    (pre-count sessions with a window and drop > N-event sessions) —
-    documented rather than hidden behind the small fixture."""
+    rollup. The whale-session guard runs BEFORE the aggregate: session
+    sizes come from a count over the (user, session) frame — one more
+    window on the SAME partitioning as sessionization (no extra
+    shuffle; the exchange is reused) — and >5-event sessions are
+    dropped before collect_list, so no aggregate buffer ever
+    materializes a whale session (a bot with 10^6 events contributes
+    zero buffer, not a 10^6-element array)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = e.select(
@@ -940,8 +942,17 @@ def events_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # whale guard: session size via a full-frame count over the same
+    # (user_id)-partitioned sort, so oversized sessions are dropped
+    # BEFORE the path aggregate ever buffers them
+    wsess = Window.partitionBy("user_id", "session_no").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bounded = sessions.withColumn(
+        "_sess_len", F.count(F.lit(1)).over(wsess)
+    ).where(F.col("_sess_len") <= 5)
     paths = (
-        sessions.groupBy("user_id", "session_no")
+        bounded.groupBy("user_id", "session_no")
         .agg(
             F.array_join(
                 F.transform(

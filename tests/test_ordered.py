@@ -106,3 +106,24 @@ def test_no_unpartitioned_window_outside_bucket_table(spark, skewed):
     df = ORD.range_ntile(skewed, ["k", "id"], "k", 4, out="tile")
     for names in unpartitioned_window_orders(df):
         assert any("_rb" in n for n in names), names
+
+
+def test_null_keys_sort_first_like_global_window(spark):
+    """NULL order keys fall into bucket 0 and sort first — identical to
+    the single-partition window's ASC NULLS FIRST placement."""
+    rows = [(None, 1, 0), (None, 2, 1), (1.0, 3, 2), (2.0, 4, 3)]
+    df = _df(spark, rows)
+    got = {
+        r.id: r.cum_v
+        for r in ORD.range_prefix_sum(
+            df, ["k", "id"], ["v"], "k", n_buckets=3
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: r.cum
+        for r in df.select("id", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
