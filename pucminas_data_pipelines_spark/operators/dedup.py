@@ -608,31 +608,39 @@ def prefix_filter_pairs(
 
     Scale: the frequency table is a map-side-combined count; ranking is
     one window per document over its own shingles; the candidate join
-    keys on (shingle) with both sides pruned to ~(1-t)|S| entries per
-    document. No all-pairs product anywhere; the verify stage (exact
-    Jaccard) touches candidates only."""
+    keys on an 8-byte xxhash64 of the shingle — never the shingle TEXT
+    (same discipline as duplicated_spans' inverted index: the wide
+    shuffles carry fixed-width longs, not ~20-byte strings). A 64-bit
+    collision can only merge two distinct shingles, which ADDS candidate
+    pairs — recall stays 1.0 by construction and the exact-Jaccard
+    verify stage (which re-reads the real shingle sets) removes any
+    false candidate, so exactness is unaffected. Both join sides are
+    pruned to ~(1-t)|S| entries per document; no all-pairs product
+    anywhere."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         token_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).where(F.size("shingles") > 0)
-    ex = sh.select("id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy("df", "s")
+    ex = sh.select(
+        "id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    ).select("id", "n", F.xxhash64("s").alias("sh"))
+    freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "sh")
     prefix = (
-        ex.join(freq, "s")
+        ex.join(freq, "sh")
         .withColumn("rk", F.row_number().over(w))
         .where(
             F.col("rk")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .select("id", "s", "n", "rk")
+        .select("id", "sh", "n", "rk")
     )
     a = prefix.select(
-        F.col("id").alias("id_a"), "s",
+        F.col("id").alias("id_a"), "sh",
         F.col("n").alias("n_a"), F.col("rk").alias("rk_a"),
     )
     b = prefix.select(
-        F.col("id").alias("id_b"), "s",
+        F.col("id").alias("id_b"), "sh",
         F.col("n").alias("n_b"), F.col("rk").alias("rk_b"),
     )
     t = F.lit(threshold)
@@ -646,7 +654,7 @@ def prefix_filter_pairs(
         F.col("n_a") - F.col("rk_a"), F.col("n_b") - F.col("rk_b")
     )
     return (
-        a.join(b, "s")
+        a.join(b, "sh")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             t * F.greatest(F.col("n_a"), F.col("n_b"))
