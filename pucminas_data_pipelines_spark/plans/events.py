@@ -1022,6 +1022,11 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ascending bucketer serves all three."""
     e = load_table(spark, sf_dir, "events")
     anchor = e.agg(F.max("ts").alias("max_ts"))
+    # Materialize the user rollup once: each of the three two-pass NTILEs
+    # runs its own boundary-sampling action, and without the checkpoint
+    # every one of those re-aggregates raw events (5.5 s -> 2.5 s warm at
+    # sf0.1 together with the independent-tile join below). The rollup is
+    # user-grain — tiny vs events.
     per_user = (
         e.crossJoin(F.broadcast(anchor))
         .groupBy("user_id", "max_ts")
@@ -1036,15 +1041,31 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recency_s"),
         )
         .select("user_id", "recency_s", "frequency", "monetary")
+        .localCheckpoint(eager=True)
     )
-    s1 = ORD.range_ntile(
-        per_user, ["recency_s", "user_id"], "recency_s", 4, out="r_score"
-    ).withColumn("_negf", (-F.col("frequency")).cast("double"))
-    s2 = ORD.range_ntile(
-        s1, ["_negf", "user_id"], "_negf", 4, out="f_score"
-    ).withColumn("_negm", -F.col("monetary"))
-    s3 = ORD.range_ntile(s2, ["_negm", "user_id"], "_negm", 4, out="m_score")
-    scored = s3.select("user_id", "r_score", "f_score", "m_score")
+    # three INDEPENDENT tile columns, each over the checkpointed rollup
+    # (chaining them would put each ntile's boundary-sampling action on
+    # top of the previous ntile's window), joined back on user_id
+    r = ORD.range_ntile(
+        per_user.select("user_id", "recency_s"),
+        ["recency_s", "user_id"],
+        "recency_s",
+        4,
+        out="r_score",
+    ).select("user_id", "r_score")
+    fneg = per_user.select(
+        "user_id", (-F.col("frequency")).cast("double").alias("_negf")
+    )
+    f = ORD.range_ntile(
+        fneg, ["_negf", "user_id"], "_negf", 4, out="f_score"
+    ).select("user_id", "f_score")
+    mneg = per_user.select(
+        "user_id", (-F.col("monetary")).alias("_negm")
+    )
+    m = ORD.range_ntile(
+        mneg, ["_negm", "user_id"], "_negm", 4, out="m_score"
+    ).select("user_id", "m_score")
+    scored = r.join(f, "user_id").join(m, "user_id")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_users"))
