@@ -1133,8 +1133,8 @@ def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT user_id,
              CAST(ROUND(
-               1.0 / (1.0 + 0.1 * (EXTRACT(epoch FROM a.max_ts)
-                                   - EXTRACT(epoch FROM ts)) / 86400.0),
+               1.0 / (1.0 + 0.1 * (FLOOR(EXTRACT(epoch FROM a.max_ts))
+                                   - FLOOR(EXTRACT(epoch FROM ts))) / 86400.0),
                8) AS DECIMAL(18,8)) AS w
       FROM events CROSS JOIN anchor a
     )
@@ -1159,6 +1159,10 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly on a rounding boundary (observed in development); +,x,/ are
     IEEE-exact so the hyperbolic kernel is bit-identical on both engines,
     then per-row DECIMAL quantization makes the group sum order-free.
+    Ages are TRUNCATED-second on both sides (Spark cast-to-long floors;
+    the oracle floors epoch() explicitly — DuckDB's epoch keeps
+    microseconds, which silently shifted weights at sf0.001; caught by
+    the second-SF parity suite).
 
     Scale: one broadcast single-row anchor, one map-side-combined
     aggregate. The decay constant composes with

@@ -521,15 +521,31 @@ _ANN_RECALL_ORACLE = """
     """
 
 
-def _ann_recall(spark: SparkSession, sf_dir: str, ann, min_hits: int) -> DataFrame:
+def _ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    ann,
+    min_hits: int = 0,
+    min_total_hits: int = 0,
+) -> DataFrame:
     """Driver-checkable evidence for an approximate index: join its top-5
     against the exact top-5 (computed in-Spark) and emit, per query, the
-    result count and a boolean asserting >= min_hits true neighbors were
-    retrieved. The oracle recomputes nothing approximate — it asserts the
-    BOUND holds (hashes diverge if recall ever drops below the floor).
-    min_hits is the measured per-query floor on this corpus; both engines
+    result count and a boolean asserting the recall bound holds. The
+    oracle recomputes nothing approximate — it asserts the BOUND holds
+    (hashes diverge if recall ever drops below the floor). Both engines
     are deterministic (seeded hyperplanes / hash-threshold k-means
-    sample), so the bound is stable, not flaky."""
+    sample), so the bound is stable, not flaky.
+
+    Two bound shapes, because not every index has a corpus-stable
+    PER-QUERY floor (verified across sf0.001/0.01/0.1, whose embedding
+    tables are distinct datasets): ``min_hits`` asserts every query
+    retrieves >= that many true neighbors (LSH holds 2, IVF-Flat holds 1
+    on all three corpora); ``min_total_hits`` asserts the AGGREGATE hit
+    count over the 10 queries — the right claim for heavily-compressed
+    indexes (IVF-PQ, Matryoshka truncation) where an individual query
+    can legitimately lose all 5 neighbors on one corpus while aggregate
+    recall stays flat. The boolean is constant across rows in that mode
+    (total broadcast back), so the per-query output shape is unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
     exact = S.brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", k=5).select(
@@ -541,24 +557,40 @@ def _ann_recall(spark: SparkSession, sf_dir: str, ann, min_hits: int) -> DataFra
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("_hits"))
     )
-    return (
+    per_query = (
         approx.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_results"))
         .join(hits, "query_id", "left")
         .select(
             "query_id",
             "n_results",
-            (F.coalesce(F.col("_hits"), F.lit(0)) >= min_hits).alias("recall_ok"),
+            F.coalesce(F.col("_hits"), F.lit(0)).alias("_hits"),
         )
-        .orderBy("query_id")
     )
+    if min_total_hits:
+        total = per_query.agg(F.sum("_hits").alias("_total"))
+        return (
+            per_query.crossJoin(F.broadcast(total))
+            .select(
+                "query_id",
+                "n_results",
+                (F.col("_total") >= min_total_hits).alias("recall_ok"),
+            )
+            .orderBy("query_id")
+        )
+    return per_query.select(
+        "query_id",
+        "n_results",
+        (F.col("_hits") >= min_hits).alias("recall_ok"),
+    ).orderBy("query_id")
 
 
 @query("ann_lsh_recall", oracle=_ANN_RECALL_ORACLE)
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN quantified against the exact baseline: >= 2 of 5
     true neighbors per query (measured floor 2-4/5, mean recall 0.68 at
-    4 planes × 8 tables on this weakly-clustered corpus)."""
+    4 planes × 8 tables; the per-query floor holds on all three shipped
+    corpora, sf0.001/0.01/0.1 — verified by the second-SF parity suite)."""
     return _ann_recall(
         spark,
         sf_dir,
@@ -574,7 +606,8 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN quantified against the exact baseline: >= 1 of 5 true
     neighbors per query (measured floor 1-4/5, mean recall 0.5 at 16
     cells / 4 probes — the 4x-cost-reduction operating point; n_probe=8
-    reaches ~0.8)."""
+    reaches ~0.8; the per-query floor holds on all three shipped corpora,
+    sf0.001/0.01/0.1)."""
     return _ann_recall(
         spark,
         sf_dir,
@@ -589,10 +622,13 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (m=8 subspaces x 16 codes = 32x vector compression,
     ADC shortlist + exact refine of the top 4k) quantified against the
-    exact baseline: >= 1 of 5 true neighbors per query (measured floor
-    1-3/5, mean recall 0.34 at 16 cells / 4 probes on this
-    weakly-clustered corpus — the operating point where the index is 32x
-    smaller than IVF-Flat; recall recovers with n_probe and refine)."""
+    exact baseline via the AGGREGATE bound: >= 10 of 50 true neighbors
+    across the 10 queries (measured total 17/17/18 at sf0.001/0.01/0.1 —
+    ~0.35 mean recall at 16 cells / 4 probes, the operating point where
+    the index is 32x smaller than IVF-Flat; recall recovers with n_probe
+    and refine). A per-query floor is NOT corpus-stable for PQ: one
+    query legitimately retrieves 0/5 on one of the three corpora while
+    aggregate recall stays flat — caught by the second-SF parity suite."""
     return _ann_recall(
         spark,
         sf_dir,
@@ -600,7 +636,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, c, "vec_id", "vec_id", "embedding",
             k=5, n_cells=16, n_probe=4, m=8, k_sub=16, refine=4,
         ),
-        min_hits=1,
+        min_total_hits=10,
     )
 
 
@@ -682,10 +718,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_chars_measured, n_tokens,
       ROUND(CAST(n_nonspace AS DOUBLE) / n_tokens, 6) AS avg_token_len,
       ROUND(CAST(stopword_cnt AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-      ROUND(
-        LEAST(n_tokens / 100.0, 1.0) * 0.4
-        + LEAST(CAST(stopword_cnt AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3
-        + LEAST(CAST(n_nonspace AS DOUBLE) / n_tokens / 8.0, 1.0) * 0.3, 6)
+      CAST(((2000000 * CAST(8 * n_tokens * LEAST(n_tokens, 100)
+                 + 600 * LEAST(5 * stopword_cnt, n_tokens)
+                 + 75 * LEAST(n_nonspace, 8 * n_tokens) AS BIGINT)
+             + 2000 * n_tokens) // (4000 * CAST(n_tokens AS BIGINT)))
+           AS DOUBLE) / 1000000.0
         AS quality_score
     FROM m
     ORDER BY doc_id
@@ -693,8 +730,22 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length, token stats, stopword density →
-    a composite [0,1] score. Identical arithmetic order as the oracle so
-    doubles agree bit-for-bit."""
+    a composite [0,1] score:
+    0.4*min(tokens/100,1) + 0.3*min(5*stopword_ratio,1)
+    + 0.3*min(avg_token_len/8,1).
+
+    Cross-engine float discipline: the weighted sum is algebraically
+    collapsed to ONE exact-integer numerator over the common denominator
+    2000*n_tokens, and the 6-decimal HALF_UP round is computed in PURE
+    INTEGER arithmetic — floor((2*num*10^6 + den) / (2*den)) — then
+    divided by 10^6 once, so both engines emit the identical double.
+    Float rounding alone cannot fix this case: a true value of exactly
+    0.5006875 (sf0.001, caught by the second-SF parity suite) rounds UP
+    in Spark (round() re-parses the double's shortest decimal string,
+    HALF_UP) and DOWN in DuckDB (rounds the binary value, which sits
+    just below the boundary) — the engines disagree BY DESIGN on
+    boundary doubles, so the round must happen before any double
+    exists."""
     docs = load_table(spark, sf_dir, "documents")
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     stop_cnt = (
@@ -708,19 +759,25 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_cnt.alias("stopword_cnt"),
     )
     nt = F.col("n_tokens")
-    nns = F.col("n_nonspace").cast("double")
-    sc = F.col("stopword_cnt").cast("double")
-    return m.select(
+    nns = F.col("n_nonspace")
+    sc = F.col("stopword_cnt")
+    numerator = (
+        F.lit(8) * nt * F.least(nt, F.lit(100))
+        + F.lit(600) * F.least(F.lit(5) * sc, nt)
+        + F.lit(75) * F.least(nns, F.lit(8) * nt)
+    ).cast("bigint")
+    scored = m.withColumn(
+        "_score_num", F.lit(2000000) * numerator + F.lit(2000) * nt
+    ).withColumn("_score_den", (F.lit(4000) * nt).cast("bigint"))
+    return scored.select(
         "doc_id",
         "n_chars_measured",
         "n_tokens",
-        F.round(nns / nt, 6).alias("avg_token_len"),
-        F.round(sc / nt, 6).alias("stopword_ratio"),
-        F.round(
-            F.least(nt / F.lit(100.0), F.lit(1.0)) * 0.4
-            + F.least(sc / nt * 5.0, F.lit(1.0)) * 0.3
-            + F.least(nns / nt / 8.0, F.lit(1.0)) * 0.3,
-            6,
+        F.round(nns.cast("double") / nt, 6).alias("avg_token_len"),
+        F.round(sc.cast("double") / nt, 6).alias("stopword_ratio"),
+        (
+            F.expr("_score_num div _score_den").cast("double")
+            / F.lit(1000000.0)
         ).alias("quality_score"),
     ).orderBy("doc_id")
 
@@ -1963,11 +2020,14 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style PREFIX TRUNCATION evaluated as an index: search
     with only the first 32 of 64 dimensions (2x memory/FLOP cut, the MRL
-    deployment trick) and quantify against full-dimension exact top-5 —
-    >= 1 of 5 true neighbors per query survives on this corpus (synthetic
+    deployment trick) and quantify against full-dimension exact top-5
+    via the AGGREGATE bound: >= 5 of 50 true neighbors across the 10
+    queries (measured total 12/15/8 at sf0.001/0.01/0.1 — synthetic
     embeddings are weakly structured, so truncation recall here is the
     honest floor, not an advertisement; real MRL-trained vectors
-    front-load variance and do far better).
+    front-load variance and do far better). A per-query floor is NOT
+    corpus-stable: truncation zeroes 2-3 individual queries on two of
+    the three corpora — caught by the second-SF parity suite.
 
     Scale: truncation is a zero-shuffle F.slice projection — the index
     cost model is exactly brute-force/IVF at half the dimension; composes
@@ -1983,7 +2043,7 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             k=5,
         ),
-        min_hits=1,
+        min_total_hits=5,
     )
 
 

@@ -25,6 +25,26 @@ Comparability rules enforced by convention here (FIXTURES.md):
   is the math (BM25, TF-IDF, entropy), round AFTER the aggregate with
   margin, or quantize per-row to DECIMAL before any group sum so the
   sum is exact and order-free;
+- ROUND(double, n) itself diverges when the TRUE value sits exactly on
+  the n-decimal half boundary: Spark re-parses the double's shortest
+  decimal string and applies HALF_UP (0.5006875 -> 0.500688) while
+  DuckDB rounds the binary value, which sits just below the boundary
+  (-> 0.500687). If a query's score can land on a boundary (any
+  rational with a small denominator can), compute the rounding in
+  integer arithmetic — floor((2*num*10^n + den) / (2*den)) / 10^n via
+  `div` / `//` — so no boundary double ever exists
+  (text_quality_scores);
+- Spark timestamp->long casts and unix_timestamp TRUNCATE to whole
+  seconds; DuckDB epoch() keeps microseconds. Every oracle arithmetic
+  on epochs must FLOOR each timestamp's epoch FIRST (not the
+  difference: round-vs-truncate of the fraction differs), or frame
+  membership / lags / decay weights silently diverge on data with
+  nonzero sub-second parts (conversion lags, velocity rule, decayed
+  engagement — all caught only at a second scale factor);
+- bounds published by approximate operators (ANN recall floors, sketch
+  error bounds) must be verified at EVERY shipped scale factor, and
+  sketches must handle under-fill (a KMV with < k distinct values IS
+  the exact set — the kth order statistic does not exist);
 - oracle SQL is whitespace-normalized at registration, so string
   literals cannot carry newlines — build them with CHR(10)/CHR(34).
 """

@@ -1604,8 +1604,10 @@ def quality_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked_u AS (
       SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM unioned
     ),
-    kth_u AS (SELECT h AS hk FROM ranked_u WHERE rk = 64),
     bottom_u AS (SELECT h FROM ranked_u WHERE rk <= 64),
+    sk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS hk FROM bottom_u
+    ),
     overlap AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k_both
       FROM bottom_u b
@@ -1621,18 +1623,22 @@ def quality_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         INTERSECT
         SELECT user_id FROM events WHERE event_type = 'purchase'
       )
+    ),
+    est AS (
+      SELECT o.k_both,
+             CASE WHEN s.n_sk < 64 THEN o.k_both
+                  ELSE CAST(ROUND(CAST(o.k_both AS DOUBLE) / 64.0
+                            * (63.0 * {_CMS_P} / s.hk)) AS BIGINT)
+             END AS kmv_intersection_estimate
+      FROM overlap o CROSS JOIN sk s
     )
-    SELECT o.k_both,
-           CAST(ROUND(CAST(o.k_both AS DOUBLE) / 64.0
-                      * (63.0 * {_CMS_P} / k.hk)) AS BIGINT)
-             AS kmv_intersection_estimate,
+    SELECT t.k_both,
+           t.kmv_intersection_estimate,
            e.exact_intersection,
-           ABS(CAST(ROUND(CAST(o.k_both AS DOUBLE) / 64.0
-                          * (63.0 * {_CMS_P} / k.hk)) AS BIGINT)
-               - e.exact_intersection)
+           ABS(t.kmv_intersection_estimate - e.exact_intersection)
              <= CAST(CEIL(0.5 * e.exact_intersection) AS BIGINT)
              AS within_50pct
-    FROM overlap o CROSS JOIN kth_u k CROSS JOIN exact e
+    FROM est t CROSS JOIN exact e
     """,
 )
 def stats_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1671,6 +1677,7 @@ def stats_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = bottom.agg(
         F.sum((F.col("in_a") * F.col("in_b")).cast("bigint")).alias("k_both"),
         F.max(F.col("h")).alias("hk"),
+        F.count(F.lit(1)).alias("n_sk"),
     )
     exact = (
         e.where(F.col("event_type") == "click")
@@ -1678,11 +1685,18 @@ def stats_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .intersect(e.where(F.col("event_type") == "purchase").select("user_id"))
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
-    est = F.round(
-        F.col("k_both").cast("double")
-        / 64.0
-        * (F.lit(63.0) * _CMS_P / F.col("hk"))
-    ).cast("bigint")
+    # KMV under-fill rule: with fewer than k distinct union hashes the
+    # sketch IS the whole set, so the intersection count is exact — the
+    # (k-1)/h_k scaling only applies to a full sketch (its kth order
+    # statistic does not exist otherwise; caught at sf0.001 by the
+    # second-SF parity suite, where distinct click+purchase users < 64)
+    est = F.when(F.col("n_sk") < 64, F.col("k_both")).otherwise(
+        F.round(
+            F.col("k_both").cast("double")
+            / 64.0
+            * (F.lit(63.0) * _CMS_P / F.col("hk"))
+        ).cast("bigint")
+    )
     return sketch.crossJoin(F.broadcast(exact)).select(
         "k_both",
         est.alias("kmv_intersection_estimate"),

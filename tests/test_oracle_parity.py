@@ -1,12 +1,17 @@
 """Differential test: every registered query with an oracle must match
-DuckDB exactly at sf0.01 (mirrors the driver's CORRECTNESS gate)."""
+DuckDB exactly at sf0.01 (mirrors the driver's CORRECTNESS gate), AND at
+sf0.001 — a single scale factor can agree by data-luck when the two
+engines' semantics differ only on values absent from that dataset (the
+r5 advisory found exactly this: truncation-vs-rounding of fractional
+timestamp seconds passed at sf0.01 and diverged at sf0.001/sf0.1).
+Running the whole registry at a second SF makes such luck much harder."""
 
 from __future__ import annotations
 
 import pytest
 
 from pucminas_data_pipelines_spark.plans import ORACLES, QUERIES
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -14,6 +19,13 @@ def test_oracle_parity(spark, name):
     from tests.oracle_utils import compare_query
 
     compare_query(spark, name, QUERIES[name], ORACLES[name], SF_ORACLE)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity_second_sf(spark, name):
+    from tests.oracle_utils import compare_query
+
+    compare_query(spark, name, QUERIES[name], ORACLES[name], SF_SMOKE)
 
 
 def test_every_query_runs_at_smoke_scale(spark):
