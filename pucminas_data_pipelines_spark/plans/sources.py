@@ -617,8 +617,16 @@ def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFra
     directory; the oracle is ground truth over the clean source rows.
 
     Scale: mode handling is per-record inside the scan — no extra pass;
-    the corrupt side-channel column prunes away when unselected."""
-    path = f"{_TMP}/orders_malformed_csv"
+    the corrupt side-channel column prunes away when unselected.
+
+    The fixture path embeds the scale factor: this query CACHES the scan
+    (Spark forbids filtering the corrupt column of a raw scan), and
+    Spark's cache manager matches by logical plan — with a fixed path,
+    an earlier SF's cached scan would be served verbatim to a later SF
+    in the same session (caught when the parity suite started running
+    two SFs per session)."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{_TMP}/orders_malformed_csv_{sf_tag}"
     shutil.rmtree(path, ignore_errors=True)
     good = (
         load_table(spark, sf_dir, "orders")
