@@ -10,8 +10,8 @@ from __future__ import annotations
 
 import pytest
 
-from pucminas_data_pipelines_spark.plans import ORACLES, QUERIES
-from tests.conftest import SF_ORACLE, SF_SMOKE
+from pucminas_data_pipelines_spark.plans import DRIVER_WINDOW, ORACLES, QUERIES
+from tests.conftest import SF_BENCH, SF_ORACLE, SF_SMOKE
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -26,6 +26,17 @@ def test_oracle_parity_second_sf(spark, name):
     from tests.oracle_utils import compare_query
 
     compare_query(spark, name, QUERIES[name], ORACLES[name], SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", sorted(set(DRIVER_WINDOW) & set(ORACLES)))
+def test_oracle_parity_window_at_bench_sf(spark, name):
+    """The 50 driver-graded queries additionally verify at sf0.1 — the
+    bench scale, 10x the driver's compare scale — so every window entry
+    is parity-proven at ALL THREE shipped scale factors before the
+    driver ever scores it."""
+    from tests.oracle_utils import compare_query
+
+    compare_query(spark, name, QUERIES[name], ORACLES[name], SF_BENCH)
 
 
 def test_every_query_runs_at_smoke_scale(spark):
