@@ -1470,9 +1470,9 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT event_type,
-             EXTRACT(epoch FROM ts)
-               - EXTRACT(epoch FROM LAG(ts) OVER (
-                   PARTITION BY event_type, user_id ORDER BY ts, event_id))
+             FLOOR(EXTRACT(epoch FROM ts))
+               - FLOOR(EXTRACT(epoch FROM LAG(ts) OVER (
+                   PARTITION BY event_type, user_id ORDER BY ts, event_id)))
                AS gap_s
       FROM events
     ),
@@ -1499,7 +1499,10 @@ def events_interarrival_distribution(spark: SparkSession, sf_dir: str) -> DataFr
     delays.
 
     Scale: one lag window per (type, user) partition, integer-exact
-    bucketing, map-side-combined rollup over ~|types| x ~40 buckets."""
+    bucketing, map-side-combined rollup over ~|types| x ~40 buckets.
+    Gaps are truncated-second on both engines (the oracle floors each
+    epoch — fractional-microsecond gaps shifted bucket boundaries at
+    sf0.1; caught by the r8 pre-clear sweep)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
     gaps = e.select(

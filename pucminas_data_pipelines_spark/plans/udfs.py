@@ -85,11 +85,28 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udf_apply_in_pandas",
     oracle="""
+    WITH c AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey <= 20
+    ),
+    g AS (
+      SELECT o_custkey, o_orderkey, cents,
+             SUM(cents) OVER (PARTITION BY o_custkey) AS scents,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM c
+    ),
+    d AS (
+      SELECT o_custkey, o_orderkey,
+             cents * n - scents AS num, 100 * n AS den
+      FROM g
+    )
     SELECT o_custkey, o_orderkey,
-      ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey), 4)
-        AS price_dev
-    FROM orders
-    WHERE o_custkey <= 20
+           CAST(CASE WHEN num >= 0
+                THEN  ((2 * num * 10000 + den) // (2 * den))
+                ELSE -((2 * (-num) * 10000 + den) // (2 * den)) END
+                AS DOUBLE) / 10000.0 AS price_dev
+    FROM d
     ORDER BY o_custkey, o_orderkey
     """,
 )
@@ -97,17 +114,26 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-customer mean-centering — the
     custom-stateful-operator pattern (one pandas frame per group).
 
-    Mean is computed from cent-quantized int64 (exact) so it equals SQL
-    AVG over the same doubles after rounding."""
+    Cross-engine float discipline: the deviation is formed from exact
+    integer CENTS over the common denominator 100*n, and the 4-decimal
+    HALF-AWAY round runs in pure integer arithmetic on both sides —
+    pandas' float .round(4) (banker's, on an already-inexact double
+    subtraction) disagreed with SQL ROUND in the last decimal when a
+    deviation landed near a boundary (sf0.1; caught by the three-SF
+    pre-clear sweep)."""
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         cents = (pdf["o_totalprice"] * 100).round().astype("int64")
-        mean = float(cents.sum()) / 100.0 / len(cents)
+        n = len(cents)
+        num = cents * n - int(cents.sum())
+        den = 100 * n
+        mag = (2 * num.abs() * 10000 + den) // (2 * den)
+        dev = num.apply(lambda v: 1 if v >= 0 else -1) * mag
         return pd.DataFrame(
             {
                 "o_custkey": pdf["o_custkey"],
                 "o_orderkey": pdf["o_orderkey"],
-                "price_dev": (pdf["o_totalprice"] - mean).round(4),
+                "price_dev": dev.astype("float64") / 10000.0,
             }
         )
 
