@@ -64,6 +64,36 @@ HEADLINE = [
 ]
 
 
+# Steady-state calibration constant: min-of-3 of _calibrate() on a quiet
+# host (this VM, local[32], warm JVM — measured r7). The calibration op is
+# deliberately data-independent (fixed-size range + hash shuffle, no IO),
+# so the ratio measured_sec / CALIBRATION_STEADY_SEC is a pure
+# machine-contention probe: BENCH_r06 recorded a 1.62x "regression" that
+# re-measurement on a quiet host showed was VM noise — this field lets a
+# reader separate the two without re-running anything.
+CALIBRATION_STEADY_SEC = 0.33
+CALIBRATION_NOISY_RATIO = 1.5
+
+
+def _calibrate(spark) -> float:
+    """Fixed CPU+shuffle probe (no data dependence): min-of-3 of a 20M-row
+    range -> mod-97 hash aggregate. Returns seconds."""
+    from pyspark.sql import functions as F
+
+    attempts = []
+    for _ in range(3):
+        start = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select((F.col("id") % 97).alias("k"))
+            .groupBy("k")
+            .count()
+            .collect()
+        )
+        attempts.append(time.perf_counter() - start)
+    return min(attempts)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -89,6 +119,18 @@ def main() -> None:
     # drop any persisted intermediates (e.g. minhash signatures) so the
     # timed pass recomputes data, not just replays caches
     spark.catalog.clearCache()
+
+    # machine-health guard (VERDICT r06 #2): probe host contention with a
+    # fixed data-independent op; if the host looks loaded, wait once and
+    # re-probe; if still loaded, tag the record rather than let a
+    # contended VM masquerade as (or camouflage) a regression.
+    calibration_sec = _calibrate(spark)
+    calibration_ratio = round(calibration_sec / CALIBRATION_STEADY_SEC, 2)
+    if calibration_ratio > CALIBRATION_NOISY_RATIO:
+        time.sleep(20)
+        calibration_sec = _calibrate(spark)
+        calibration_ratio = round(calibration_sec / CALIBRATION_STEADY_SEC, 2)
+    noisy_host = calibration_ratio > CALIBRATION_NOISY_RATIO
 
     # best-of-3 per query: the per-round numbers feed a round-over-round
     # regression signal, and single-shot timings on a shared VM carry up
@@ -141,6 +183,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "noise_ratio_per_query": noise,
+                "calibration_sec": round(calibration_sec, 3),
+                "calibration_ratio": calibration_ratio,
+                "noisy_host": noisy_host,
                 "registry_sweep_sec": sweep_sec,
                 "registry_sweep_slowest": slowest,
                 "registry_sweep_queries": len(QUERIES),

@@ -43,8 +43,31 @@ from pyspark.sql.window import Window
 _BUCKET = "_rb"  # reserved bucket-id column; hygiene gate keys on it
 
 
+def compute_boundaries(
+    df: DataFrame, key_cols: list[str], n_buckets: int = 32
+) -> dict[str, list[float]]:
+    """One bounded ``approxQuantile`` action over SEVERAL key columns at
+    once, returning ``{col: sorted boundary list}`` for each.
+
+    Call sites that bucket the same (already materialized) table on
+    multiple keys — e.g. an RFM rollup NTILE'd on recency, frequency and
+    monetary — should pay the split-point scan ONCE here and pass each
+    list to :func:`with_range_buckets` via ``boundaries=`` instead of
+    triggering one action per key."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    rows = df.approxQuantile(key_cols, probs, 0.001)
+    return {
+        c: sorted({b for b in bs if b == b})  # drop NaN split points
+        for c, bs in zip(key_cols, rows)
+    }
+
+
 def with_range_buckets(
-    df: DataFrame, key_col: str, n_buckets: int = 32
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 32,
+    boundaries: list[float] | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Append the deterministic range-bucket id column ``_rb``.
 
@@ -55,18 +78,32 @@ def with_range_buckets(
     embedded as literals, so ``_rb`` is a pure row expression: every
     plan branch that re-evaluates it agrees, with no materialization.
 
+    The quantile pass is an eager action at plan-build time, so an
+    expensive un-materialized upstream DAG would be computed twice (once
+    for the boundaries, once at execution). Either pass
+    ``materialize=True`` to ``localCheckpoint`` the input first (right
+    choice when ``df`` is a small pre-bucketing aggregate), or compute
+    boundaries once with :func:`compute_boundaries` on an already
+    materialized frame and pass them via ``boundaries=``.
+
     NULL keys land in bucket 0 (the lambda predicate is null per
     element, so the filter keeps nothing) and sort first inside it —
-    consistent with Spark's default ASC NULLS FIRST global order, the
-    only null placement these operators support.
+    consistent with Spark's default ASC NULLS FIRST global order.
+    NaN keys route to the LAST bucket, matching Spark's global ASC sort
+    (NaN orders after every double); boundary lists never contain NaN.
     """
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.approxQuantile(key_col, probs, 0.001)))
+    if materialize:
+        df = df.localCheckpoint(eager=True)
+    if boundaries is None:
+        boundaries = compute_boundaries(df, [key_col], n_buckets)[key_col]
+    bounds = sorted({float(b) for b in boundaries if b == b})
     if not bounds:
         return df.withColumn(_BUCKET, F.lit(0))
     arr = F.array(*[F.lit(float(b)) for b in bounds])
     key = F.col(key_col).cast("double")
-    pid = F.size(F.filter(arr, lambda b: b < key))
+    pid = F.when(F.isnan(key), F.lit(len(bounds))).otherwise(
+        F.size(F.filter(arr, lambda b: b < key))
+    )
     return df.withColumn(_BUCKET, pid)
 
 
@@ -97,14 +134,19 @@ def range_prefix_sum(
     key_col: str,
     n_buckets: int = 32,
     out_prefix: str = "cum_",
+    materialize: bool = False,
 ) -> DataFrame:
     """Global running SUM of each ``value_cols`` ordered by
     ``order_cols`` (ROWS UNBOUNDED PRECEDING..CURRENT ROW semantics),
     computed without a single-partition window. ``key_col`` is the
     numeric bucketing key — normally ``order_cols[0]`` or a cast of it;
     equal keys share a bucket so the result is exact for any total
-    order whose first component is ``key_col``-monotone."""
-    b = with_range_buckets(df, key_col, n_buckets)
+    order whose first component is ``key_col``-monotone.
+
+    Pass ``materialize=True`` when ``df`` is an un-checkpointed upstream
+    aggregate: the boundary-sampling action would otherwise compute that
+    DAG twice (once for split points, once at execution)."""
+    b = with_range_buckets(df, key_col, n_buckets, materialize=materialize)
     bases = _bases(b, [F.sum(c) for c in value_cols], value_cols)
     wloc = Window.partitionBy(_BUCKET).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -124,12 +166,16 @@ def range_row_number(
     key_col: str,
     n_buckets: int = 32,
     out: str = "rn",
+    boundaries: list[float] | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Global 1-based ROW_NUMBER over ``order_cols`` (which must be a
     total order, all ascending, with ``key_col`` as — or monotone in —
     the leading component), as bucket-local row_number + broadcast
     exclusive count base."""
-    b = with_range_buckets(df, key_col, n_buckets)
+    b = with_range_buckets(
+        df, key_col, n_buckets, boundaries=boundaries, materialize=materialize
+    )
     bases = _bases(b, [F.count(F.lit(1))], ["n"])
     wloc = Window.partitionBy(_BUCKET).orderBy(*order_cols)
     return (
@@ -152,6 +198,8 @@ def range_ntile(
     k: int,
     out: str = "tile",
     n_buckets: int = 32,
+    boundaries: list[float] | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Global NTILE(k) over ``order_cols`` via the two-pass global row
     number plus the closed-form tile assignment: with n rows, q = n/k
@@ -160,7 +208,10 @@ def range_ntile(
     r + ceil((rn - r(q+1))/q). Matches SQL NTILE exactly (both engines
     verified by the stats_equidepth_histogram / events_rfm_segmentation
     oracles)."""
-    rn = range_row_number(df, order_cols, key_col, n_buckets, out="_grn")
+    df = df.localCheckpoint(eager=True) if materialize else df
+    rn = range_row_number(
+        df, order_cols, key_col, n_buckets, out="_grn", boundaries=boundaries
+    )
     tot = df.agg(F.count(F.lit(1)).alias("_n_total"))
     q = F.floor(F.col("_n_total") / k)
     r = F.col("_n_total") % k
@@ -186,14 +237,23 @@ def range_lead(
     key_col: str,
     n_buckets: int = 32,
     out: str = "lead",
+    materialize: bool = False,
 ) -> DataFrame:
     """Global LEAD(col) over ``order_cols``: bucket-local lead, then the
     last row of each bucket takes the first value of the next non-empty
     bucket (a tiny per-bucket firsts table, stitched with one
-    bucket-grain window and broadcast back)."""
-    b = with_range_buckets(df, key_col, n_buckets)
+    bucket-grain window and broadcast back).
+
+    The stitch keys on an explicit last-row-of-bucket flag
+    (``lead(lit(1)) IS NULL`` over the same window — no extra sort), NOT
+    on ``_lead_loc IS NULL``: a mid-bucket row whose successor carries a
+    genuinely NULL ``col`` must return NULL, exactly like global LEAD,
+    not the next bucket's first value."""
+    b = with_range_buckets(df, key_col, n_buckets, materialize=materialize)
     wloc = Window.partitionBy(_BUCKET).orderBy(*order_cols)
-    led = b.withColumn("_lead_loc", F.lead(col).over(wloc))
+    led = b.withColumn("_lead_loc", F.lead(col).over(wloc)).withColumn(
+        "_is_last", F.lead(F.lit(1)).over(wloc).isNull()
+    )
     firsts = b.groupBy(_BUCKET).agg(
         F.min(
             F.struct(
@@ -208,6 +268,11 @@ def range_lead(
     )
     return (
         led.join(F.broadcast(nexts), _BUCKET, "left")
-        .withColumn(out, F.coalesce(F.col("_lead_loc"), F.col("_next_first")))
-        .drop(_BUCKET, "_lead_loc", "_next_first")
+        .withColumn(
+            out,
+            F.when(F.col("_is_last"), F.col("_next_first")).otherwise(
+                F.col("_lead_loc")
+            ),
+        )
+        .drop(_BUCKET, "_lead_loc", "_is_last", "_next_first")
     )

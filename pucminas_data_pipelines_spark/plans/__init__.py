@@ -128,66 +128,67 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
 DRIVER_WINDOW: list[str] = [
-    # canaries (driver-green in CORRECTNESS_r05)
+    # ROUND-7 ROTATION (VERDICT r06 "Next round #1"): the r7 slice of the
+    # roll-forward plan above — stats 28 + quality 5 + window 5 + agg 7 —
+    # plus the same 5 canaries, all green in CORRECTNESS_r06 (the contract
+    # test pins them against the latest CORRECTNESS file). Cumulative
+    # driver-green before this round: 209/343; a 50/50 window lands
+    # 254/343, leaving 89 for r8/r9 per the family plan above.
+    # canaries (driver-green in CORRECTNESS_r06, 3+ consecutive rounds)
     "q1_pricing_summary",
     "dedup_minhash_lsh",
     "join_asof",
     "mutation_merge_upsert",
     "events_session_window",
-    # the 11 global-window queries rewritten onto operators/ordered.py
-    # this round — first driver rows prove the two-pass rewrites
-    "events_peak_concurrency",
-    "quality_id_gap_summary",
-    "stats_equidepth_histogram",
-    "stats_ks_drift",
-    "stats_gini_concentration",
-    "stats_pareto_concentration",
-    "events_rfm_segmentation",
-    "multimodal_webdataset_shard_layout",
-    "multimodal_shard_roundtrip",
-    "text_heaps_vocab_growth",
-    "text_zipf_exponent",
-    # r6 semantics/operator fixes — hard evidence for each
-    "events_conversion_lag_percentiles",
-    "events_fraud_velocity_rule",
-    "graph_kcore_decomposition",
-    "graph_label_propagation_communities",
-    "dedup_lsh_s_curve_calibration",
-    # text analysis
-    "text_lm_quality_score",
-    "text_pmi_collocations",
-    "text_readability_scores",
-    "text_bpe_merge_pairs",
-    # joins / filters / raw SQL
-    "join_left_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_theta",
-    "join_null_safe",
-    "join_interval_overlap",
-    "join_asof_nearest",
-    "join_broadcast_hint",
-    "filter_null_and_between",
-    "sql_lateral_topk_per_order",
-    # aggregates
-    "agg_mode_per_group",
-    "agg_hll_sketch_mergeable",
-    "agg_weighted_median",
-    "agg_percentile_approx",
-    # udf / udtf
-    "udf_pandas_grouped_agg",
-    "udtf_tokenize",
-    "udf_pandas_scalar_iter",
-    # graph + mutation + pii
-    "graph_triangle_count",
-    "mutation_cdc_version_diff",
-    "mutation_scd2_history",
-    "pii_scan_counts",
-    # sources/sinks deferred from r5
-    "sink_csv_semicolon_roundtrip",
-    "sink_range_sorted_layout",
-    "sink_zorder_layout",
-    "source_python_datasource",
+    # stats (28)
+    "stats_correlation_matrix",
+    "stats_value_histogram",
+    "stats_table_profile",
+    "stats_iqr_outliers",
+    "stats_observed_gate_metrics",
+    "stats_user_anomaly_zscore",
+    "stats_mutual_information",
+    "stats_chi_squared",
+    "stats_mad_anomalies",
+    "stats_psi_drift",
+    "stats_countmin_heavy_hitters",
+    "stats_kmv_distinct_sketch",
+    "stats_benfords_law",
+    "stats_autocorrelation_lag1",
+    "stats_kmv_set_intersection",
+    "stats_seasonality_dow_index",
+    "stats_bloom_filter_membership",
+    "stats_winsorized_mean",
+    "stats_ab_test_ztest",
+    "stats_welch_t_test",
+    "stats_crosstab_contingency",
+    "stats_runs_test_randomness",
+    "stats_markov_entropy_rate",
+    "stats_ddsketch_quantiles",
+    "stats_cusum_changepoint",
+    "stats_poisson_bootstrap_ci",
+    "stats_linear_regression_multifeature",
+    "stats_ab_power_analysis",
+    # quality (5)
+    "quality_dim_coverage_gaps",
+    "quality_referential_integrity",
+    "quality_temporal_consistency",
+    "quality_source_reconciliation",
+    "quality_expectation_suite",
+    # window functions (5)
+    "window_cumulative_distinct",
+    "window_activity_streaks",
+    "window_first_last_ignore_nulls",
+    "window_rolling_trend_slope",
+    "window_rolling_median",
+    # aggregates (7; agg_percentile_interpolated rolls to r9 per plan)
+    "agg_linear_regression",
+    "agg_argminmax_suite",
+    "agg_boolean_suite",
+    "agg_bitmap_exact_distinct",
+    "agg_grouping_id_labels",
+    "agg_accumulating_snapshot",
+    "agg_variance_manual",
 ]
 
 

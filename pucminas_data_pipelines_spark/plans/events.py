@@ -848,6 +848,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["t"],
         ["net"],
         "_tk",
+        materialize=True,  # endpoint aggregate: don't compute it twice
     ).select(
         F.date_trunc("day", F.col("t")).alias("day"),
         F.col("cum_net").alias("concurrent"),
@@ -868,9 +869,10 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, ts, event_id, event_type,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+             CASE WHEN FLOOR(EXTRACT(epoch FROM ts))
+                       - FLOOR(EXTRACT(epoch FROM LAG(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)))
+                       > 1800
                   OR LAG(ts) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_start
@@ -906,6 +908,11 @@ def events_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-5-step paths — the funnel-discovery complement to
     events_funnel_conversion (which checks ONE hypothesized path; this
     surfaces which paths actually occur).
+
+    Gap semantics are truncated-second on BOTH engines (Spark compares
+    ``ts.cast("long")`` deltas; the oracle floors each epoch — the
+    registry-header convention), so a fractional-second gap straddling
+    1800 s sessionizes identically.
 
     Scale: sessionization is the standard gaps-and-islands window; the
     path string is built by sort_array over (ts, event_id, type) structs
@@ -1040,30 +1047,49 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.unix_timestamp(F.max("ts"))
             ).alias("recency_s"),
         )
-        .select("user_id", "recency_s", "frequency", "monetary")
+        .select(
+            "user_id",
+            "recency_s",
+            "frequency",
+            "monetary",
+            (-F.col("frequency")).cast("double").alias("_negf"),
+            (-F.col("monetary")).alias("_negm"),
+        )
         .localCheckpoint(eager=True)
     )
+    # ONE boundary-sampling action for all three tile keys (VERDICT r06
+    # #5): approxQuantile accepts a column list, so the three boundary
+    # lists cost a single pass over the checkpointed rollup instead of
+    # one action per NTILE.
+    bl = ORD.compute_boundaries(
+        per_user, ["recency_s", "_negf", "_negm"], n_buckets=32
+    )
     # three INDEPENDENT tile columns, each over the checkpointed rollup
-    # (chaining them would put each ntile's boundary-sampling action on
-    # top of the previous ntile's window), joined back on user_id
+    # (chaining them would put each ntile's window on top of the
+    # previous ntile's window), joined back on user_id
     r = ORD.range_ntile(
         per_user.select("user_id", "recency_s"),
         ["recency_s", "user_id"],
         "recency_s",
         4,
         out="r_score",
+        boundaries=bl["recency_s"],
     ).select("user_id", "r_score")
-    fneg = per_user.select(
-        "user_id", (-F.col("frequency")).cast("double").alias("_negf")
-    )
     f = ORD.range_ntile(
-        fneg, ["_negf", "user_id"], "_negf", 4, out="f_score"
+        per_user.select("user_id", "_negf"),
+        ["_negf", "user_id"],
+        "_negf",
+        4,
+        out="f_score",
+        boundaries=bl["_negf"],
     ).select("user_id", "f_score")
-    mneg = per_user.select(
-        "user_id", (-F.col("monetary")).alias("_negm")
-    )
     m = ORD.range_ntile(
-        mneg, ["_negm", "user_id"], "_negm", 4, out="m_score"
+        per_user.select("user_id", "_negm"),
+        ["_negm", "user_id"],
+        "_negm",
+        4,
+        out="m_score",
+        boundaries=bl["_negm"],
     ).select("user_id", "m_score")
     scored = r.join(f, "user_id").join(m, "user_id")
     return (

@@ -2476,7 +2476,7 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
     )
     per_doc = ORD.range_prefix_sum(
-        per, ["doc_id"], ["n_tok", "new_types"], "doc_id"
+        per, ["doc_id"], ["n_tok", "new_types"], "doc_id", materialize=True
     ).select(
         "doc_id",
         F.col("cum_n_tok").alias("cum_tokens"),

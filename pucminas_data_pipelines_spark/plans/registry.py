@@ -46,7 +46,13 @@ Comparability rules enforced by convention here (FIXTURES.md):
   sketches must handle under-fill (a KMV with < k distinct values IS
   the exact set — the kth order statistic does not exist);
 - oracle SQL is whitespace-normalized at registration, so string
-  literals cannot carry newlines — build them with CHR(10)/CHR(34).
+  literals cannot carry newlines — build them with CHR(10)/CHR(34);
+- DATE output columns reach pandas as object(datetime.date) from Spark
+  but datetime64[us] from DuckDB. The driver's hash canonicalizes the
+  two identically (scalar_date_suite/_calendar_suite driver-green r2/r3)
+  and the preflight/parity compares coerce object-date columns before
+  the strict check — DATE outputs are fine; do NOT "fix" them by casting
+  to timestamp, which changes the declared schema for no gain.
 """
 
 from __future__ import annotations

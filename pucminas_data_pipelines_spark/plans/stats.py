@@ -471,6 +471,10 @@ def quality_id_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
+    # Deliberately NOT materialized: the input is a column-pruned,
+    # filter-pushed scan (no aggregate above it), so the boundary pass
+    # re-reads one pushed-down column — cheaper at any scale than an
+    # O(rows) localCheckpoint of the whole id slice.
     led = ORD.range_lead(
         e.select("event_id"), ["event_id"], "event_id", "event_id", out="_next"
     )
@@ -1072,7 +1076,7 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("i1").alias("gi1"), F.sum("i2").alias("gi2")
     )
     cum = ORD.range_prefix_sum(
-        per_value, ["value"], ["gi1", "gi2"], "value"
+        per_value, ["value"], ["gi1", "gi2"], "value", materialize=True
     ).select(F.col("cum_gi1").alias("c1"), F.col("cum_gi2").alias("c2"))
     tot = s.agg(
         F.sum("i1").cast("double").alias("n1"),
@@ -1754,7 +1758,7 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend")
     )
     ranked = ORD.range_row_number(
-        per_cust, ["spend", "o_custkey"], "spend", out="rk"
+        per_cust, ["spend", "o_custkey"], "spend", out="rk", materialize=True
     )
     tot = per_cust.agg(F.count(F.lit(1)).alias("n_all"))
     n = F.count(F.lit(1))
@@ -3043,7 +3047,8 @@ def stats_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_negd", (-F.col("total")).cast("double")
     ).withColumn("_one", F.lit(1).cast("bigint"))
     swept = ORD.range_prefix_sum(
-        pu, ["_neg_total", "user_id"], ["total", "_one"], "_negd"
+        pu, ["_neg_total", "user_id"], ["total", "_one"], "_negd",
+        materialize=True,
     )
     grand = per_user.agg(
         F.sum("total").alias("grand"),

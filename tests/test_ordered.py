@@ -127,3 +127,83 @@ def test_null_keys_sort_first_like_global_window(spark):
         for r in df.select("id", F.sum("v").over(w).alias("cum")).collect()
     }
     assert got == want
+
+def test_range_lead_null_values_mid_bucket(spark):
+    """ADVICE r6 (ordered.py:211): a mid-bucket row whose SUCCESSOR
+    carries a genuinely NULL value must lead to NULL — the next bucket's
+    first value may substitute ONLY on each bucket's true last row."""
+    rows = [(float(i), 0, i) for i in range(20)]
+    df = _df(spark, rows).withColumn(
+        "val", F.when(F.col("id") % 3 == 1, F.col("id")).cast("bigint")
+    )  # val NULL on ids 0,2,3,5,6,8,... including mid-bucket successors
+    got = {
+        r.id: r.nx
+        for r in ORD.range_lead(
+            df, ["k", "id"], "val", "k", n_buckets=4, out="nx"
+        ).collect()
+    }
+    w = Window.orderBy("k", "id")
+    want = {
+        r.id: r.nx
+        for r in df.select("id", F.lead("val").over(w).alias("nx")).collect()
+    }
+    assert got == want
+    # sanity: the scenario is actually exercised — some expected NULLs
+    assert any(v is None for v in want.values())
+
+
+def test_nan_keys_route_to_last_bucket(spark):
+    """ADVICE r6 (ordered.py:69): Spark's global ASC sort orders NaN
+    LAST (after every double); the bucket assignment must agree."""
+    rows = [(float("nan"), 100, 0), (1.0, 1, 1), (2.0, 2, 2), (3.0, 3, 3)]
+    df = _df(spark, rows)
+    got = {
+        r.id: r.cum_v
+        for r in ORD.range_prefix_sum(
+            df, ["k", "id"], ["v"], "k", n_buckets=3
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: r.cum
+        for r in df.select("id", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
+    assert got[0] == 106  # NaN row is globally last: 1+2+3+100
+
+
+def test_precomputed_boundaries_single_action(spark, skewed):
+    """compute_boundaries pays ONE approxQuantile action for several
+    keys; passing boundaries= must reproduce the per-key result exactly
+    and skip the per-call action."""
+    bl = ORD.compute_boundaries(skewed, ["k", "v"], n_buckets=5)
+    assert set(bl) == {"k", "v"}
+    got = (
+        ORD.range_row_number(
+            skewed, ["k", "id"], "k", n_buckets=5, out="rn"
+        )
+        .select("id", "rn")
+        .collect()
+    )
+    b = ORD.with_range_buckets(skewed, "k", boundaries=bl["k"])
+    from pucminas_data_pipelines_spark.operators.ordered import _bases
+
+    bases = _bases(b, [F.count(F.lit(1))], ["n"])
+    wloc = Window.partitionBy("_rb").orderBy("k", "id")
+    got2 = (
+        b.join(F.broadcast(bases), "_rb", "left")
+        .withColumn(
+            "rn",
+            (
+                F.row_number().over(wloc)
+                + F.coalesce(F.col("_base_n"), F.lit(0))
+            ).cast("bigint"),
+        )
+        .select("id", "rn")
+        .collect()
+    )
+    assert sorted((r.id, r.rn) for r in got) == sorted(
+        (r.id, r.rn) for r in got2
+    )
