@@ -61,6 +61,10 @@ HEADLINE = [
     # two-pass rewrite costs flat vs the retired single-partition window
     "multimodal_webdataset_shard_layout",
     "stats_equidepth_histogram",
+    # appended r7: the three-NTILE RFM rollup, now paying ONE boundary
+    # sampling action for all three tiles (compute_boundaries) — pins the
+    # shared-boundary two-pass NTILE cost longitudinally
+    "events_rfm_segmentation",
 ]
 
 
