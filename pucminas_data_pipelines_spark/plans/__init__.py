@@ -73,6 +73,10 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 #     udf_python_rowwise, udtf_table_argument_stats.
 # Each window keeps >=5 prior-round-green canaries on top (the contract
 # test enforces it), so full coverage lands end of r9.
+# PRE-CLEAR STATUS (r7): both the r8 and r9 sets above were run through
+# the vanilla-session preflight compare (PREFLIGHT_NAMES=... — the exact
+# driver seam) at sf0.01 this round: r8 45/45, r9 42/42. Rotating them in
+# should be mechanical; re-run preflight after rotating anyway.
 #
 # ROUND-5 ROTATION (VERDICT r04 "Next round #1"): the driver scores only
 # the first 50 registry entries, so driver-green coverage accumulates by

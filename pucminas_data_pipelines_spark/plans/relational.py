@@ -116,7 +116,7 @@ def project_literal_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_orderkey,
       l_linenumber,
       CAST(l_quantity AS INTEGER) AS qty_int,
-      CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS net_price_dec,
+      CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS net_price_dec,
       CASE WHEN l_discount > 0.05 THEN 'discounted' ELSE 'full' END AS price_class
     FROM lineitem
     WHERE l_orderkey <= 100
@@ -125,7 +125,15 @@ def project_literal_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def project_cast_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Casts, arithmetic and CASE WHEN in projection (SURVEY §2.3
-    select/selectExpr/cast)."""
+    select/selectExpr/cast).
+
+    The DECIMAL(18,6) cast is the operator under test, but the column is
+    emitted as DOUBLE (registry-header convention: decimal for exact
+    arithmetic, double at the output boundary) — raw Decimal outputs
+    reach pandas as scale-6 objects from Spark but trailing-zero-trimmed
+    objects from DuckDB, which a representation-sensitive hash can
+    flag despite numeric equality (caught by the r7 vanilla-session
+    pre-clear of this query)."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.where(F.col("l_orderkey") <= 100)
@@ -135,6 +143,7 @@ def project_cast_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("int").alias("qty_int"),
             (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("net_price_dec"),
             F.when(F.col("l_discount") > 0.05, "discounted")
             .otherwise("full")
