@@ -824,7 +824,14 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select("event_type", (k % 4).alias("kb")).where(
         F.col("kb").isNotNull()
     )
-    joint = base.groupBy("event_type", "kb").agg(F.count(F.lit(1)).alias("c"))
+    # Materialize the |cells|-row contingency table: four plan branches
+    # (joint/mx/my/tot) hang off it, and un-checkpointed each would
+    # rescan events and re-parse the JSON column — one scan, not four.
+    joint = (
+        base.groupBy("event_type", "kb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     mx = joint.groupBy("event_type").agg(F.sum("c").alias("cx"))
     my = joint.groupBy("kb").agg(F.sum("c").alias("cy"))
     tot = joint.agg(F.sum("c").alias("n"))
@@ -913,7 +920,13 @@ def stats_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select("event_type", (k % 4).alias("kb")).where(
         F.col("kb").isNotNull()
     )
-    joint = base.groupBy("event_type", "kb").agg(F.count(F.lit(1)).alias("c"))
+    # Same one-scan materialization as stats_mutual_information: five
+    # branches (joint/mx/my/tot/dims) over a tiny cell table.
+    joint = (
+        base.groupBy("event_type", "kb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     mx = joint.groupBy("event_type").agg(F.sum("c").alias("cx"))
     my = joint.groupBy("kb").agg(F.sum("c").alias("cy"))
     tot = joint.agg(F.sum("c").alias("n"))
