@@ -212,7 +212,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     wedges, then close each wedge against the oriented edge set. Degree
     orientation caps every node's out-degree at O(sqrt(|E|)), so the wedge
     join — the quadratic step — stays bounded even on zipfian degree
-    graphs; all three joins shuffle on node/edge keys only."""
+    graphs; all three joins shuffle on node/edge keys only.
+
+    The distinct edge set and the oriented edge set are each referenced
+    three times downstream (degree count + rank join; both wedge sides +
+    the closing join), so both are localCheckpoint'd — |E|-bounded
+    materializations, the same edge-list pinning every distributed graph
+    engine does — or the whole upstream edge derivation (often a window
+    or self-join over a fact table) would execute up to six times."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -220,6 +227,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -245,7 +253,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
         .alias("e")
-    ).select("e.u", "e.v")
+    ).select("e.u", "e.v").localCheckpoint(eager=True)
     e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
     wedges = e1.join(e2, "y").select("x", "y", "z")
