@@ -329,27 +329,31 @@ def scd2_apply(
     only_current = F.col("_u_present").isNull()
     only_update = F.col("_c_present").isNull()
 
-    key_out = F.coalesce(F.col(key), F.col("_u_key")).alias(key)
-    old_vals = [F.col(t).alias(t) for t in tracked]
-    new_vals = [F.col(f"_u_{t}").alias(t) for t in tracked]
+    key_out = F.coalesce(F.col(key), F.col("_u_key"))
     vf, vt = F.lit(from_version), F.lit(to_version)
     null_v = F.lit(None).cast("int")
 
-    # unchanged / closed / reopened / inserted — four disjoint row shapes
-    unchanged = j.where(only_current | (in_both & ~changed)).select(
-        key_out, *old_vals, vf.alias("valid_from"), null_v.alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    # unchanged / closed / reopened / inserted — four disjoint row shapes,
+    # emitted in ONE pass: each joined row explodes into the 1-2 history
+    # rows it produces (an array-of-structs per match case), instead of a
+    # four-branch union that would re-run the full-outer join four times.
+    def _row(vals, valid_from, valid_to, is_current):
+        return F.struct(
+            key_out.alias(key),
+            *[v.alias(t) for v, t in zip(vals, tracked)],
+            valid_from.cast("int").alias("valid_from"),
+            valid_to.cast("int").alias("valid_to"),
+            F.lit(is_current).alias("is_current"),
+        )
+
+    old_vals = [F.col(t) for t in tracked]
+    new_vals = [F.col(f"_u_{t}") for t in tracked]
+    rows = (
+        F.when(
+            in_both & changed,
+            F.array(_row(old_vals, vf, vt, False), _row(new_vals, vt, null_v, True)),
+        )
+        .when(only_update, F.array(_row(new_vals, vt, null_v, True)))
+        .otherwise(F.array(_row(old_vals, vf, null_v, True)))
     )
-    closed = j.where(in_both & changed).select(
-        key_out, *old_vals, vf.alias("valid_from"),
-        vt.cast("int").alias("valid_to"), F.lit(False).alias("is_current"),
-    )
-    reopened = j.where(in_both & changed).select(
-        key_out, *new_vals, vt.alias("valid_from"), null_v.alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    inserted = j.where(only_update).select(
-        key_out, *new_vals, vt.alias("valid_from"), null_v.alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    return unchanged.unionByName(closed).unionByName(reopened).unionByName(inserted)
+    return j.select(F.explode(rows).alias("_r")).select("_r.*")

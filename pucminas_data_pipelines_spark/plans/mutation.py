@@ -440,7 +440,7 @@ def mutation_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_acctbal", "c_mktsegment"],
         from_version=1,
         to_version=2,
-    )
+    ).localCheckpoint(eager=True)  # dim-sized; both snapshots read it
     snapshots = []
     for v in (1, 2):
         asof = hist.where(
