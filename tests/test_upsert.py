@@ -177,3 +177,44 @@ def test_delta_branch_reference_scenario(spark):
         assert os.path.isdir(t.generate_manifest())
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_scd2_apply_four_cases_and_single_pass_plan(spark):
+    """scd2_apply semantics on all four match cases (unchanged / changed
+    -> closed+reopened / inserted / null-safe unchanged), and the plan
+    pin for the r7 rewrite: the history is emitted in ONE pass — exactly
+    one join and one Generate (explode), no Union — so the dimension
+    join never executes once per row shape."""
+    from pucminas_data_pipelines_spark.operators.upsert import scd2_apply
+
+    cur = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k bigint, v string"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B"), (3, None), (4, "d")], "k bigint, v string"
+    )
+    hist = scd2_apply(cur, upd, "k", ["v"], from_version=1, to_version=2)
+    rows = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in hist.collect()
+    }
+    assert rows == {
+        (1, "a", 1, None, True),      # only in current: stays open at v1
+        (2, "b", 1, 2, False),        # changed: old row closed at v2
+        (2, "B", 2, None, True),      # changed: new row opens at v2
+        (3, None, 1, None, True),     # null == null (null-safe): unchanged
+        (4, "d", 2, None, True),      # brand new: opens at v2
+    }
+    plan = (
+        hist._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    )
+    assert "Union" not in plan
+    assert plan.count("Generate") == 1  # one explode emits every row shape
+    n_joins = sum(plan.count(j) for j in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+    ))
+    assert n_joins == 1, plan
