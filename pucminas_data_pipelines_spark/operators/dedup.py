@@ -472,37 +472,40 @@ def dedup_clusters(
         .localCheckpoint()
     )
 
+    # Convergence probe: labels only ever DECREASE, so the total label sum
+    # (exact decimal, overflow-free) strictly drops on any change and is
+    # stable exactly at the fixpoint — one cheap agg over the round's
+    # already-materialized frame, no old-vs-new join or filter needed.
+    _sum = lambda d: d.agg(  # noqa: E731
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
+    prev_sum = _sum(labels)
+
     for _ in range(max_iters):
-        # candidate label per node: min over its own and neighbors' labels.
-        # Old and new labels ride the SAME checkpointed frame, so the
-        # convergence probe is a filter over materialized rows — not the
-        # extra label-vs-label shuffle join a naive check would add per
-        # round (labels only ever decrease, so new < old ⇔ changed).
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        joined = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            joined.where(F.col("label") < F.col("old_label")).limit(1).count()
-        )
-        labels = joined.select("id", "label")
-        if changed == 0:
+        labels = _propagation_round(edges, labels).localCheckpoint()
+        new_sum = _sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     return labels.select(
         F.col("id").alias("member_id"), F.col("label").alias("cluster_rep")
+    )
+
+
+def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: each node takes the min over its
+    own and its neighbors' labels, as ONE edge join + ONE union + min
+    aggregation — the self label rides the same groupBy instead of the
+    third left-join exchange per round a joined-back convergence probe
+    would need (plan shape pinned by ``test_dedup_clusters_round_plan``)."""
+    neighbor = edges.join(labels, edges.src == labels.id).select(
+        F.col("dst").alias("id"), F.col("label")
+    )
+    return (
+        neighbor.unionByName(labels.select("id", "label"))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
     )
 
 

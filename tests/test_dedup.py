@@ -100,6 +100,27 @@ def test_dedup_clusters_chain_and_star(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_round_plan(spark):
+    # One propagation round must be exactly one edge join feeding a
+    # union + min aggregation — the old shape carried a second join
+    # (labels left-joined back for the convergence probe), a third
+    # exchange per round that the label-sum probe makes unnecessary.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src bigint, dst bigint"
+    ).localCheckpoint()
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2)], "id bigint, label bigint"
+    ).localCheckpoint()
+    plan = (
+        D._propagation_round(edges, labels)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Join") == 1, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
 def test_dedup_clusters_converges_on_long_chain(spark):
     n = 12
     pairs = spark.createDataFrame(
