@@ -106,23 +106,33 @@ def hop_distances(
     CTEs; convergence-driven runs reuse the same body with a frontier-
     empty check.
 
-    ``broadcast_state``: the per-round state is localCheckpoint'd, which
-    erases its size statistics — Catalyst then refuses to broadcast it
-    and shuffles the (cached, much larger) edge list EVERY round. The
-    explicit hint keeps each round a broadcast join over an unshuffled
-    edge scan (measured 9.2 -> 2.6 s warm at sf0.1). Right whenever the
-    reached set is dimension-sized (hop-capped BFS from seed sets);
-    disable for frontiers approaching |V| on billion-node graphs, where
-    the rounds become node-id-keyed shuffle joins instead."""
+    Delta-BFS: round ``k`` relaxes only from the FRONTIER — nodes first
+    reached in round ``k-1`` (``dist == k-1`` after the min-merge) — not
+    from the whole reached set. Re-relaxing settled nodes regenerates
+    candidates already merged in earlier rounds, so frontier-only rounds
+    do strictly less join work (total relaxation volume = edges incident
+    to each node ONCE, not once per remaining round) with identical
+    results; an empty frontier ends the loop early, which is an identity
+    round for the fixed-round oracle unrolling.
+
+    ``broadcast_state``: the per-round frontier is a filter over the
+    localCheckpoint'd state, which erases size statistics — Catalyst
+    then refuses to broadcast it and shuffles the (cached, much larger)
+    edge list EVERY round. The explicit hint keeps each round a
+    broadcast join over an unshuffled edge scan (measured 9.2 -> 2.6 s
+    warm at sf0.1). Right whenever the frontier is dimension-sized
+    (hop-capped BFS from seed sets); disable for frontiers approaching
+    |V| on billion-node graphs, where the rounds become node-id-keyed
+    shuffle joins instead."""
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
     dist = sources.select(
         F.col(node).alias("node"), F.lit(0).cast("int").alias("dist")
     ).localCheckpoint(eager=True)
-    for _ in range(max_hops):
-        d = F.broadcast(dist) if broadcast_state else dist
-        relaxed = (
-            e.join(d, e["_src"] == d["node"])
-            .select(F.col("_dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+    frontier = dist
+    for k in range(1, max_hops + 1):
+        d = F.broadcast(frontier) if broadcast_state else frontier
+        relaxed = e.join(d, e["_src"] == d["node"]).select(
+            F.col("_dst").alias("node"), F.lit(k).cast("int").alias("dist")
         )
         dist = (
             dist.unionByName(relaxed)
@@ -130,6 +140,9 @@ def hop_distances(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        frontier = dist.where(F.col("dist") == k)
+        if not frontier.take(1):
+            break
     e.unpersist()
     return dist
 

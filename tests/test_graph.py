@@ -111,3 +111,31 @@ def test_label_propagation_keeps_directed_sinks(spark):
     # round 1: a adopts lbl(b)='b', b adopts lbl(c)='c';
     # round 2: a adopts round-1 lbl(b)='c', b adopts 'c' again
     assert got["b"] == "c" and got["a"] == "c"
+
+
+def test_hop_distances_multi_source_min_and_cap(spark):
+    """Delta-BFS must agree with the naive all-nodes relaxation: multi-
+    source mins, hop cap exclusion, and early exit on an exhausted
+    frontier (the path graph settles in 2 rounds < max_hops)."""
+    from pucminas_data_pipelines_spark.operators.graph import hop_distances
+
+    # path 1-2-3-4-5 (undirected) with sources {1, 4}
+    canon = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        canon + [(b, a) for a, b in canon], "src bigint, dst bigint"
+    )
+    sources = spark.createDataFrame([(1,), (4,)], "node bigint")
+    got = {
+        r["node"]: r["dist"]
+        for r in hop_distances(edges, sources, max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0, 5: 1}
+
+    # cap at 1 hop from a single end: node 3+ unreached -> absent
+    got1 = {
+        r["node"]: r["dist"]
+        for r in hop_distances(
+            edges, spark.createDataFrame([(1,)], "node bigint"), max_hops=1
+        ).collect()
+    }
+    assert got1 == {1: 0, 2: 1}
