@@ -65,6 +65,10 @@ HEADLINE = [
     # sampling action for all three tiles (compute_boundaries) — pins the
     # shared-boundary two-pass NTILE cost longitudinally
     "events_rfm_segmentation",
+    # appended r7: multi-source BFS over the part co-purchase graph,
+    # rewritten to frontier-only (delta) relaxation with early exit —
+    # pins the per-round join volume cut longitudinally
+    "graph_hop_distance_histogram",
 ]
 
 
