@@ -462,6 +462,55 @@ def test_label_propagation_refines_components(spark, edges):
         st.tuples(st.integers(0, 9), st.integers(0, 9)),
         min_size=1,
         max_size=18,
+    ),
+    st.sets(st.integers(0, 9), min_size=1, max_size=3),
+    st.integers(1, 4),
+    st.booleans(),
+)
+def test_hop_distances_match_reference_bfs(spark, edges, sources, cap, bcast):
+    """Delta-BFS (frontier-only relaxation + early exit) must equal a
+    Python reference BFS on random directed graphs: multi-source min
+    distance, hop-cap exclusion, and identical results with the frontier
+    broadcast hint on or off. Seeds with no edges must still appear at
+    distance 0 (the round-0 state is the source set itself)."""
+    from pucminas_data_pipelines_spark.operators.graph import hop_distances
+
+    rows = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+    adj: dict[int, set[int]] = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+    expected = {s: 0 for s in sources}
+    frontier = set(sources)
+    for k in range(1, cap + 1):
+        nxt = {
+            d
+            for n in frontier
+            for d in adj.get(n, ())
+            if d not in expected
+        }
+        for d in nxt:
+            expected[d] = k
+        frontier = nxt
+        if not frontier:
+            break
+
+    e = spark.createDataFrame(rows, "src int, dst int")
+    s = spark.createDataFrame([(x,) for x in sources], "node int")
+    got = {
+        r["node"]: r["dist"]
+        for r in hop_distances(
+            e, s, max_hops=cap, broadcast_state=bcast
+        ).collect()
+    }
+    assert got == expected
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=18,
     )
 )
 def test_kcore_peel_reaches_peeling_fixpoint(spark, edges):
