@@ -180,6 +180,14 @@ def main() -> None:
         for n, t in sorted(sweep_times.items(), key=lambda kv: -kv[1])[:10]
     }
 
+    # second probe AFTER the timed work: contention that arrives mid-run
+    # (the BENCH_r06 failure mode — the start probe read 1.28 while the
+    # sweep recorded 3-5x latency-amplified streaming timings) is caught
+    # by the end probe; noisy_host reflects the worse of the two.
+    calibration_sec_end = _calibrate(spark)
+    calibration_ratio_end = round(calibration_sec_end / CALIBRATION_STEADY_SEC, 2)
+    noisy_host = noisy_host or calibration_ratio_end > CALIBRATION_NOISY_RATIO
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -193,6 +201,7 @@ def main() -> None:
                 "noise_ratio_per_query": noise,
                 "calibration_sec": round(calibration_sec, 3),
                 "calibration_ratio": calibration_ratio,
+                "calibration_ratio_end": calibration_ratio_end,
                 "noisy_host": noisy_host,
                 "registry_sweep_sec": sweep_sec,
                 "registry_sweep_slowest": slowest,
