@@ -145,19 +145,38 @@ def range_prefix_sum(
 
     Pass ``materialize=True`` when ``df`` is an un-checkpointed upstream
     aggregate: the boundary-sampling action would otherwise compute that
-    DAG twice (once for split points, once at execution)."""
+    DAG twice (once for split points, once at execution).
+
+    NULL semantics match global SUM exactly: the running sum is NULL only
+    while NO non-null value has appeared yet in the total order. The
+    stitch therefore carries a prior-bucket non-null COUNT alongside each
+    base sum — ``NULL + base`` would otherwise wrongly null out any row
+    whose bucket-local frame is all-NULL even though earlier buckets
+    already contributed (the range_lead boundary-conflation class)."""
     b = with_range_buckets(df, key_col, n_buckets, materialize=materialize)
-    bases = _bases(b, [F.sum(c) for c in value_cols], value_cols)
+    bases = _bases(
+        b,
+        [a for c in value_cols for a in (F.sum(c), F.count(c))],
+        [n for c in value_cols for n in (c, f"{c}__cnt")],
+    )
     wloc = Window.partitionBy(_BUCKET).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     out = b.join(F.broadcast(bases), _BUCKET, "left")
     for c in value_cols:
+        local = F.sum(c).over(wloc)
         out = out.withColumn(
             out_prefix + c,
-            F.sum(c).over(wloc) + F.coalesce(F.col(f"_base_{c}"), F.lit(0)),
+            F.when(
+                local.isNotNull() | (F.col(f"_base_{c}__cnt") > 0),
+                F.coalesce(local, F.lit(0)) + F.col(f"_base_{c}"),
+            ),
         )
-    return out.drop(_BUCKET, *[f"_base_{c}" for c in value_cols])
+    return out.drop(
+        _BUCKET,
+        *[f"_base_{c}" for c in value_cols],
+        *[f"_base_{c}__cnt" for c in value_cols],
+    )
 
 
 def range_row_number(

@@ -152,6 +152,40 @@ def test_range_lead_null_values_mid_bucket(spark):
     assert any(v is None for v in want.values())
 
 
+def test_range_prefix_sum_all_null_bucket_holds_base(spark):
+    """A bucket whose values are ALL NULL must carry the prior buckets'
+    running sum forward (global SUM skips NULLs), not null it out via
+    NULL + base; and rows before the FIRST non-null value must stay
+    NULL, exactly like the global window."""
+    # 20 rows, 4 buckets of 5; values NULL on ids 0-2 (leading-NULL run)
+    # and on the whole second quartile (ids 5-9: an all-NULL bucket
+    # after non-null values at ids 3-4)
+    rows = [(float(i), 0, i) for i in range(20)]
+    df = _df(spark, rows).withColumn(
+        "val",
+        F.when((F.col("id") >= 3) & ~F.col("id").between(5, 9), F.col("id"))
+        .cast("bigint"),
+    )
+    got = {
+        r.id: r.cum_val
+        for r in ORD.range_prefix_sum(
+            df, ["k", "id"], ["val"], "k", n_buckets=4
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: r.cum_val
+        for r in df.select(
+            "id", F.sum("val").over(w).alias("cum_val")
+        ).collect()
+    }
+    assert got == want
+    # sanity: both divergence classes are actually exercised
+    assert want[0] is None and want[7] == 3 + 4
+
+
 def test_nan_keys_route_to_last_bucket(spark):
     """ADVICE r6 (ordered.py:69): Spark's global ASC sort orders NaN
     LAST (after every double); the bucket assignment must agree."""

@@ -549,7 +549,7 @@ def test_kcore_peel_reaches_peeling_fixpoint(spark, edges):
     st.lists(
         st.tuples(
             st.sampled_from([0.0, 1.0, 1.0, 2.5, 2.5, 2.5, -3.0, 1e6]),
-            st.integers(-50, 50),
+            st.one_of(st.none(), st.integers(-50, 50)),
         ),
         min_size=1,
         max_size=40,
@@ -559,8 +559,11 @@ def test_kcore_peel_reaches_peeling_fixpoint(spark, edges):
 def test_range_prefix_sum_equals_global_window(spark, rows, n_buckets):
     """operators/ordered.py's two-pass prefix sum must equal the
     single-partition global window on ANY input — heavy ties (keys drawn
-    from 5 values), negatives, outlier buckets, any bucket count. The
-    id column makes the order total so the comparison is well-defined."""
+    from 5 values), negatives, NULL values (incl. all-NULL buckets after
+    non-null ones: global SUM skips NULLs, so the running sum must hold
+    the prior base, and stay NULL only before the first non-null value),
+    outlier buckets, any bucket count. The id column makes the order
+    total so the comparison is well-defined."""
     from pyspark.sql.window import Window
 
     from pucminas_data_pipelines_spark.operators import ordered as ORD
