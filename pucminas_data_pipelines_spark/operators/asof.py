@@ -7,9 +7,17 @@ as-of joins via conditional join + window dedup").
 Scale notes: the naive conditional join can explode (each left row matches
 every earlier right row). ``asof_join`` therefore:
 - broadcasts the right side when it is small (dimension-style usage), else
-- relies on the equi-key part of the condition so Spark plans a hash join
-  on the key, and the window dedup runs partition-local after a shuffle on
-  the same key (one shuffle reused by join + window via AQE).
+  relies on the equi-key part of the condition so Spark plans a hash join
+  on the key;
+- reduces the candidate explosion per direction: ``backward`` (ts desc,
+  tiebreaks desc — one monotone ordering) dedups with
+  ``groupBy(row).agg(max_by(payload, ord_struct))``, whose PARTIAL
+  aggregate combines candidates map-side, so the dedup shuffle carries one
+  row per left row, not one per candidate; ``forward``/``nearest`` mix
+  sort directions (ts asc but tiebreaks desc) that a single min_by/max_by
+  key cannot encode, so they dedup with a row_number window — that path
+  shuffles and sorts the full candidate set on the synthetic row id
+  (bound it with ``tolerance``).
 For genuinely huge right sides, pre-aggregate right to the per-key latest
 candidates (e.g. bucket by time range) before calling this.
 """
@@ -77,9 +85,43 @@ def asof_join(
 
     joined = tagged.alias("__l__").join(right_side.alias("__r__"), join_cond, how)
 
+    left_cols = [F.col(f"__l__.{c}") for c in left.columns]
+    out_right = [c for c in right.columns if c not in set(on)]
+
     if direction == "backward":
-        order = [F.col(f"__r__.{right_ts}").desc_nulls_last()]
-    elif direction == "forward":
+        # One monotone ordering (everything desc) → max_by over a struct
+        # key. Its partial aggregate collapses candidates map-side, so the
+        # dedup shuffle moves |left| rows instead of |candidates|. For a
+        # group with no match (how='left'), every ordering key is NULL and
+        # max_by yields NULL — exactly the null right-side row the window
+        # path kept. Struct comparison puts NULL fields smallest, matching
+        # desc_nulls_last tiebreaks.
+        ord_key = F.struct(
+            F.col(f"__r__.{right_ts}").alias("_ts"),
+            *[
+                F.col(f"__r__.{c}").alias(f"_tb{i}")
+                for i, c in enumerate(tiebreak)
+            ],
+        )
+        payload = F.struct(
+            *[F.col(f"__r__.{c}").alias(c) for c in out_right]
+        )
+        grouped = joined.groupBy("__asof_row__").agg(
+            *[
+                F.any_value(c).alias(f"__lv_{i}__")
+                for i, c in enumerate(left_cols)
+            ],
+            F.max_by(payload, ord_key).alias("__best__"),
+        )
+        return grouped.select(
+            *[
+                F.col(f"__lv_{i}__").alias(c)
+                for i, c in enumerate(left.columns)
+            ],
+            *[F.col(f"__best__.{c}").alias(c) for c in out_right],
+        )
+
+    if direction == "forward":
         order = [F.col(f"__r__.{right_ts}").asc_nulls_last()]
     else:  # nearest: smallest absolute gap, ties to the earlier (backward) row
         gap = F.abs(
@@ -92,10 +134,7 @@ def asof_join(
         ]
     order += [F.col(f"__r__.{c}").desc_nulls_last() for c in tiebreak]
     w = Window.partitionBy("__asof_row__").orderBy(*order)
-    left_cols = [F.col(f"__l__.{c}") for c in left.columns]
-    right_cols = [
-        F.col(f"__r__.{c}").alias(c) for c in right.columns if c not in set(on)
-    ]
+    right_cols = [F.col(f"__r__.{c}").alias(c) for c in out_right]
     return (
         joined.withColumn("__asof_rank__", F.row_number().over(w))
         .where(F.col("__asof_rank__") == 1)

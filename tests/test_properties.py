@@ -459,6 +459,58 @@ def test_label_propagation_refines_components(spark, edges):
 @_SETTINGS
 @given(
     st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_asof_backward_agg_path_matches_bruteforce(spark, lrows, rrows):
+    """The backward as-of join (map-side-combined max_by path) must equal
+    a Python brute-force reference on any key/timestamp tie pattern:
+    per left row, the matching right row with the greatest ts <= left ts,
+    ties broken by greatest tiebreak id; unmatched left rows kept with
+    NULL right columns (how='left')."""
+    import datetime as dt
+
+    from pucminas_data_pipelines_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(hours=t)) for i, (k, t) in enumerate(lrows)],
+        "eid int, k int, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [(k, oid, base + dt.timedelta(hours=t)) for k, t, oid in rrows],
+        "k int, oid int, ots timestamp",
+    ) if rrows else spark.createDataFrame([], "k int, oid int, ots timestamp")
+
+    expected = {}
+    for i, (k, t) in enumerate(lrows):
+        cands = [
+            (rt, oid)
+            for rk, rt, oid in rrows
+            if rk == k and rt <= t
+        ]
+        expected[i] = max(cands)[1] if cands else None
+
+    got = {
+        r["eid"]: r["oid"]
+        for r in asof_join(
+            L, R, on=["k"], left_ts="ts", right_ts="ots",
+            direction="backward", tiebreak=["oid"],
+        ).collect()
+    }
+    assert got == expected
+
+
+@_SETTINGS
+@given(
+    st.lists(
         st.tuples(st.integers(0, 9), st.integers(0, 9)),
         min_size=1,
         max_size=18,
