@@ -51,13 +51,27 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, rows):
 
 @_SETTINGS
 @given(
-    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=30),
-    st.lists(st.tuples(st.integers(0, 5), st.text(max_size=4)), min_size=0, max_size=8),
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),
+            st.one_of(st.none(), st.integers(0, 100)),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.text(max_size=4)),
+        min_size=0,
+        max_size=8,
+    ),
     st.integers(2, 6),
 )
 def test_salted_join_equivalence(spark, left_rows, right_rows, factor):
     """Salted inner join == plain inner join for any data / salt factor,
-    including hot keys (left keys drawn from just 6 values)."""
+    including hot keys (left keys drawn from just 6 values), NULL join
+    keys on either side (both joins drop them), and NULL salt-source
+    values (xxhash64 of NULL is a non-null constant, so the row still
+    lands in a salt bucket and must not be lost)."""
     l = spark.createDataFrame(left_rows, "k int, payload int") if left_rows else None
     r = spark.createDataFrame(right_rows, "k int, name string") if right_rows else None
     if l is None or r is None:
