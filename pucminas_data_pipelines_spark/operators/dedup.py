@@ -460,6 +460,17 @@ def dedup_clusters(
     the plan) — checkpointing truncates lineage to O(1) per round. This
     is plain label propagation; the large-star/small-star variant
     (Kiveris et al.) drops in here if diameters ever grow."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(pairs.schema[id_a].dataType, NumericType):
+        # the convergence probe below sums labels exactly; a string id
+        # would cast to NULL and fake instant convergence — fail loudly
+        raise TypeError(
+            "dedup_clusters requires numeric ids (got "
+            f"{pairs.schema[id_a].dataType.simpleString()!r}): encode string "
+            "ids to a numeric key first (a dense id or collision-checked "
+            "hash), then map cluster_rep back"
+        )
     # undirected edge list, both directions
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(

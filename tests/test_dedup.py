@@ -121,6 +121,17 @@ def test_dedup_clusters_round_plan(spark):
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
 
 
+def test_dedup_clusters_rejects_string_ids(spark):
+    """The monotone-sum convergence probe needs numeric labels — string
+    ids would cast to NULL and fake instant convergence, so the operator
+    must refuse them loudly."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with _pytest.raises(TypeError, match="numeric ids"):
+        D.dedup_clusters(pairs)
+
+
 def test_dedup_clusters_converges_on_long_chain(spark):
     n = 12
     pairs = spark.createDataFrame(
