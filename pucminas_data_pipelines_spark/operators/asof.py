@@ -9,15 +9,16 @@ every earlier right row). ``asof_join`` therefore:
 - broadcasts the right side when it is small (dimension-style usage), else
   relies on the equi-key part of the condition so Spark plans a hash join
   on the key;
-- reduces the candidate explosion per direction: ``backward`` (ts desc,
-  tiebreaks desc — one monotone ordering) dedups with
-  ``groupBy(row).agg(max_by(payload, ord_struct))``, whose PARTIAL
+- reduces the candidate explosion with an aggregate dedup —
+  ``groupBy(row).agg(max_by/min_by(payload, ord_struct))`` — whose PARTIAL
   aggregate combines candidates map-side, so the dedup shuffle carries one
-  row per left row, not one per candidate; ``forward``/``nearest`` mix
-  sort directions (ts asc but tiebreaks desc) that a single min_by/max_by
-  key cannot encode, so they dedup with a row_number window — that path
-  shuffles and sorts the full candidate set on the synthetic row id
-  (bound it with ``tolerance``).
+  row per left row, not one per candidate. ``backward`` (everything desc)
+  always takes it; ``forward``/``nearest`` mix sort directions (ts asc,
+  tiebreaks desc), encodable in one min_by key only by negating the
+  tiebreaks, so they take it for integral/decimal tiebreaks and fall back
+  to a row_number window otherwise — that fallback shuffles and sorts the
+  full candidate set on the synthetic row id (bound it with
+  ``tolerance``).
 For genuinely huge right sides, pre-aggregate right to the per-key latest
 candidates (e.g. bucket by time range) before calling this.
 """
@@ -88,14 +89,28 @@ def asof_join(
     left_cols = [F.col(f"__l__.{c}") for c in left.columns]
     out_right = [c for c in right.columns if c not in set(on)]
 
+    # Agg-path dedup (groupBy + max_by/min_by): the PARTIAL aggregate
+    # collapses candidates map-side, so the dedup shuffle moves |left|
+    # rows instead of |candidates|. For a group with no match
+    # (how='left'), every ordering key is NULL and max_by/min_by yields
+    # NULL — exactly the null right-side row the window path kept.
+    #
+    # backward: everything desc → max_by over struct(ts, tiebreaks).
+    #   Struct comparison puts NULL fields smallest, matching
+    #   desc_nulls_last — any tiebreak type works.
+    # forward/nearest: ts (and gap) sort ASC while tiebreaks sort DESC —
+    #   a min_by key can only encode that by NEGATING the tiebreaks, so
+    #   the path is gated to integral/decimal tiebreaks (float NaN flips
+    #   sides under negation; strings can't negate — those fall back to
+    #   the window). A null-flag field before each negated tiebreak keeps
+    #   NULLs least-preferred (struct NULLs sort smallest, which min_by
+    #   would otherwise PREFER).
+    from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
+
+    _negatable = (ByteType, ShortType, IntegerType, LongType, DecimalType)
+    agg = None
     if direction == "backward":
-        # One monotone ordering (everything desc) → max_by over a struct
-        # key. Its partial aggregate collapses candidates map-side, so the
-        # dedup shuffle moves |left| rows instead of |candidates|. For a
-        # group with no match (how='left'), every ordering key is NULL and
-        # max_by yields NULL — exactly the null right-side row the window
-        # path kept. Struct comparison puts NULL fields smallest, matching
-        # desc_nulls_last tiebreaks.
+        agg = F.max_by
         ord_key = F.struct(
             F.col(f"__r__.{right_ts}").alias("_ts"),
             *[
@@ -103,6 +118,30 @@ def asof_join(
                 for i, c in enumerate(tiebreak)
             ],
         )
+    elif all(
+        isinstance(right.schema[c].dataType, _negatable) for c in tiebreak
+    ):
+        agg = F.min_by
+        lead_fields = [F.col(f"__r__.{right_ts}").alias("_ts")]
+        if direction == "nearest":
+            gap = F.abs(
+                F.unix_timestamp(F.col(f"__r__.{right_ts}"))
+                - F.unix_timestamp(F.col(f"__l__.{left_ts}"))
+            )
+            lead_fields = [gap.alias("_gap"), *lead_fields]
+        ord_key = F.struct(
+            *lead_fields,
+            *[
+                f
+                for i, c in enumerate(tiebreak)
+                for f in (
+                    F.col(f"__r__.{c}").isNull().cast("int").alias(f"_n{i}"),
+                    (-F.col(f"__r__.{c}")).alias(f"_tb{i}"),
+                )
+            ],
+        )
+
+    if agg is not None:
         payload = F.struct(
             *[F.col(f"__r__.{c}").alias(c) for c in out_right]
         )
@@ -111,7 +150,7 @@ def asof_join(
                 F.any_value(c).alias(f"__lv_{i}__")
                 for i, c in enumerate(left_cols)
             ],
-            F.max_by(payload, ord_key).alias("__best__"),
+            agg(payload, ord_key).alias("__best__"),
         )
         return grouped.select(
             *[

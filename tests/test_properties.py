@@ -482,14 +482,19 @@ def test_label_propagation_refines_components(spark, edges):
         min_size=0,
         max_size=12,
     ),
+    st.sampled_from(["backward", "forward", "nearest"]),
 )
-def test_asof_backward_agg_path_matches_bruteforce(spark, lrows, rrows):
-    """The backward as-of join (map-side-combined max_by path) must equal
-    a Python brute-force reference on any key/timestamp tie pattern:
-    per left row, the matching right row with the greatest ts <= left ts,
-    ties broken by greatest tiebreak id; unmatched left rows kept with
-    NULL right columns (how='left')."""
+def test_asof_agg_paths_match_bruteforce(spark, lrows, rrows, direction):
+    """All three as-of directions (map-side-combined max_by/min_by paths
+    for integer tiebreaks) must equal a Python brute-force reference on
+    any key/timestamp tie pattern: per left row, pick by direction
+    (latest ts <= / earliest ts >= / smallest |gap| with earlier-ts tie
+    rule), ties broken by GREATEST tiebreak id; unmatched left rows kept
+    with NULL right columns (how='left'). nearest uses a wide tolerance
+    so the band never excludes a candidate the reference sees."""
     import datetime as dt
+
+    from pyspark.sql import functions as SF
 
     from pucminas_data_pipelines_spark.operators.asof import asof_join
 
@@ -505,18 +510,28 @@ def test_asof_backward_agg_path_matches_bruteforce(spark, lrows, rrows):
 
     expected = {}
     for i, (k, t) in enumerate(lrows):
-        cands = [
-            (rt, oid)
-            for rk, rt, oid in rrows
-            if rk == k and rt <= t
-        ]
-        expected[i] = max(cands)[1] if cands else None
+        matching = [(rt, oid) for rk, rt, oid in rrows if rk == k]
+        if direction == "backward":
+            cands = [(rt, oid) for rt, oid in matching if rt <= t]
+            best = max(cands) if cands else None
+        elif direction == "forward":
+            cands = [(rt, oid) for rt, oid in matching if rt >= t]
+            # earliest ts, ties -> greatest oid
+            best = min(cands, key=lambda p: (p[0], -p[1])) if cands else None
+        else:  # nearest: smallest |gap|, ties earlier ts, then greatest oid
+            best = (
+                min(matching, key=lambda p: (abs(p[0] - t), p[0], -p[1]))
+                if matching
+                else None
+            )
+        expected[i] = best[1] if best else None
 
+    tol = SF.expr("INTERVAL 100 DAYS") if direction != "backward" else None
     got = {
         r["eid"]: r["oid"]
         for r in asof_join(
             L, R, on=["k"], left_ts="ts", right_ts="ots",
-            direction="backward", tiebreak=["oid"],
+            direction=direction, tolerance=tol, tiebreak=["oid"],
         ).collect()
     }
     assert got == expected
