@@ -77,15 +77,16 @@ def test_salted_join_equivalence(spark, left_rows, right_rows, factor):
     if l is None or r is None:
         return
     r = r.dropDuplicates(["k"])
-    plain = sorted(map(tuple, l.join(r, "k").select("k", "payload", "name").collect()))
-    salted = sorted(
-        map(
-            tuple,
-            salted_inner_join(l, r, "k", factor=factor, salt_from="payload")
-            .select("k", "payload", "name")
-            .collect(),
+
+    def canon(df):
+        # null-safe sort key: Python can't compare None with ints
+        return sorted(
+            map(tuple, df.select("k", "payload", "name").collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
         )
-    )
+
+    plain = canon(l.join(r, "k"))
+    salted = canon(salted_inner_join(l, r, "k", factor=factor, salt_from="payload"))
     assert plain == salted
 
 
