@@ -129,6 +129,21 @@ def asof_join(
                 - F.unix_timestamp(F.col(f"__l__.{left_ts}"))
             )
             lead_fields = [gap.alias("_gap"), *lead_fields]
+        # Widen BEFORE negating: two's-complement integrals are
+        # asymmetric, so -MIN_VALUE overflows (ANSI error on Spark 4,
+        # silent wraparound with ANSI off → wrong row picked).
+        # byte/short/int fit in long; long fits in decimal(20,0); decimal
+        # ranges are symmetric (±(10^p−1)/10^s) so negation never
+        # overflows there.
+        def _neg_safe(c: str):
+            dt = right.schema[c].dataType
+            col = F.col(f"__r__.{c}")
+            if isinstance(dt, LongType):
+                col = col.cast("decimal(20,0)")
+            elif isinstance(dt, (ByteType, ShortType, IntegerType)):
+                col = col.cast("long")
+            return -col
+
         ord_key = F.struct(
             *lead_fields,
             *[
@@ -136,7 +151,7 @@ def asof_join(
                 for i, c in enumerate(tiebreak)
                 for f in (
                     F.col(f"__r__.{c}").isNull().cast("int").alias(f"_n{i}"),
-                    (-F.col(f"__r__.{c}")).alias(f"_tb{i}"),
+                    _neg_safe(c).alias(f"_tb{i}"),
                 )
             ],
         )

@@ -460,17 +460,23 @@ def dedup_clusters(
     the plan) — checkpointing truncates lineage to O(1) per round. This
     is plain label propagation; the large-star/small-star variant
     (Kiveris et al.) drops in here if diameters ever grow."""
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DecimalType, IntegralType
 
-    if not isinstance(pairs.schema[id_a].dataType, NumericType):
-        # the convergence probe below sums labels exactly; a string id
-        # would cast to NULL and fake instant convergence — fail loudly
-        raise TypeError(
-            "dedup_clusters requires numeric ids (got "
-            f"{pairs.schema[id_a].dataType.simpleString()!r}): encode string "
-            "ids to a numeric key first (a dense id or collision-checked "
-            "hash), then map cluster_rep back"
-        )
+    # The convergence probe below sums labels exactly via decimal(38,0):
+    # a string id would cast to NULL and fake instant convergence, and a
+    # fractional float label rounds under the decimal cast so the "exact"
+    # probe could report a false fixpoint. Gate BOTH id columns to
+    # integral/decimal — a mixed numeric/string pair would also coerce
+    # labels to string through the union. Fail loudly.
+    for col in (id_a, id_b):
+        dt = pairs.schema[col].dataType
+        if not isinstance(dt, (IntegralType, DecimalType)):
+            raise TypeError(
+                f"dedup_clusters requires integral/decimal ids ({col!r} is "
+                f"{dt.simpleString()!r}): encode string/float ids to an "
+                "integer key first (a dense id or collision-checked hash), "
+                "then map cluster_rep back"
+            )
     # undirected edge list, both directions
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(

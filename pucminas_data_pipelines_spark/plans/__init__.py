@@ -75,8 +75,10 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # test enforces it), so full coverage lands end of r9.
 # PRE-CLEAR STATUS (r7): both the r8 and r9 sets above were run through
 # the vanilla-session preflight compare (PREFLIGHT_NAMES=... — the exact
-# driver seam) at sf0.01 this round: r8 45/45, r9 42/42. Rotating them in
-# should be mechanical; re-run preflight after rotating anyway.
+# driver seam) at sf0.01 in round 7: r8 45/45, r9 42/42. Round 8 rotated
+# the r8 set in (window below) and re-ran the full-window preflight after
+# rotation (late-r7 as-of/ordered/SCD2/LPA rewrites postdate some r7
+# receipts); the r9 set was re-pre-cleared the same way this round.
 #
 # ROUND-5 ROTATION (VERDICT r04 "Next round #1"): the driver scores only
 # the first 50 registry entries, so driver-green coverage accumulates by
@@ -132,67 +134,74 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
 DRIVER_WINDOW: list[str] = [
-    # ROUND-7 ROTATION (VERDICT r06 "Next round #1"): the r7 slice of the
-    # roll-forward plan above — stats 28 + quality 5 + window 5 + agg 7 —
-    # plus the same 5 canaries, all green in CORRECTNESS_r06 (the contract
-    # test pins them against the latest CORRECTNESS file). Cumulative
-    # driver-green before this round: 209/343; a 50/50 window lands
-    # 254/343, leaving 89 for r8/r9 per the family plan above.
-    # canaries (driver-green in CORRECTNESS_r06, 3+ consecutive rounds)
+    # ROUND-8 ROTATION (VERDICT r07 "Next round #1"): the r8 slice of the
+    # roll-forward plan above — events 12 + dedup 7 + embedding 4 + text 6
+    # + explode 4 + scalar 6 + sql 3 + graph 3 — plus the same 5 canaries,
+    # all green in CORRECTNESS_r07 (the contract test pins them against
+    # the latest CORRECTNESS file). Cumulative driver-green before this
+    # round: 254/343; a 50/50 window lands 299/343, leaving 44 for r9
+    # (42 scorable + the 2 rows-only ann_*). The full 45-name set was
+    # pre-cleared through the vanilla-session preflight in r7 (45/45) and
+    # re-verified after rotation this round.
+    # canaries (driver-green in CORRECTNESS_r07, 4+ consecutive rounds)
     "q1_pricing_summary",
     "dedup_minhash_lsh",
     "join_asof",
     "mutation_merge_upsert",
     "events_session_window",
-    # stats (28)
-    "stats_correlation_matrix",
-    "stats_value_histogram",
-    "stats_table_profile",
-    "stats_iqr_outliers",
-    "stats_observed_gate_metrics",
-    "stats_user_anomaly_zscore",
-    "stats_mutual_information",
-    "stats_chi_squared",
-    "stats_mad_anomalies",
-    "stats_psi_drift",
-    "stats_countmin_heavy_hitters",
-    "stats_kmv_distinct_sketch",
-    "stats_benfords_law",
-    "stats_autocorrelation_lag1",
-    "stats_kmv_set_intersection",
-    "stats_seasonality_dow_index",
-    "stats_bloom_filter_membership",
-    "stats_winsorized_mean",
-    "stats_ab_test_ztest",
-    "stats_welch_t_test",
-    "stats_crosstab_contingency",
-    "stats_runs_test_randomness",
-    "stats_markov_entropy_rate",
-    "stats_ddsketch_quantiles",
-    "stats_cusum_changepoint",
-    "stats_poisson_bootstrap_ci",
-    "stats_linear_regression_multifeature",
-    "stats_ab_power_analysis",
-    # quality (5)
-    "quality_dim_coverage_gaps",
-    "quality_referential_integrity",
-    "quality_temporal_consistency",
-    "quality_source_reconciliation",
-    "quality_expectation_suite",
-    # window functions (5)
-    "window_cumulative_distinct",
-    "window_activity_streaks",
-    "window_first_last_ignore_nulls",
-    "window_rolling_trend_slope",
-    "window_rolling_median",
-    # aggregates (7; agg_percentile_interpolated rolls to r9 per plan)
-    "agg_linear_regression",
-    "agg_argminmax_suite",
-    "agg_boolean_suite",
-    "agg_bitmap_exact_distinct",
-    "agg_grouping_id_labels",
-    "agg_accumulating_snapshot",
-    "agg_variance_manual",
+    # events (12)
+    "events_ohlc_bars",
+    "events_journey_paths",
+    "events_outage_gaps",
+    "events_decayed_engagement",
+    "events_type_affinity",
+    "events_activity_heatmap",
+    "events_linear_attribution",
+    "events_dau_mau_stickiness",
+    "events_interarrival_distribution",
+    "events_growth_accounting",
+    "events_cep_v_pattern",
+    "events_sliding_distinct_users",
+    # dedup (7)
+    "dedup_minhash_clusters",
+    "dedup_cluster_keep_best",
+    "dedup_ngram_containment",
+    "dedup_span_redaction",
+    "dedup_prefix_filter_join",
+    "dedup_content_defined_chunks",
+    "dedup_survivorship_report",
+    # embedding (4)
+    "embedding_label_centroids",
+    "embedding_norm_quality",
+    "embedding_matryoshka_recall",
+    "embedding_kmeans_lloyd",
+    # text (6)
+    "text_char_diversity",
+    "text_tokenizer_fertility",
+    "text_code_detection",
+    "text_oov_rate_by_lang",
+    "text_entity_resolution_clusters",
+    "text_bigram_lm_crossentropy",
+    # explode (4)
+    "explode_tokens",
+    "explode_token_frequencies",
+    "explode_tokens_with_position",
+    "explode_outer_empty_arrays",
+    # scalar (6)
+    "scalar_timestamp_epoch_suite",
+    "scalar_try_error_safe_suite",
+    "scalar_higher_order_suite",
+    "scalar_collation_ci_suite",
+    "scalar_ipv4_suite",
+    "scalar_haversine_distance",
+    # sql (3)
+    "sql_parameterized_cte",
+    "sql_recursive_date_spine",
+    "sql_group_by_all_ordinal",
+    # graph (3)
+    "graph_connected_components",
+    "graph_degree_assortativity",
+    "graph_jaccard_link_prediction",
 ]
 
 

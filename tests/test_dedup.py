@@ -122,14 +122,22 @@ def test_dedup_clusters_round_plan(spark):
 
 
 def test_dedup_clusters_rejects_string_ids(spark):
-    """The monotone-sum convergence probe needs numeric labels — string
-    ids would cast to NULL and fake instant convergence, so the operator
-    must refuse them loudly."""
+    """The monotone-sum convergence probe needs exact-summable labels —
+    string ids would cast to NULL and fake instant convergence, fractional
+    floats round under the decimal(38,0) cast (false fixpoint), and a
+    mixed numeric/string pair coerces labels to string through the union.
+    The operator must refuse all three loudly, checking BOTH id columns."""
     import pytest as _pytest
 
     pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
-    with _pytest.raises(TypeError, match="numeric ids"):
+    with _pytest.raises(TypeError, match="integral/decimal ids"):
         D.dedup_clusters(pairs)
+    mixed = spark.createDataFrame([(1, "b")], "id_a bigint, id_b string")
+    with _pytest.raises(TypeError, match="'id_b'"):
+        D.dedup_clusters(mixed)
+    floats = spark.createDataFrame([(1.5, 2.5)], "id_a double, id_b double")
+    with _pytest.raises(TypeError, match="integral/decimal ids"):
+        D.dedup_clusters(floats)
 
 
 def test_dedup_clusters_converges_on_long_chain(spark):

@@ -712,3 +712,36 @@ def test_range_ntile_and_lead_equal_global_window(spark, rows, k):
         for r in df.select("id", F.lead("v").over(w).alias("l")).collect()
     }
     assert got_l == want_l
+
+
+def test_asof_min_by_tiebreak_at_integral_min_value(spark):
+    """Forward/nearest min_by paths negate integral tiebreaks; without
+    widening, -MIN_VALUE overflows (ANSI error on Spark 4, silent
+    wraparound otherwise → wrong row picked). The operator widens
+    byte/short/int → long and long → decimal(20,0) before the unary
+    minus, so a tiebreak AT the type minimum must both run and lose to
+    any greater tiebreak (ties broken by GREATEST id)."""
+    import datetime as dt
+
+    from pucminas_data_pipelines_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame([(1, base)], "k int, ts timestamp")
+    for ddl, lo in [
+        ("bigint", -(2**63)),
+        ("int", -(2**31)),
+        ("smallint", -(2**15)),
+        ("tinyint", -128),
+    ]:
+        R = spark.createDataFrame(
+            [(1, lo, base), (1, 7, base)], f"k int, oid {ddl}, ots timestamp"
+        )
+        for direction in ("forward", "nearest"):
+            tol = (
+                F.expr("INTERVAL 1 DAY") if direction == "nearest" else None
+            )
+            got = asof_join(
+                L, R, on=["k"], left_ts="ts", right_ts="ots",
+                direction=direction, tolerance=tol, tiebreak=["oid"],
+            ).collect()
+            assert len(got) == 1 and got[0]["oid"] == 7, (ddl, direction, got)
