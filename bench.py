@@ -166,9 +166,30 @@ def main() -> None:
     # query must cost one entry in sweep_failed, never the JSON line.
     sweep_failed: list[str] = []
     sweep_times: dict[str, float] = {}
+    sweep_offsets: dict[str, float] = {}
+    sweep_probes: list[dict] = []
+    # Mid-sweep calibration probes (VERDICT r07 #2): BENCH_r07 recorded a
+    # 10x in-sweep outlier (dedup_prefix_filter_join 40.8 s vs its 4.3 s
+    # headline) that BOTH endpoint probes missed — a spike confined to the
+    # sweep's interior is invisible to start/end probes. Probing at the
+    # quartile boundaries plus per-query start offsets makes any future
+    # spike attributable to a time window and the queries inside it.
+    items = list(QUERIES.items())
+    probe_at = {len(items) // 4, len(items) // 2, (3 * len(items)) // 4}
     sweep_start = time.perf_counter()
-    for name, fn in QUERIES.items():
+    for i, (name, fn) in enumerate(items):
+        if i in probe_at:
+            p_off = time.perf_counter() - sweep_start
+            p_sec = _calibrate(spark)
+            sweep_probes.append(
+                {
+                    "after_query": i,
+                    "offset_sec": round(p_off, 1),
+                    "ratio": round(p_sec / CALIBRATION_STEADY_SEC, 2),
+                }
+            )
         q_start = time.perf_counter()
+        sweep_offsets[name] = round(q_start - sweep_start, 1)
         try:
             fn(spark, sf_dir).count()
             sweep_times[name] = time.perf_counter() - q_start
@@ -179,6 +200,10 @@ def main() -> None:
         n: round(t, 2)
         for n, t in sorted(sweep_times.items(), key=lambda kv: -kv[1])[:10]
     }
+    slowest_offsets = {n: sweep_offsets[n] for n in slowest}
+    noisy_host_mid = any(
+        p["ratio"] > CALIBRATION_NOISY_RATIO for p in sweep_probes
+    )
 
     # second probe AFTER the timed work: contention that arrives mid-run
     # (the BENCH_r06 failure mode — the start probe read 1.28 while the
@@ -186,7 +211,11 @@ def main() -> None:
     # by the end probe; noisy_host reflects the worse of the two.
     calibration_sec_end = _calibrate(spark)
     calibration_ratio_end = round(calibration_sec_end / CALIBRATION_STEADY_SEC, 2)
-    noisy_host = noisy_host or calibration_ratio_end > CALIBRATION_NOISY_RATIO
+    noisy_host = (
+        noisy_host
+        or noisy_host_mid
+        or calibration_ratio_end > CALIBRATION_NOISY_RATIO
+    )
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -205,6 +234,8 @@ def main() -> None:
                 "noisy_host": noisy_host,
                 "registry_sweep_sec": sweep_sec,
                 "registry_sweep_slowest": slowest,
+                "registry_sweep_slowest_offsets": slowest_offsets,
+                "registry_sweep_probes": sweep_probes,
                 "registry_sweep_queries": len(QUERIES),
                 "registry_sweep_failed": sweep_failed,
             }

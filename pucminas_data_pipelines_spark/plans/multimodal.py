@@ -237,6 +237,10 @@ def multimodal_webdataset_shard_layout(spark: SparkSession, sf_dir: str) -> Data
     assets = M.attach_binary_payload(docs, "doc_id", "text").select(
         "asset_id", F.col("meta.byte_len").cast("bigint").alias("byte_len")
     )
+    # Deliberately NOT materialized (mirrors plans/stats.py's
+    # range_lead note): the input is a row-local projection of one scan,
+    # so the boundary pass just rescans pruned parquet — cheaper at any
+    # scale than an O(rows) localCheckpoint of the slice.
     laid = ORD.range_prefix_sum(
         assets, ["asset_id"], ["byte_len"], "asset_id"
     ).select(
@@ -325,6 +329,9 @@ def multimodal_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload",
         F.col("meta.byte_len").cast("bigint").alias("byte_len"),
     )
+    # Deliberately NOT materialized: row-local projection of one scan —
+    # the boundary pass rescans pruned parquet (and reads only the size
+    # column, never the payload), cheaper than checkpointing payloads.
     laid = ORD.range_prefix_sum(
         assets, ["asset_id"], ["byte_len"], "asset_id"
     ).select(

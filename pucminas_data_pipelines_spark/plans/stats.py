@@ -657,6 +657,9 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment), so no task ever holds more than one bucket of orders —
     the single-partition global-window shape never appears in the plan."""
     o = load_table(spark, sf_dir, "orders")
+    # Deliberately NOT materialized (same trade as range_lead above):
+    # the input is a row-local projection of one scan, so the boundary
+    # sampling pass just rescans two pushed-down columns.
     tiled = ORD.range_ntile(
         o.select("o_totalprice", "o_orderkey"),
         ["o_totalprice", "o_orderkey"],
