@@ -83,6 +83,20 @@ CALIBRATION_STEADY_SEC = 0.33
 CALIBRATION_NOISY_RATIO = 1.5
 
 
+def _steal_sec() -> float:
+    """Cumulative hypervisor CPU-steal seconds for this VM (/proc/stat
+    cpu line, field 9). Measured r8: the host steals multi-CPU-second
+    bursts (4.3 s observed in one 10 s idle window) that land 10-30 s of
+    wall-stall on whichever SINGLE query is running — invisible to the
+    calibration probe, which is blind between its sampling instants.
+    A per-query steal delta attributes such an outlier at read time."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return 0.0
+
+
 def _calibrate(spark) -> float:
     """Fixed CPU+shuffle probe (no data dependence): min-of-3 of a 20M-row
     range -> mod-97 hash aggregate. Returns seconds."""
@@ -116,6 +130,7 @@ def main() -> None:
         extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "8g")},
     )
 
+    run_steal0 = _steal_sec()
     names = [n for n in HEADLINE if n in QUERIES]
     # warmup: one full pass absorbs JVM startup, Janino/whole-stage-codegen
     # compilation (row-independent, ~seconds per distinct plan shape) and
@@ -149,8 +164,10 @@ def main() -> None:
     # without git archaeology.
     timings: dict[str, float] = {}
     noise: dict[str, float] = {}
+    headline_steal: dict[str, float] = {}
     for name in names:
         attempts = []
+        s0 = _steal_sec()
         for _ in range(3):
             start = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
@@ -158,6 +175,9 @@ def main() -> None:
             attempts.append(time.perf_counter() - start)
         timings[name] = round(min(attempts), 4)
         noise[name] = round(max(attempts) / min(attempts), 2)
+        stolen = _steal_sec() - s0
+        if stolen >= 0.5:  # only report measurements a steal burst touched
+            headline_steal[name] = round(stolen, 1)
 
     # steady-state full-registry sweep: one timed pass over EVERY
     # registered query (warm JVM, cold data). Coarse by design — it is the
@@ -167,6 +187,7 @@ def main() -> None:
     sweep_failed: list[str] = []
     sweep_times: dict[str, float] = {}
     sweep_offsets: dict[str, float] = {}
+    sweep_steal: dict[str, float] = {}
     sweep_probes: list[dict] = []
     # Mid-sweep calibration probes (VERDICT r07 #2): BENCH_r07 recorded a
     # 10x in-sweep outlier (dedup_prefix_filter_join 40.8 s vs its 4.3 s
@@ -189,10 +210,12 @@ def main() -> None:
                 }
             )
         q_start = time.perf_counter()
+        s0 = _steal_sec()
         sweep_offsets[name] = round(q_start - sweep_start, 1)
         try:
             fn(spark, sf_dir).count()
             sweep_times[name] = time.perf_counter() - q_start
+            sweep_steal[name] = _steal_sec() - s0
         except Exception:
             sweep_failed.append(name)
     sweep_sec = round(time.perf_counter() - sweep_start, 1)
@@ -201,6 +224,7 @@ def main() -> None:
         for n, t in sorted(sweep_times.items(), key=lambda kv: -kv[1])[:10]
     }
     slowest_offsets = {n: sweep_offsets[n] for n in slowest}
+    slowest_steal = {n: round(sweep_steal.get(n, 0.0), 1) for n in slowest}
     noisy_host_mid = any(
         p["ratio"] > CALIBRATION_NOISY_RATIO for p in sweep_probes
     )
@@ -235,7 +259,10 @@ def main() -> None:
                 "registry_sweep_sec": sweep_sec,
                 "registry_sweep_slowest": slowest,
                 "registry_sweep_slowest_offsets": slowest_offsets,
+                "registry_sweep_slowest_steal_sec": slowest_steal,
                 "registry_sweep_probes": sweep_probes,
+                "headline_steal_sec": headline_steal,
+                "total_steal_sec": round(_steal_sec() - run_steal0, 1),
                 "registry_sweep_queries": len(QUERIES),
                 "registry_sweep_failed": sweep_failed,
             }
