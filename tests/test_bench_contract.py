@@ -28,3 +28,41 @@ def test_every_registered_query_documented_in_coverage():
     cov = open("/root/repo/COVERAGE.md").read()
     missing = [n for n in plans.QUERIES if n not in cov]
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
+
+
+def test_bench_emits_attribution_fields():
+    """The r8 noise-attribution fields must survive refactors: the
+    longitudinal BENCH keys are append-only, and the steal/offset/probe
+    fields are how a reader separates a host steal burst from a real
+    regression without a round-later bisect."""
+    import ast
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    emitted = {
+        k.value
+        for node in ast.walk(ast.parse(src))
+        if isinstance(node, ast.Dict)
+        for k in node.keys
+        if isinstance(k, ast.Constant) and isinstance(k.value, str)
+    }
+    required = {
+        "metric", "value", "unit", "queries", "sf",
+        "noise_ratio_per_query", "calibration_sec", "calibration_ratio",
+        "calibration_ratio_end", "noisy_host",
+        "registry_sweep_sec", "registry_sweep_slowest",
+        "registry_sweep_slowest_offsets", "registry_sweep_slowest_steal_sec",
+        "registry_sweep_probes", "headline_steal_sec", "total_steal_sec",
+        "registry_sweep_queries", "registry_sweep_failed",
+    }
+    missing = required - emitted
+    assert not missing, f"bench JSON lost fields: {sorted(missing)}"
+
+
+def test_steal_counter_reads():
+    """_steal_sec must return a non-negative float on this platform and
+    be monotone across two reads (cumulative counter)."""
+    a = bench._steal_sec()
+    b = bench._steal_sec()
+    assert isinstance(a, float) and a >= 0.0
+    assert b >= a
