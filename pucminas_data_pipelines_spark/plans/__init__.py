@@ -71,6 +71,11 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 #     readers) + pii 2 + url 2 + feature 2 + project 2 + corpus card,
 #     agg_percentile_interpolated, contrastive pairs, grouped kfold,
 #     udf_python_rowwise, udtf_table_argument_stats.
+#     NOTE for the r9 rotation: 42 first-evidence names + the 5 standing
+#     canaries = 47; the window contract requires exactly 50, so pad
+#     with 3 additional prior-green names (extra canaries) — after r9
+#     every oracled query has a driver-green row (341 scorable; the 2
+#     rows-only ann_*_topk stay out of windows by design).
 # Each window keeps >=5 prior-round-green canaries on top (the contract
 # test enforces it), so full coverage lands end of r9.
 # PRE-CLEAR STATUS (r7): both the r8 and r9 sets above were run through
