@@ -200,3 +200,64 @@ def test_redact_duplicated_spans_planted(spark):
     assert got[1] == (4, 8, "alpha beta gamma delta")
     assert got[2] == (4, 8, "epsilon zeta eta theta")
     assert got[3][1] == 0 and got[3][0] == 8
+
+
+def test_two_phase_cc_matches_lpa_on_random_graphs(spark):
+    """algorithm='two_phase' (alternating large-star/small-star) must
+    produce the identical (member_id, cluster_rep) map as the LPA path
+    on arbitrary pair sets — same contract, different round complexity."""
+    import random
+
+    rnd = random.Random(8)
+    for trial in range(4):
+        n = rnd.randint(2, 40)
+        pairs = [
+            (rnd.randint(0, n), rnd.randint(0, n))
+            for _ in range(rnd.randint(1, 60))
+        ]
+        df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        lpa = {
+            r["member_id"]: r["cluster_rep"]
+            for r in D.dedup_clusters(df, max_iters=n + 2).collect()
+        }
+        two = {
+            r["member_id"]: r["cluster_rep"]
+            for r in D.dedup_clusters(
+                df, max_iters=n + 2, algorithm="two_phase"
+            ).collect()
+        }
+        assert two == lpa, (trial, pairs)
+
+
+def test_two_phase_cc_converges_on_deep_chain_in_log_rounds(spark):
+    """The point of two_phase: a 200-node path graph needs ~200 LPA
+    rounds but O(log n) alternations — with max_iters=10 the two-phase
+    result must be fully collapsed (every node → 0) while LPA capped at
+    the same budget demonstrably is not."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    two = D.dedup_clusters(pairs, max_iters=10, algorithm="two_phase").collect()
+    assert len(two) == n + 1
+    assert all(r["cluster_rep"] == 0 for r in two)
+    lpa = D.dedup_clusters(pairs, max_iters=10).collect()
+    assert any(r["cluster_rep"] != 0 for r in lpa)  # the contrast LPA can't
+
+
+def test_two_phase_cc_self_pairs_and_gate(spark):
+    """Self-pairs map to themselves (parity with the LPA path), and the
+    integral/decimal id gate applies regardless of algorithm."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(7, 7), (1, 2)], "id_a bigint, id_b bigint")
+    got = {
+        r["member_id"]: r["cluster_rep"]
+        for r in D.dedup_clusters(df, algorithm="two_phase").collect()
+    }
+    assert got == {7: 7, 1: 1, 2: 1}
+    floats = spark.createDataFrame([(1.5, 2.5)], "id_a double, id_b double")
+    with _pytest.raises(TypeError, match="integral/decimal ids"):
+        D.dedup_clusters(floats, algorithm="two_phase")
+    with _pytest.raises(ValueError, match="algorithm"):
+        D.dedup_clusters(df, algorithm="bogus")
