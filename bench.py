@@ -198,14 +198,18 @@ def main() -> None:
     items = list(QUERIES.items())
     probe_at = {len(items) // 4, len(items) // 2, (3 * len(items)) // 4}
     sweep_start = time.perf_counter()
+    probe_overhead = 0.0  # keep sweep_sec comparable to pre-probe rounds
     for i, (name, fn) in enumerate(items):
         if i in probe_at:
-            p_off = time.perf_counter() - sweep_start
+            p_start = time.perf_counter()
             p_sec = _calibrate(spark)
+            probe_overhead += time.perf_counter() - p_start
             sweep_probes.append(
                 {
-                    "after_query": i,
-                    "offset_sec": round(p_off, 1),
+                    # the probe runs BEFORE items[i]: queries 0..i-1 are
+                    # inside the window this probe closes
+                    "before_query": i,
+                    "offset_sec": round(p_start - sweep_start, 1),
                     "ratio": round(p_sec / CALIBRATION_STEADY_SEC, 2),
                 }
             )
@@ -218,7 +222,9 @@ def main() -> None:
             sweep_steal[name] = _steal_sec() - s0
         except Exception:
             sweep_failed.append(name)
-    sweep_sec = round(time.perf_counter() - sweep_start, 1)
+    # exclude the quartile probes' own runtime so sweep_sec keeps the
+    # r6/r7 semantics (sum of query wall time only)
+    sweep_sec = round(time.perf_counter() - sweep_start - probe_overhead, 1)
     slowest = {
         n: round(t, 2)
         for n, t in sorted(sweep_times.items(), key=lambda kv: -kv[1])[:10]

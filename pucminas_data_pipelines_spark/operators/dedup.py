@@ -484,12 +484,17 @@ def dedup_clusters(
     # labels to string through the union. Fail loudly.
     for col in (id_a, id_b):
         dt = pairs.schema[col].dataType
-        if not isinstance(dt, (IntegralType, DecimalType)):
+        ok = isinstance(dt, IntegralType) or (
+            isinstance(dt, DecimalType) and dt.scale == 0
+        )
+        if not ok:
             raise TypeError(
-                f"dedup_clusters requires integral/decimal ids ({col!r} is "
-                f"{dt.simpleString()!r}): encode string/float ids to an "
-                "integer key first (a dense id or collision-checked hash), "
-                "then map cluster_rep back"
+                "dedup_clusters requires integral/decimal(p,0) ids "
+                f"({col!r} is {dt.simpleString()!r}): a fractional id "
+                "rounds under the probe's decimal(38,0) cast, faking a "
+                "fixpoint — encode string/float/fractional-decimal ids to "
+                "an integer key first (a dense id or collision-checked "
+                "hash), then map cluster_rep back"
             )
     # undirected edge list, both directions
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -574,12 +579,14 @@ def _two_phase_cc(e: DataFrame, max_iters: int) -> DataFrame:
     fixpoint every component is a star around its minimum, so the
     big→small edges ARE the (member, rep) map; roots and isolated
     (self-pair-only) nodes map to themselves."""
-    nodes = (
-        e.select(F.col("src").alias("member_id"))
-        .union(e.select(F.col("dst").alias("member_id")))
-        .distinct()
-    )
-    both = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Checkpoint the mirrored input ONCE: `nodes` and `edges` both hang
+    # off it, so the (potentially expensive) upstream pair generation —
+    # an LSH banding join for the MinHash callers — runs a single time
+    # instead of once per downstream action.
+    both = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = both.select(F.col("src").alias("member_id")).distinct()
     edges = (
         both.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
     )
@@ -620,8 +627,24 @@ def _two_phase_cc(e: DataFrame, max_iters: int) -> DataFrame:
         edges = _mirror_distinct(small)
         cur_count = edges.count()
         if cur_count == prev_count and not edges.subtract(prev_edges).take(1):
+            converged = True
             break
         prev_count = cur_count
+    else:
+        converged = False
+
+    if not converged:
+        # The star extraction below is only valid AT the fixpoint; a
+        # capped, unconverged edge set would yield duplicate member_id
+        # rows with conflicting reps (silently multiplying downstream
+        # joins). Unlike the LPA path — whose stale labels are still one
+        # row per node — there is no honest partial answer here, so fail
+        # loudly. O(log² n) worst-case alternations means max_iters=20
+        # covers any realistic graph; hitting this means raise it.
+        raise RuntimeError(
+            f"two_phase connected components did not converge within "
+            f"max_iters={max_iters} alternations; raise max_iters"
+        )
 
     # fixpoint is a star per component: big→small edges are member→root;
     # everything else (roots, isolated self-pair nodes) maps to itself

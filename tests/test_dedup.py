@@ -130,13 +130,13 @@ def test_dedup_clusters_rejects_string_ids(spark):
     import pytest as _pytest
 
     pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
-    with _pytest.raises(TypeError, match="integral/decimal ids"):
+    with _pytest.raises(TypeError, match="integral/decimal"):
         D.dedup_clusters(pairs)
     mixed = spark.createDataFrame([(1, "b")], "id_a bigint, id_b string")
     with _pytest.raises(TypeError, match="'id_b'"):
         D.dedup_clusters(mixed)
     floats = spark.createDataFrame([(1.5, 2.5)], "id_a double, id_b double")
-    with _pytest.raises(TypeError, match="integral/decimal ids"):
+    with _pytest.raises(TypeError, match="integral/decimal"):
         D.dedup_clusters(floats)
 
 
@@ -257,7 +257,49 @@ def test_two_phase_cc_self_pairs_and_gate(spark):
     }
     assert got == {7: 7, 1: 1, 2: 1}
     floats = spark.createDataFrame([(1.5, 2.5)], "id_a double, id_b double")
-    with _pytest.raises(TypeError, match="integral/decimal ids"):
+    with _pytest.raises(TypeError, match="integral/decimal"):
         D.dedup_clusters(floats, algorithm="two_phase")
     with _pytest.raises(ValueError, match="algorithm"):
         D.dedup_clusters(df, algorithm="bogus")
+
+
+def test_dedup_clusters_rejects_fractional_decimal_ids(spark):
+    """A decimal(p, s>0) id rounds under the probe's decimal(38,0) cast —
+    e.g. a 10.10~10.15~10.20 chain all rounds to 10, the label-sum probe
+    reads stable after one round, and the operator would report a false
+    fixpoint. Both algorithms must refuse fractional decimals loudly."""
+    import pytest as _pytest
+
+    frac = spark.createDataFrame(
+        [(1, 2)], "id_a int, id_b int"
+    ).select(
+        F.col("id_a").cast("decimal(10,2)").alias("id_a"),
+        F.col("id_b").cast("decimal(10,2)").alias("id_b"),
+    )
+    for algo in ("lpa", "two_phase"):
+        with _pytest.raises(TypeError, match="decimal\\(p,0\\)"):
+            D.dedup_clusters(frac, algorithm=algo)
+    # scale-0 decimals remain accepted (symmetric range, exact sums)
+    ok = spark.createDataFrame([(1, 2)], "id_a int, id_b int").select(
+        F.col("id_a").cast("decimal(10,0)").alias("id_a"),
+        F.col("id_b").cast("decimal(10,0)").alias("id_b"),
+    )
+    got = {
+        str(r["member_id"]): str(r["cluster_rep"])
+        for r in D.dedup_clusters(ok).collect()
+    }
+    assert got == {"1": "1", "2": "1"}
+
+
+def test_two_phase_cc_raises_when_capped_before_fixpoint(spark):
+    """An unconverged two-phase edge set is NOT a per-component star, so
+    the extraction would emit duplicate member_id rows with conflicting
+    reps — the operator must raise instead of returning them."""
+    import pytest as _pytest
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(pairs, max_iters=1, algorithm="two_phase")
