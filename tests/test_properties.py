@@ -133,11 +133,14 @@ def test_hash_bucket_layout_invariance(spark, ids):
     assert all(0 <= b < 100 for b in one.values())
 
 
+@pytest.mark.parametrize("algorithm", ["lpa", "two_phase"])
 @_SETTINGS
 @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=25))
-def test_cluster_collapse_is_valid_partition(spark, edges):
+def test_cluster_collapse_is_valid_partition(spark, algorithm, edges):
     """Connected-components output: every member maps to the min id of its
-    component (checked against a Python union-find on the same edges)."""
+    component (checked against a Python union-find on the same edges) —
+    for BOTH algorithms (min-label propagation and the alternating
+    large-star/small-star two-phase), which share the output contract."""
     pairs = spark.createDataFrame(
         [(a, b) for a, b in edges if a != b] or [(0, 1)], "id_a int, id_b int"
     )
@@ -160,7 +163,9 @@ def test_cluster_collapse_is_valid_partition(spark, edges):
     expected = {x: find(x) for x in parent}
     got = {
         r["member_id"]: r["cluster_rep"]
-        for r in D.dedup_clusters(pairs, max_iters=40).collect()
+        for r in D.dedup_clusters(
+            pairs, max_iters=40, algorithm=algorithm
+        ).collect()
     }
     assert got == expected
 
