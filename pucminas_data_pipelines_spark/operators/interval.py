@@ -44,6 +44,13 @@ def interval_overlap_join(
     r_id, r_start, r_end = right_cols
 
     def bucketed(df: DataFrame, id_c: str, s: str, e: str, tag: str) -> DataFrame:
+        # Degenerate rows (end <= start) denote EMPTY half-open intervals,
+        # which contain no instant and therefore overlap nothing — drop
+        # them here. Without this, the overlap predicate (which assumes
+        # start < end on both sides) lets an empty [t, t) pair with
+        # overlap_seconds=0 and an inverted interval pair with a negative
+        # overlap.
+        df = df.where(F.col(s) < F.col(e))
         sec = F.unix_timestamp(F.col(s))
         # half-open: an interval ending exactly on a bucket boundary does
         # not touch that bucket

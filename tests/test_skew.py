@@ -99,3 +99,35 @@ def test_interval_overlap_join_semantics(spark):
         ).collect()
     }
     assert got == {(1, 10): 86400, (3, 12): 86400}
+
+
+def test_interval_overlap_drops_degenerate_intervals(spark):
+    """An EMPTY half-open interval [t, t) contains no instant and an
+    inverted one (end < start) is not an interval at all — neither may
+    pair with anything. Pre-fix these leaked through the overlap
+    predicate as overlap_seconds=0 and negative rows respectively."""
+    from datetime import datetime
+
+    from pucminas_data_pipelines_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    t0 = datetime(2024, 1, 1, 0)
+    t12 = datetime(2024, 1, 1, 12)
+    t13 = datetime(2024, 1, 1, 13)
+    left = spark.createDataFrame(
+        [(1, t12, t12), (2, t13, t12), (3, t12, t13)],
+        "a_id int, a_start timestamp, a_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [(9, t0, datetime(2024, 1, 2))],
+        "b_id int, b_start timestamp, b_end timestamp",
+    )
+    got = interval_overlap_join(
+        left,
+        right,
+        ("a_id", "a_start", "a_end"),
+        ("b_id", "b_start", "b_end"),
+        bucket_seconds=3600,
+    ).collect()
+    assert [(r.a_id, r.b_id, r.overlap_seconds) for r in got] == [(3, 9, 3600)]
