@@ -118,6 +118,13 @@ def minhash_lsh_pairs(
     returning, so long-lived sessions never accumulate executor storage.
     Pass ``materialize=False`` to keep the plan lazy/composable; the
     signature cache then lives until Spark's ContextCleaner collects it."""
+    if bands < 1 or num_hashes % bands != 0:
+        # a non-dividing band count would silently IGNORE the trailing
+        # num_hashes % bands signature positions in the banding pass
+        # (weakening recall with no error anywhere) — refuse loudly
+        raise ValueError(
+            f"bands={bands} must be >=1 and divide num_hashes={num_hashes}"
+        )
     rows = num_hashes // bands
     # persist: the signature job runs once; banding, the two
     # fetch-signature joins, and any downstream verify all reuse it

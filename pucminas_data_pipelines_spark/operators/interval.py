@@ -40,6 +40,11 @@ def interval_overlap_join(
     multi-bucket co-occurrences (an overlapping pair is seen once per
     shared bucket).
     """
+    if bucket_seconds < 1:
+        # bucket width 0 divides by zero in the bucket-id expression
+        # (an ANSI error at best, NULL buckets silently dropping every
+        # row at worst) — refuse loudly
+        raise ValueError(f"bucket_seconds={bucket_seconds} must be >= 1")
     l_id, l_start, l_end = left_cols
     r_id, r_start, r_end = right_cols
 

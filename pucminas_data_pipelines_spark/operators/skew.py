@@ -37,6 +37,11 @@ def salted_inner_join(
     Returns the joined DataFrame with ``other``'s duplicate key column and
     the salt columns dropped.
     """
+    if factor < 1:
+        # factor 0 would replicate the build side zero times (explode of
+        # an empty array drops every row) and the join would silently
+        # return EMPTY — refuse loudly
+        raise ValueError(f"factor={factor} must be >= 1")
     salt_src = (
         F.xxhash64(F.col(salt_from))
         if salt_from is not None

@@ -131,3 +131,34 @@ def test_interval_overlap_drops_degenerate_intervals(spark):
         bucket_seconds=3600,
     ).collect()
     assert [(r.a_id, r.b_id, r.overlap_seconds) for r in got] == [(3, 9, 3600)]
+
+
+def test_operator_parameter_gates_fail_loudly(spark):
+    """Degenerate parameters must raise, not silently corrupt: factor=0
+    empties the salted join via a zero-row replication; bucket_seconds=0
+    divides by zero in the bucket id; a non-dividing LSH band count
+    silently ignores trailing signature positions."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from pucminas_data_pipelines_spark.operators import dedup as D
+    from pucminas_data_pipelines_spark.operators.interval import (
+        interval_overlap_join,
+    )
+    from pucminas_data_pipelines_spark.operators.skew import salted_inner_join
+
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    with _pytest.raises(ValueError, match="factor"):
+        salted_inner_join(df, df, on="k", factor=0)
+
+    t = datetime(2024, 1, 1)
+    iv = spark.createDataFrame([(1, t, t)], "i int, s timestamp, e timestamp")
+    with _pytest.raises(ValueError, match="bucket_seconds"):
+        interval_overlap_join(iv, iv, ("i", "s", "e"), ("i", "s", "e"), 0)
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="bands"):
+        D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=10)
+    with _pytest.raises(ValueError, match="bands"):
+        D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=0)
