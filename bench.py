@@ -165,19 +165,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     noise: dict[str, float] = {}
     headline_steal: dict[str, float] = {}
+    headline_steal_min: dict[str, float] = {}
     for name in names:
+        # steal is measured PER ATTEMPT (ADVICE r8): the headline is
+        # min-of-3, so the slot-total delta can implicate a query whose
+        # reported attempt was untouched by a burst. headline_steal_sec
+        # keeps the r8 slot-total semantics for continuity;
+        # headline_steal_min_attempt_sec is the delta around the attempt
+        # the reported (min) timing came from — the field to read when
+        # deciding whether the REPORTED number carried a burst.
         attempts = []
-        s0 = _steal_sec()
+        attempt_steal = []
         for _ in range(3):
+            s_a = _steal_sec()
             start = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.count()
             attempts.append(time.perf_counter() - start)
+            attempt_steal.append(_steal_sec() - s_a)
         timings[name] = round(min(attempts), 4)
         noise[name] = round(max(attempts) / min(attempts), 2)
-        stolen = _steal_sec() - s0
+        stolen = sum(attempt_steal)
         if stolen >= 0.5:  # only report measurements a steal burst touched
             headline_steal[name] = round(stolen, 1)
+            min_idx = attempts.index(min(attempts))
+            headline_steal_min[name] = round(attempt_steal[min_idx], 1)
 
     # steady-state full-registry sweep: one timed pass over EVERY
     # registered query (warm JVM, cold data). Coarse by design — it is the
@@ -202,20 +214,28 @@ def main() -> None:
     for i, (name, fn) in enumerate(items):
         if i in probe_at:
             p_start = time.perf_counter()
+            prior_overhead = probe_overhead  # overhead accrued BEFORE p_start
             p_sec = _calibrate(spark)
             probe_overhead += time.perf_counter() - p_start
             sweep_probes.append(
                 {
                     # the probe runs BEFORE items[i]: queries 0..i-1 are
-                    # inside the window this probe closes
+                    # inside the window this probe closes. offset_sec is
+                    # probe-overhead-adjusted (see sweep_offsets note) so
+                    # it lands on the same time axis as sweep_sec.
                     "before_query": i,
-                    "offset_sec": round(p_start - sweep_start, 1),
+                    "offset_sec": round(p_start - sweep_start - prior_overhead, 1),
                     "ratio": round(p_sec / CALIBRATION_STEADY_SEC, 2),
                 }
             )
         q_start = time.perf_counter()
         s0 = _steal_sec()
-        sweep_offsets[name] = round(q_start - sweep_start, 1)
+        # offsets subtract the probe overhead accumulated SO FAR (ADVICE
+        # r8): sweep_sec excludes probe time, so an unadjusted wall-clock
+        # offset late in the sweep could exceed sweep_sec — adjusting each
+        # offset puts both on one time axis (query-work seconds since
+        # sweep start).
+        sweep_offsets[name] = round(q_start - sweep_start - probe_overhead, 1)
         try:
             fn(spark, sf_dir).count()
             sweep_times[name] = time.perf_counter() - q_start
@@ -249,15 +269,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # FIELD ORDER CONTRACT (VERDICT r8 #2): the driver archives only the
+    # TAIL of this single JSON line, and r7/r8 tail truncation swallowed
+    # the per-query headline timings because `queries` was emitted first,
+    # ahead of the (growing) attribution fields. The longitudinal signal
+    # — noise_ratio_per_query, queries, value — is therefore emitted
+    # LAST, with `queries` and `value` at the very end so any truncation
+    # window that keeps a tail keeps them. Keys are append-only
+    # (test_bench_contract pins both the key set and this ordering).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "noise_ratio_per_query": noise,
                 "calibration_sec": round(calibration_sec, 3),
                 "calibration_ratio": calibration_ratio,
                 "calibration_ratio_end": calibration_ratio_end,
@@ -268,9 +293,13 @@ def main() -> None:
                 "registry_sweep_slowest_steal_sec": slowest_steal,
                 "registry_sweep_probes": sweep_probes,
                 "headline_steal_sec": headline_steal,
+                "headline_steal_min_attempt_sec": headline_steal_min,
                 "total_steal_sec": round(_steal_sec() - run_steal0, 1),
                 "registry_sweep_queries": len(QUERIES),
                 "registry_sweep_failed": sweep_failed,
+                "noise_ratio_per_query": noise,
+                "queries": timings,
+                "value": total,
             }
         )
     )

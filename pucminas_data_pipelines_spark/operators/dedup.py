@@ -477,7 +477,18 @@ def dedup_clusters(
     (citation graphs, web-link dedup at 100 TB): a 10^6-node path graph
     needs 10^6 LPA rounds but ~20 two-phase rounds. Per round two_phase
     costs one extra exchange (distinct) over LPA, so it loses on shallow
-    graphs — that trade is the whole choice."""
+    graphs — that trade is the whole choice.
+
+    .. versionchanged:: round 8 (BREAKING)
+       The id-column gate tightened from "any numeric" to
+       integral/decimal(p,0). float/double id columns that previously
+       worked — and are exact for integral values up to 2^53 — now raise
+       ``TypeError``: the convergence probe sums labels through a
+       decimal(38,0) cast, and a fractional double rounds under that
+       cast, so the "exact" probe could report a false fixpoint. Callers
+       with provably-integral doubles must cast explicitly
+       (``F.col(id).cast("long")``) before calling — an intentional
+       opt-in that puts the exactness decision at the call site."""
     from pyspark.sql.types import DecimalType, IntegralType
 
     if algorithm not in ("lpa", "two_phase"):
@@ -608,6 +619,20 @@ def _two_phase_cc(e: DataFrame, max_iters: int) -> DataFrame:
             .localCheckpoint()
         )
 
+    def _free_checkpoint(df: DataFrame) -> None:
+        # Drop a consumed localCheckpoint's executor blocks NOW instead of
+        # waiting for the ContextCleaner: two checkpoints per alternation
+        # otherwise pin storage for the whole run on large graphs. The
+        # checkpointed RDD is the analyzed plan's LogicalRDD.rdd; the
+        # frame is UNUSABLE afterwards (lineage truncated, blocks gone),
+        # so callers may only free frames no later step references.
+        # Best-effort: on any JVM-shape change the ContextCleaner path
+        # still reclaims the blocks eventually.
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     for _ in range(max_iters):
         prev_edges = edges
         # large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v > u
@@ -619,9 +644,9 @@ def _two_phase_cc(e: DataFrame, max_iters: int) -> DataFrame:
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("a"), F.col("m").alias("b"))
         )
-        edges = _mirror_distinct(large)
+        mid = _mirror_distinct(large)
         # small-star: orient big→small; connect smaller side and u to m
-        oriented = edges.where(F.col("src") > F.col("dst"))
+        oriented = mid.where(F.col("src") > F.col("dst"))
         m2 = oriented.groupBy("src").agg(F.min("dst").alias("m"))
         small = (
             oriented.join(m2, "src")
@@ -633,7 +658,15 @@ def _two_phase_cc(e: DataFrame, max_iters: int) -> DataFrame:
         )
         edges = _mirror_distinct(small)
         cur_count = edges.count()
-        if cur_count == prev_count and not edges.subtract(prev_edges).take(1):
+        done = cur_count == prev_count and not edges.subtract(prev_edges).take(1)
+        # both of this round's consumed checkpoints are safe to free here:
+        # the small-star checkpoint is already materialized (eager) so
+        # `mid` has no remaining reader, and the fixpoint check above was
+        # prev_edges' last use (on convergence the surviving answer is
+        # `edges`, a separate checkpoint with identical content)
+        _free_checkpoint(mid)
+        _free_checkpoint(prev_edges)
+        if done:
             converged = True
             break
         prev_count = cur_count

@@ -139,74 +139,84 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
 DRIVER_WINDOW: list[str] = [
-    # ROUND-8 ROTATION (VERDICT r07 "Next round #1"): the r8 slice of the
-    # roll-forward plan above — events 12 + dedup 7 + embedding 4 + text 6
-    # + explode 4 + scalar 6 + sql 3 + graph 3 — plus the same 5 canaries,
-    # all green in CORRECTNESS_r07 (the contract test pins them against
-    # the latest CORRECTNESS file). Cumulative driver-green before this
-    # round: 254/343; a 50/50 window lands 299/343, leaving 44 for r9
-    # (42 scorable + the 2 rows-only ann_*). The full 45-name set was
-    # pre-cleared through the vanilla-session preflight in r7 (45/45) and
-    # re-verified after rotation this round.
-    # canaries (driver-green in CORRECTNESS_r07, 4+ consecutive rounds)
+    # ROUND-9 ROTATION (VERDICT r08 "Next round #1"): the FINAL slice of
+    # the roll-forward plan above — the 42 queries that have never had a
+    # driver-green CORRECTNESS row (join 7 + source 4 + sink 2 +
+    # mutation 3 + multimodal 3 + curation 6 + streaming 3 + pii 2 +
+    # url 2 + feature 2 + project 2 + 6 singles) — plus the 5 standing
+    # canaries and, per the documented padding rule (r9 note above:
+    # 42+5=47 < the contract's exactly-50), 3 additional prior-green pads
+    # drawn from the r8-green set. Cumulative driver-green before this
+    # round: 299/341 scorable (+ the 2 rows-only ann_*_topk = 301/343);
+    # a 50/50 window lands full coverage: every oracled query
+    # driver-green at least once. The 42-name set was pre-cleared through
+    # the vanilla-session preflight in r7 (42/42) and RE-pre-cleared in
+    # r8 after the late-r7/r8 operator rewrites (PROGRESS.jsonl
+    # `r9_preclear`); the full window re-preflighted after this rotation.
+    # canaries (driver-green in CORRECTNESS_r08, 5+ consecutive rounds)
     "q1_pricing_summary",
     "dedup_minhash_lsh",
     "join_asof",
     "mutation_merge_upsert",
     "events_session_window",
-    # events (12)
-    "events_ohlc_bars",
-    "events_journey_paths",
-    "events_outage_gaps",
-    "events_decayed_engagement",
-    "events_type_affinity",
-    "events_activity_heatmap",
-    "events_linear_attribution",
-    "events_dau_mau_stickiness",
-    "events_interarrival_distribution",
-    "events_growth_accounting",
-    "events_cep_v_pattern",
-    "events_sliding_distinct_users",
-    # dedup (7)
+    # joins (7)
+    "join_right_outer",
+    "join_cross",
+    "join_asof_forward_tolerance",
+    "join_strategy_hints",
+    "join_null_key_short_circuit",
+    "join_spatial_grid_neighbors",
+    "join_dpp_partitioned_fact",
+    # sources (4)
+    "source_csv_malformed_permissive",
+    "source_xml_roundtrip",
+    "source_csv_multiline_quoted",
+    "source_file_metadata_columns",
+    # sinks (2)
+    "sink_compressed_codec_roundtrip",
+    "sink_python_datasource_writer",
+    # mutation (3)
+    "mutation_overwrite_dynamic_partitions",
+    "mutation_scd2_asof_lookup",
+    "mutation_snapshot_expiry",
+    # multimodal (3)
+    "multimodal_payload_dedup",
+    "multimodal_bytes_stats_arrow",
+    "multimodal_aspect_ratio_buckets",
+    # curation (6)
+    "curation_quality_percentile_gate",
+    "curation_train_order_shuffle",
+    "curation_temperature_mixture",
+    "curation_seq_length_histogram",
+    "curation_chat_format_validation",
+    "curation_epoch_repeat_plan",
+    # streaming (3)
+    "streaming_watermark_late_drop_live",
+    "streaming_state_store_inspection",
+    "streaming_state_metadata_inspection",
+    # pii (2)
+    "pii_luhn_validation",
+    "pii_k_anonymity_audit",
+    # url (2)
+    "url_domain_stats",
+    "url_blocklist_filter",
+    # features (2)
+    "feature_standard_scaler",
+    "feature_target_encoding_loo",
+    # projections (2)
+    "project_cast_arithmetic",
+    "project_unpivot_metrics",
+    # singles (6)
+    "corpus_dataset_card",
+    "agg_percentile_interpolated",
+    "sample_contrastive_pairs",
+    "split_grouped_kfold",
+    "udf_python_rowwise",
+    "udtf_table_argument_stats",
+    # prior-green pads (green in CORRECTNESS_r08; padding rule above)
     "dedup_minhash_clusters",
-    "dedup_cluster_keep_best",
-    "dedup_ngram_containment",
-    "dedup_span_redaction",
-    "dedup_prefix_filter_join",
-    "dedup_content_defined_chunks",
-    "dedup_survivorship_report",
-    # embedding (4)
-    "embedding_label_centroids",
-    "embedding_norm_quality",
-    "embedding_matryoshka_recall",
-    "embedding_kmeans_lloyd",
-    # text (6)
-    "text_char_diversity",
-    "text_tokenizer_fertility",
-    "text_code_detection",
-    "text_oov_rate_by_lang",
-    "text_entity_resolution_clusters",
-    "text_bigram_lm_crossentropy",
-    # explode (4)
-    "explode_tokens",
-    "explode_token_frequencies",
-    "explode_tokens_with_position",
-    "explode_outer_empty_arrays",
-    # scalar (6)
-    "scalar_timestamp_epoch_suite",
-    "scalar_try_error_safe_suite",
-    "scalar_higher_order_suite",
-    "scalar_collation_ci_suite",
-    "scalar_ipv4_suite",
     "scalar_haversine_distance",
-    # sql (3)
-    "sql_parameterized_cte",
-    "sql_recursive_date_spine",
-    "sql_group_by_all_ordinal",
-    # graph (3)
     "graph_connected_components",
-    "graph_degree_assortativity",
-    "graph_jaccard_link_prediction",
 ]
 
 

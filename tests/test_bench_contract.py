@@ -52,11 +52,38 @@ def test_bench_emits_attribution_fields():
         "calibration_ratio_end", "noisy_host",
         "registry_sweep_sec", "registry_sweep_slowest",
         "registry_sweep_slowest_offsets", "registry_sweep_slowest_steal_sec",
-        "registry_sweep_probes", "headline_steal_sec", "total_steal_sec",
+        "registry_sweep_probes", "headline_steal_sec",
+        "headline_steal_min_attempt_sec", "total_steal_sec",
         "registry_sweep_queries", "registry_sweep_failed",
     }
     missing = required - emitted
     assert not missing, f"bench JSON lost fields: {sorted(missing)}"
+
+
+def test_bench_emits_longitudinal_fields_last():
+    """The driver archives only the TAIL of bench's single JSON line
+    (r7/r8 both truncated); the longitudinal fields must be the final
+    keys of the record dict — noise_ratio_per_query, then queries, then
+    value — so a tail-truncated archive still carries the per-query
+    headline timings and the headline total."""
+    import ast
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    record = None
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.Dict):
+            keys = [
+                k.value
+                for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)
+            ]
+            if "metric" in keys:
+                record = keys
+    assert record is not None
+    assert record[-3:] == ["noise_ratio_per_query", "queries", "value"], (
+        f"longitudinal fields must close the record; got tail {record[-3:]}"
+    )
 
 
 def test_steal_counter_reads():
