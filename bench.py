@@ -251,6 +251,13 @@ def main() -> None:
     }
     slowest_offsets = {n: sweep_offsets[n] for n in slowest}
     slowest_steal = {n: round(sweep_steal.get(n, 0.0), 1) for n in slowest}
+    # cold marker (round-9 receipt): the warmup loop only runs HEADLINE,
+    # so every other sweep entry is its FIRST in-session execution and may
+    # carry one-time cost — measured: the python-datasource writer pays
+    # ~6 s of worker fork+import on its first run (at ~0 steal) and 0.6 s
+    # warm. A slowest-10 entry with cold=true and ~0 steal is that class,
+    # not a regression; re-measure warm-isolated before investigating.
+    slowest_cold = {n: n not in names for n in slowest}
     noisy_host_mid = any(
         p["ratio"] > CALIBRATION_NOISY_RATIO for p in sweep_probes
     )
@@ -291,6 +298,7 @@ def main() -> None:
                 "registry_sweep_slowest": slowest,
                 "registry_sweep_slowest_offsets": slowest_offsets,
                 "registry_sweep_slowest_steal_sec": slowest_steal,
+                "registry_sweep_slowest_cold": slowest_cold,
                 "registry_sweep_probes": sweep_probes,
                 "headline_steal_sec": headline_steal,
                 "headline_steal_min_attempt_sec": headline_steal_min,

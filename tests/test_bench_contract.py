@@ -53,7 +53,8 @@ def test_bench_emits_attribution_fields():
         "registry_sweep_sec", "registry_sweep_slowest",
         "registry_sweep_slowest_offsets", "registry_sweep_slowest_steal_sec",
         "registry_sweep_probes", "headline_steal_sec",
-        "headline_steal_min_attempt_sec", "total_steal_sec",
+        "headline_steal_min_attempt_sec", "registry_sweep_slowest_cold",
+        "total_steal_sec",
         "registry_sweep_queries", "registry_sweep_failed",
     }
     missing = required - emitted

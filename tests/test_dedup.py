@@ -245,6 +245,28 @@ def test_two_phase_cc_converges_on_deep_chain_in_log_rounds(spark):
     assert any(r["cluster_rep"] != 0 for r in lpa)  # the contrast LPA can't
 
 
+def test_two_phase_cc_releases_consumed_checkpoints(spark):
+    """Each two_phase alternation localCheckpoints two edge frames; the
+    consumed ones (previous round's edges, the large-star intermediate)
+    must be unpersisted as soon as the round's fixpoint check passes —
+    on a deep chain (many alternations) leaving them to the
+    ContextCleaner pins O(rounds) storage blocks for the whole run.
+    Bound: after collecting the result, at most the mirrored input, the
+    final edge set, and the current suite's unrelated leftovers remain."""
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    n = 200  # path graph -> ~8 alternations -> ~16 checkpoints created
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    D.dedup_clusters(pairs, max_iters=10, algorithm="two_phase").collect()
+    leaked = sc.getPersistentRDDs().size() - before
+    assert leaked <= 3, (
+        f"{leaked} checkpoint RDDs still persisted after a two_phase run "
+        "(expected <=3: mirrored input, initial edges head, final edges)"
+    )
+
+
 def test_two_phase_cc_self_pairs_and_gate(spark):
     """Self-pairs map to themselves (parity with the LPA path), and the
     integral/decimal id gate applies regardless of algorithm."""
