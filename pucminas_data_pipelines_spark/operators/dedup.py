@@ -25,6 +25,9 @@ from pucminas_data_pipelines_spark.functions.text import (
     token_shingles,
 )
 from pucminas_data_pipelines_spark.functions.vector import cosine_similarity
+from pucminas_data_pipelines_spark.operators.checkpoint import (
+    free_local_checkpoint,
+)
 
 def exact_duplicates(
     df: DataFrame, id_col: str, text_col: str, normalized: bool = True
@@ -538,7 +541,13 @@ def dedup_clusters(
     prev_sum = _sum(labels)
 
     for _ in range(max_iters):
+        prev_labels = labels
         labels = _propagation_round(edges, labels).localCheckpoint()
+        # the new round's checkpoint is materialized (eager) and derives
+        # nothing lazily from the old one — free the consumed round's
+        # blocks now rather than pinning O(rounds) dead label frames
+        # until the ContextCleaner runs (same discipline as two_phase)
+        free_local_checkpoint(prev_labels)
         new_sum = _sum(labels)
         if new_sum == prev_sum:
             break
@@ -619,20 +628,6 @@ def _two_phase_cc(e: DataFrame, max_iters: int) -> DataFrame:
             .localCheckpoint()
         )
 
-    def _free_checkpoint(df: DataFrame) -> None:
-        # Drop a consumed localCheckpoint's executor blocks NOW instead of
-        # waiting for the ContextCleaner: two checkpoints per alternation
-        # otherwise pin storage for the whole run on large graphs. The
-        # checkpointed RDD is the analyzed plan's LogicalRDD.rdd; the
-        # frame is UNUSABLE afterwards (lineage truncated, blocks gone),
-        # so callers may only free frames no later step references.
-        # Best-effort: on any JVM-shape change the ContextCleaner path
-        # still reclaims the blocks eventually.
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
-
     for _ in range(max_iters):
         prev_edges = edges
         # large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v > u
@@ -664,8 +659,8 @@ def _two_phase_cc(e: DataFrame, max_iters: int) -> DataFrame:
         # `mid` has no remaining reader, and the fixpoint check above was
         # prev_edges' last use (on convergence the surviving answer is
         # `edges`, a separate checkpoint with identical content)
-        _free_checkpoint(mid)
-        _free_checkpoint(prev_edges)
+        free_local_checkpoint(mid)
+        free_local_checkpoint(prev_edges)
         if done:
             converged = True
             break

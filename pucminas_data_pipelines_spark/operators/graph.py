@@ -15,6 +15,10 @@ Scale design (100 TB edge list, 1000 executors):
 - lineage is truncated every round with an eager localCheckpoint —
   without it the plan doubles per iteration and the driver OOMs planning
   round ~30 (same pattern as operators/dedup.py min-label propagation);
+  each round's CONSUMED checkpoint is released immediately via
+  operators/checkpoint.free_local_checkpoint, so storage stays O(1)
+  rounds instead of pinning every round's dead state until the
+  ContextCleaner runs;
 - a fixed iteration count (default 5) keeps the oracle expressible as
   unrolled SQL; production runs iterate to convergence with the same body.
 """
@@ -23,6 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators.checkpoint import (
+    free_local_checkpoint,
+)
 
 
 def pagerank(
@@ -61,6 +69,7 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
     for _ in range(iterations):
+        prev_ranks = ranks
         contrib = (
             e.join(ranks, e["_src"] == ranks["node"])
             .groupBy(F.col("_dst").alias("node"))
@@ -76,6 +85,9 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # new checkpoint is materialized; the consumed round is dead
+        # (round-1 "prev" is the non-checkpoint seed — the free no-ops)
+        free_local_checkpoint(prev_ranks)
     e.unpersist()
     return ranks
 
@@ -130,6 +142,7 @@ def hop_distances(
     ).localCheckpoint(eager=True)
     frontier = dist
     for k in range(1, max_hops + 1):
+        prev_dist = dist
         d = F.broadcast(frontier) if broadcast_state else frontier
         relaxed = e.join(d, e["_src"] == d["node"]).select(
             F.col("_dst").alias("node"), F.lit(k).cast("int").alias("dist")
@@ -141,7 +154,12 @@ def hop_distances(
             .localCheckpoint(eager=True)
         )
         frontier = dist.where(F.col("dist") == k)
-        if not frontier.take(1):
+        empty = not frontier.take(1)
+        # the old frontier filtered prev_dist lazily, so prev_dist's last
+        # reader is the relaxation join above — both it and the new
+        # frontier probe have executed; free the consumed round now
+        free_local_checkpoint(prev_dist)
+        if empty:
             break
     e.unpersist()
     return dist
@@ -202,6 +220,7 @@ def label_propagation(
         )
         # carry forward: sinks (no incoming neighbor labels this round)
         # keep their previous label instead of silently vanishing
+        prev_labels = labels
         labels = (
             labels.select("node", F.col("lbl").alias("_prev"))
             .join(adopted, "node", "left")
@@ -211,6 +230,8 @@ def label_propagation(
         )
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
+            # the new round is materialized; release the consumed one
+            free_local_checkpoint(prev_labels)
     e.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))
 
@@ -306,6 +327,7 @@ def kcore_peel(
     statistics don't, and removes the failure mode."""
     g = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     for _ in range(rounds):
+        prev_g = g
         keep = (
             g.groupBy("a")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -317,4 +339,7 @@ def kcore_peel(
             .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
+        # the shrunk edge set is materialized; the consumed round is dead
+        # (round-1 "prev" is the non-checkpoint input view — free no-ops)
+        free_local_checkpoint(prev_g)
     return g.select(F.col("a").alias(src), F.col("b").alias(dst))

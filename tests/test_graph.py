@@ -139,3 +139,41 @@ def test_hop_distances_multi_source_min_and_cap(spark):
         ).collect()
     }
     assert got1 == {1: 0, 2: 1}
+
+
+def test_iterative_loops_release_consumed_checkpoints(spark):
+    """pagerank / hop_distances / label_propagation / kcore_peel truncate
+    lineage with one eager localCheckpoint per round; the CONSUMED
+    round's blocks must be released as soon as the new round
+    materializes (operators/checkpoint.free_local_checkpoint), not
+    pinned until the ContextCleaner runs. Bound: after collecting, at
+    most the final round's state (plus the loop's seed frame) remains
+    persisted per operator — independent of iteration count."""
+    from pucminas_data_pipelines_spark.operators.graph import (
+        hop_distances,
+        kcore_peel,
+        label_propagation,
+        pagerank,
+    )
+
+    sc = spark.sparkContext._jsc.sc()
+    ring = [(i, (i + 1) % 12) for i in range(12)]
+    edges = spark.createDataFrame(
+        ring + [(b, a) for a, b in ring], "src bigint, dst bigint"
+    )
+
+    for tag, run in {
+        "pagerank": lambda: pagerank(edges, iterations=8),
+        "hop": lambda: hop_distances(
+            edges, spark.createDataFrame([(0,)], "node bigint"), max_hops=6
+        ),
+        "lpa": lambda: label_propagation(edges, iterations=6),
+        "kcore": lambda: kcore_peel(edges, k=2, rounds=6, src="src", dst="dst"),
+    }.items():
+        before = sc.getPersistentRDDs().size()
+        run().collect()
+        leaked = sc.getPersistentRDDs().size() - before
+        assert leaked <= 2, (
+            f"{tag}: {leaked} checkpoint RDDs persisted after the run "
+            "(expected <=2: final state + seed)"
+        )
