@@ -90,8 +90,17 @@ def weighted_sample(df: DataFrame, id_col: str, weight: Column) -> DataFrame:
     (clamped to [0, 1]): keep iff hash_unit(id) < weight. Stable across
     runs, partitionings, and engines; zero shuffle — the standard
     quality-weighted document downsampling step in corpus curation.
+
+    NULL and NaN weights EXCLUDE the row (a probability that does not
+    exist keeps nothing). The NaN gate is load-bearing: Spark's total
+    ordering puts NaN above every number, so an unguarded clamp
+    ``least(greatest(NaN, 0), 1)`` resolves to 1.0 and a NaN-weight row
+    would be kept unconditionally — the opposite of its meaning.
     """
-    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    wd = weight.cast("double")
+    w = F.when(
+        ~F.isnan(wd), F.least(F.greatest(wd, F.lit(0.0)), F.lit(1.0))
+    )
     return df.where(hash_unit(F.col(id_col)) < w)
 
 
@@ -107,8 +116,14 @@ def weighted_sample_exact_k(
     what token-budget mixture fills need.
 
     Scale: global top-k by key plans as TakeOrdered (no total sort);
-    weights <= 0 are excluded (their key is NULL)."""
-    w = F.when(weight > 0, weight)
+    weights <= 0, NULL, and NaN are excluded (their key is NULL). The
+    explicit NaN gate is load-bearing: Spark's total ordering puts NaN
+    above every number, so without it a NaN weight passes ``> 0``,
+    yields key = pow(u, 1/NaN) = NaN, and NaN sorts FIRST under the
+    descending top-k — NaN-weight rows would displace every legitimately
+    weighted row from the sample."""
+    wd = weight.cast("double")
+    w = F.when((wd > 0) & ~F.isnan(wd), wd)
     key = F.pow(hash_unit(F.col(id_col)), F.lit(1.0) / w)
     return (
         df.withColumn("_es_key", key)
