@@ -40,8 +40,18 @@ def norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """cos(a,b) = dot / (|a|·|b|); NULL when either norm is 0."""
-    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+    """cos(a,b) = dot / (|a|·|b|); NULL when either norm is 0 AND when
+    the result is NaN (a NaN/Inf component in either vector).
+
+    The NaN→NULL mapping is load-bearing for every ranking built on this
+    function: Spark's total ordering sorts NaN ABOVE every number, so one
+    corrupt embedding component would otherwise place its row FIRST in
+    each descending top-k (brute-force/LSH/IVF kNN, contrastive mining),
+    displacing every legitimate neighbor. NULL sorts last under desc and
+    fails `> threshold` filters, so corrupt vectors fall out of results
+    instead of dominating them."""
+    cos = dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+    return F.when(~F.isnan(cos), cos)
 
 
 def l2_distance(a: Column, b: Column) -> Column:
@@ -60,6 +70,15 @@ def l2_distance(a: Column, b: Column) -> Column:
 
 
 def normalize(a: Column) -> Column:
-    """Unit-normalize an array<float|double> into array<double>."""
+    """Unit-normalize an array<float|double> into array<double>; NULL for
+    a zero vector or one with NaN/Inf components (0.0/0.0 per component
+    would otherwise yield a silently corrupt all-NaN "unit" vector)."""
     n = norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    # n > 0 rejects zero vectors; n < inf rejects both Inf norms (which
+    # would silently normalize to an all-zero "unit" vector) and NaN
+    # norms — Spark's total ordering puts NaN above every value
+    # including Inf, so NaN > 0 is TRUE but NaN < inf is FALSE
+    return F.when(
+        (n > 0) & (n < F.lit(float("inf"))),
+        F.transform(a, lambda x: x.cast("double") / n),
+    )

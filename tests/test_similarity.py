@@ -204,3 +204,53 @@ def test_pq_codebooks_shape_and_determinism(spark):
     b2 = S.train_pq_codebooks(emb, "embedding", m=8, k_sub=16, sample_size=256)
     assert b1.shape == (8, 16, 8)
     assert (b1 == b2).all()  # hash-threshold sample + fixed seed => stable
+
+
+def test_cosine_nan_component_never_tops_ranking(spark):
+    """A NaN component in a corpus vector must yield a NULL cosine (not
+    NaN): Spark sorts NaN above every number, so before the guard the
+    corrupt row ranked FIRST for every query in each desc top-k."""
+    from pucminas_data_pipelines_spark.functions.vector import (
+        cosine_similarity,
+        normalize,
+    )
+    from pucminas_data_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [float("nan"), 1.0]),
+            (3, [0.9, 0.1]),
+            (4, [0.0, 0.0]),  # zero vector: NULL cosine, also excluded
+        ],
+        "vid bigint, v array<double>",
+    )
+    queries = spark.createDataFrame([(100, [1.0, 0.0])], "vid bigint, v array<double>")
+    got = brute_force_topk(queries, corpus, "vid", "vid", "v", k=2).collect()
+    assert [r["neighbor_id"] for r in got] == [1, 3]
+    assert all(r["cosine"] is not None for r in got)
+
+    # direct function contract: NaN component and zero vector -> NULL
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.createDataFrame(
+            [([1.0, 0.0], [float("nan"), 1.0], [0.0, 0.0])],
+            "a array<double>, b array<double>, z array<double>",
+        )
+        .select(
+            cosine_similarity(F.col("a"), F.col("b")).alias("c_nan"),
+            cosine_similarity(F.col("a"), F.col("z")).alias("c_zero"),
+            normalize(F.col("z")).alias("n_zero"),
+            normalize(F.col("b")).alias("n_nan"),
+            normalize(F.col("a")).alias("n_ok"),
+        )
+        .first()
+    )
+    assert row["c_nan"] is None
+    assert row["c_zero"] is None
+    assert row["n_zero"] is None
+    assert row["n_nan"] is None
+    assert row["n_ok"] == [1.0, 0.0]
