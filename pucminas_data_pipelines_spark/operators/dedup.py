@@ -468,7 +468,9 @@ def dedup_clusters(
     an iterative plan that references the previous round twice grows
     EXPONENTIALLY if only persisted (persist caches data but keeps
     lineage; measured: a 12-round loop OOMs the driver just stringifying
-    the plan) — checkpointing truncates lineage to O(1) per round.
+    the plan) — checkpointing truncates lineage to O(1) per round, and
+    the consumed round's blocks are released immediately
+    (operators/checkpoint.py) so storage stays O(1) rounds too.
 
     ``algorithm``: ``"lpa"`` (default — min-label propagation, best when
     cluster diameters are small, which near-dup graphs are) or

@@ -750,3 +750,52 @@ def test_asof_min_by_tiebreak_at_integral_min_value(spark):
                 direction=direction, tolerance=tol, tiebreak=["oid"],
             ).collect()
             assert len(got) == 1 and got[0]["oid"] == 7, (ddl, direction, got)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=True, allow_infinity=True, width=32),
+            st.floats(min_value=0.01, max_value=100.0),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 8),
+)
+def test_weighted_exact_k_selects_only_valid_weights(spark, weights, k):
+    """Efraimidis–Spirakis exact-k: the sample contains min(k, eligible)
+    rows, every selected row has a finite positive weight, and the
+    selected SET is invariant under repartitioning — regardless of NaN /
+    Inf / NULL / non-positive weights in the pool (Spark's total
+    ordering sorts NaN above every number, so an ungated NaN key would
+    win the top-k)."""
+    import math
+
+    from pucminas_data_pipelines_spark.operators.sampling import (
+        weighted_sample_exact_k,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id bigint, w double"
+    )
+    eligible = {
+        i
+        for i, w in enumerate(weights)
+        if w is not None and not math.isnan(w) and w > 0
+    }
+    picked = {
+        r["id"]
+        for r in weighted_sample_exact_k(df, "id", F.col("w"), k=k).collect()
+    }
+    assert picked <= eligible
+    assert len(picked) == min(k, len(eligible))
+    repicked = {
+        r["id"]
+        for r in weighted_sample_exact_k(
+            df.repartition(5), "id", F.col("w"), k=k
+        ).collect()
+    }
+    assert repicked == picked
