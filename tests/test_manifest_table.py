@@ -1,0 +1,138 @@
+"""ManifestVersionedTable: versions share files; merge/delete rewrite
+only affected buckets. Differential-tested against the snapshot façade
+(ParquetVersionedTable) on identical inputs — same semantics, different
+commit cost — plus explicit file-reuse and vacuum reference-count
+assertions (the O(changed-buckets) claim, pinned)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators.upsert import (
+    ManifestVersionedTable,
+    ParquetVersionedTable,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "id bigint, name string, score double")
+
+
+BASE = [
+    (1, "ana", 10.0),
+    (2, "bia", 20.0),
+    (3, "caio", 30.0),
+    (4, "dina", 40.0),
+    (5, "edu", 50.0),
+    (6, "fabi", 60.0),
+]
+UPDATES = [
+    (2, "bia2", 21.0),  # matched -> update-all
+    (7, "gui", 70.0),  # unmatched -> insert-all
+    (None, "nilda", 0.0),  # NULL key -> inserted as-is (Delta semantics)
+]
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()), key=lambda t: (t[0] is None, t[0]))
+
+
+def test_merge_matches_snapshot_facade(spark, tmp_path):
+    m = ManifestVersionedTable(spark, str(tmp_path / "m"), key="id", n_buckets=8)
+    p = ParquetVersionedTable(spark, str(tmp_path / "p"))
+    m.overwrite(_rows(spark, BASE))
+    p.overwrite(_rows(spark, BASE))
+    m.merge(_rows(spark, UPDATES))
+    p.merge(_rows(spark, UPDATES), key="id")
+    assert _sorted(m.read()) == _sorted(p.read())
+    # time travel to the pre-merge version still serves the base rows
+    assert _sorted(m.read(version_as_of=0)) == _sorted(p.read(version_as_of=0))
+
+
+def test_merge_shares_untouched_bucket_files(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.overwrite(_rows(spark, BASE))
+    before = dict(t._manifest(0)["buckets"])
+    t.merge(_rows(spark, [(2, "bia2", 21.0)]))  # touches exactly 1 bucket
+    after = dict(t._manifest(1)["buckets"])
+    changed = {b for b in set(before) | set(after) if before.get(b) != after.get(b)}
+    assert len(changed) == 1, f"one-key merge must rewrite 1 bucket, got {changed}"
+    # every untouched bucket points at the ORIGINAL files (shared, not copied)
+    for b in set(before) - changed:
+        assert after[b] == before[b]
+
+
+def test_delete_where_matches_facade_and_shares_files(spark, tmp_path):
+    m = ManifestVersionedTable(spark, str(tmp_path / "m"), key="id", n_buckets=8)
+    p = ParquetVersionedTable(spark, str(tmp_path / "p"))
+    m.overwrite(_rows(spark, BASE))
+    p.overwrite(_rows(spark, BASE))
+    m.delete_where(F.col("score") >= 50.0)
+    p.delete_where(F.col("score") >= 50.0)
+    assert _sorted(m.read()) == _sorted(p.read())
+    before = dict(m._manifest(0)["buckets"])
+    after = dict(m._manifest(1)["buckets"])
+    untouched = {b for b in after if before.get(b) == after[b]}
+    assert untouched, "buckets without matches must keep their files"
+
+
+def test_delete_emptying_a_bucket_drops_it_from_the_manifest(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    t.delete_where(F.lit(True))  # everything
+    assert t.read().count() == 0
+    assert t._manifest(1)["buckets"] == {}
+    # and the previous version still reads in full (files shared, untouched)
+    assert len(_sorted(t.read(version_as_of=0))) == len(BASE)
+
+
+def test_vacuum_reference_counts_shared_buckets(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.overwrite(_rows(spark, BASE))  # v0
+    t.merge(_rows(spark, [(2, "bia2", 21.0)]))  # v1 shares most of v0
+    t.merge(_rows(spark, [(3, "caio2", 31.0)]))  # v2 shares most of v1
+    removed = t.vacuum(retain_last=2)  # expire v0
+    assert removed == [0]
+    with pytest.raises(ValueError):
+        t.read(version_as_of=0)
+    # v1 and v2 still read correctly: their (shared) files survived
+    assert {r["name"] for r in t.read(version_as_of=1).collect()} >= {"bia2"}
+    got = {r["id"]: r["name"] for r in t.read().collect()}
+    assert got[2] == "bia2" and got[3] == "caio2"
+    # only bucket dirs referenced by NO surviving manifest were deleted:
+    # v0's rewritten-in-v1 bucket is gone, everything referenced remains
+    referenced = set(t._manifest(1)["buckets"].values()) | set(
+        t._manifest(2)["buckets"].values()
+    )
+    for d in referenced:
+        assert os.path.isdir(d)
+
+
+def test_reopened_handle_trusts_the_manifest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = ManifestVersionedTable(spark, path, key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    # a handle opened with a DIFFERENT n_buckets must still bucket rows
+    # the way the data was written (manifest wins)
+    t2 = ManifestVersionedTable(spark, path, key="id", n_buckets=64)
+    t2.merge(_rows(spark, [(1, "ana2", 11.0)]))
+    got = {r["id"]: r["name"] for r in t2.read().collect()}
+    assert got[1] == "ana2" and len(got) == len(BASE)
+    # a mismatched key refuses loudly instead of scanning wrong buckets
+    bad = ManifestVersionedTable(spark, path, key="name")
+    with pytest.raises(ValueError, match="keyed on"):
+        bad.read()
+
+
+def test_generate_manifest_lists_latest_files(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    t.merge(_rows(spark, [(2, "bia2", 21.0)]))
+    mf = t.generate_manifest()
+    files = [ln for ln in open(mf).read().splitlines() if ln]
+    assert files and all(f.endswith(".parquet") and os.path.isfile(f) for f in files)
+    latest_dirs = set(t._manifest(t.latest_version())["buckets"].values())
+    assert {os.path.dirname(f) for f in files} == latest_dirs
