@@ -428,6 +428,21 @@ class ManifestVersionedTable:
                 _sh.rmtree(commit_dir, ignore_errors=True)
         return removed
 
+    def optimize(self) -> int:
+        """Compaction (Delta OPTIMIZE analogue): a long merge history
+        leaves the current version's buckets scattered across many small
+        commit directories (one per merge); this rewrites the CURRENT
+        rows into one fresh full layout and commits it as a new version.
+        Older versions keep reading their own (shared) files; a following
+        ``vacuum`` reclaims whatever the retained horizon no longer
+        references. Run it on the same cadence Delta runs OPTIMIZE: when
+        small-file counts start to dominate scan planning."""
+        version = self.latest_version()
+        manifest = self._manifest(version)
+        new_manifest = dict(manifest, buckets=self._write_buckets(self.read()))
+        self._commit_manifest(new_manifest, version + 1)
+        return version + 1
+
     def generate_manifest(self) -> str:
         """O16: symlink-format manifest — the latest version's parquet
         file list, straight from its bucket directories."""

@@ -136,3 +136,41 @@ def test_generate_manifest_lists_latest_files(spark, tmp_path):
     assert files and all(f.endswith(".parquet") and os.path.isfile(f) for f in files)
     latest_dirs = set(t._manifest(t.latest_version())["buckets"].values())
     assert {os.path.dirname(f) for f in files} == latest_dirs
+
+
+def test_version_diff_cdc_works_on_manifest_table(spark, tmp_path):
+    """version_diff is table-agnostic (anything with .read(version)): the
+    manifest table must produce the same CDC rows as the facade."""
+    from pucminas_data_pipelines_spark.operators.upsert import version_diff
+
+    m = ManifestVersionedTable(spark, str(tmp_path / "m"), key="id", n_buckets=8)
+    p = ParquetVersionedTable(spark, str(tmp_path / "p"))
+    for t in (m, p):
+        t.overwrite(_rows(spark, BASE))
+    m.merge(_rows(spark, UPDATES))
+    p.merge(_rows(spark, UPDATES), key="id")
+    got_m = _sorted(version_diff(m, "id", 0, 1))
+    got_p = _sorted(version_diff(p, "id", 0, 1))
+    assert got_m == got_p
+    kinds = {t[-1] for t in got_m}
+    assert kinds == {"insert", "update_preimage", "update_postimage"}
+
+
+def test_optimize_compacts_into_one_commit_dir(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.overwrite(_rows(spark, BASE))
+    t.merge(_rows(spark, [(2, "bia2", 21.0)]))
+    t.merge(_rows(spark, [(3, "caio2", 31.0)]))
+    before = _sorted(t.read())
+    frag_dirs = {
+        os.path.dirname(d) for d in t._manifest(t.latest_version())["buckets"].values()
+    }
+    assert len(frag_dirs) > 1  # merges fragmented the layout
+    v = t.optimize()
+    assert _sorted(t.read()) == before  # content identical
+    compact_dirs = {
+        os.path.dirname(d) for d in t._manifest(v)["buckets"].values()
+    }
+    assert len(compact_dirs) == 1  # one fresh commit dir holds everything
+    # pre-optimize versions still time-travel (their files are shared)
+    assert len(_sorted(t.read(version_as_of=0))) == len(BASE)
