@@ -174,3 +174,31 @@ def test_optimize_compacts_into_one_commit_dir(spark, tmp_path):
     assert len(compact_dirs) == 1  # one fresh commit dir holds everything
     # pre-optimize versions still time-travel (their files are shared)
     assert len(_sorted(t.read(version_as_of=0))) == len(BASE)
+
+
+def test_read_keys_prunes_to_probed_buckets(spark, tmp_path):
+    """Point reads scan only the buckets the probe values hash into —
+    verified by the scan's input files — and NULL probes match NULL keys
+    null-safely."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.overwrite(_rows(spark, BASE))
+    t.merge(_rows(spark, UPDATES))  # adds id=7 and a NULL-key row
+
+    got = _sorted(t.read_keys([2, 7]))
+    assert [g[0] for g in got] == [2, 7]
+    assert got[0][1] == "bia2"
+
+    got_null = t.read_keys([None]).collect()
+    assert len(got_null) == 1 and got_null[0]["name"] == "nilda"
+
+    # pruning proof: the executed scan lists files from at most 2 bucket
+    # dirs for a 2-key probe (vs 8 buckets for a full read)
+    df = t.read_keys([2, 7])
+    files = {
+        r[0].rsplit("/", 2)[-2]
+        for r in df.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(files) <= 2, f"2-key probe scanned bucket dirs {files}"
+
+    # time travel composes: before the merge, id=7 did not exist
+    assert t.read_keys([7], version_as_of=0).count() == 0
