@@ -799,3 +799,54 @@ def test_weighted_exact_k_selects_only_valid_weights(spark, weights, k):
         ).collect()
     }
     assert repicked == picked
+
+
+@_SETTINGS
+@given(
+    st.dictionaries(
+        st.one_of(st.none(), st.integers(0, 20)),
+        st.one_of(st.none(), st.integers(0, 99)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.dictionaries(
+        st.one_of(st.none(), st.integers(0, 20)),
+        st.one_of(st.none(), st.integers(100, 199)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(1, 9),
+)
+def test_manifest_merge_matches_snapshot_facade(spark, base, updates, n_buckets):
+    """ManifestVersionedTable.merge (bucket-pruned rewrite) must equal
+    ParquetVersionedTable.merge (full-snapshot rewrite) on arbitrary key
+    sets — NULL keys and NULL values included — for any bucket count,
+    and time travel to v0 must serve the base on both."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    def _df(d):
+        return spark.createDataFrame(
+            sorted(d.items(), key=lambda kv: (kv[0] is None, kv[0])),
+            "k int, v int",
+        )
+
+    def _rows(df):
+        return sorted(
+            ((r["k"], r["v"]) for r in df.collect()),
+            key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+        )
+
+    mp = "/root/repo/.tmp/prop_mvt"
+    pp = "/root/repo/.tmp/prop_mvt_facade"
+    shutil.rmtree(mp, ignore_errors=True)
+    shutil.rmtree(pp, ignore_errors=True)
+    m = ManifestVersionedTable(spark, mp, key="k", n_buckets=n_buckets)
+    p = ParquetVersionedTable(spark, pp)
+    m.overwrite(_df(base))
+    p.overwrite(_df(base))
+    m.merge(_df(updates))
+    p.merge(_df(updates), key="k")
+    assert _rows(m.read()) == _rows(p.read())
+    assert _rows(m.read(version_as_of=0)) == _rows(p.read(version_as_of=0))
