@@ -145,6 +145,16 @@ def sample_frames(
     """'Frame sampling' plumbing (video analogue): emit up to max_frames
     slices per asset — expression-only (slice positions computed in SQL,
     payload sliced with substring on binary cast)."""
+    if max_frames < 1:
+        # sequence(0, max_frames-1) is DESCENDING for max_frames=0 —
+        # Spark's sequence counts downward when stop < start — so the
+        # degenerate call would silently emit a garbage frame_no=-1 row
+        # per asset instead of zero frames; refuse loudly
+        raise ValueError(f"max_frames={max_frames} must be >= 1")
+    if every_nth_byte < 1:
+        # a zero stride emits max_frames duplicate offset-0 frames;
+        # negative strides emit negative offsets — both nonsense
+        raise ValueError(f"every_nth_byte={every_nth_byte} must be >= 1")
     idx = F.sequence(F.lit(0), F.lit(max_frames - 1))
     return assets.select(
         "asset_id",

@@ -80,3 +80,15 @@ def test_shard_roundtrip_recovers_every_asset(spark):
 
     rows = QUERIES["multimodal_shard_roundtrip"](spark, SF_SMOKE).collect()
     assert rows and all(r["all_roundtrip_ok"] for r in rows)
+
+
+def test_frame_sample_rejects_degenerate_parameters(spark):
+    """max_frames=0 would make sequence(0,-1) count DOWNWARD (Spark's
+    sequence is descending when stop < start) and silently emit a garbage
+    frame_no=-1 row per asset; every_nth_byte=0 would emit duplicate
+    offset-0 frames. Both refuse loudly."""
+    _, assets = _assets(spark)
+    with pytest.raises(ValueError, match="max_frames"):
+        M.sample_frames(assets, max_frames=0)
+    with pytest.raises(ValueError, match="every_nth_byte"):
+        M.sample_frames(assets, every_nth_byte=0)
