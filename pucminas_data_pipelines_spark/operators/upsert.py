@@ -171,8 +171,14 @@ class ManifestVersionedTable:
     Layout::
 
         <path>/data/<commit-uuid>/mvt_bucket=<b>/part-*.parquet
-        <path>/_manifests/v=<N>.json   # bucket -> data dir, schema, key
+        <path>/_manifests/v=<N>.json   # bucket -> [data dirs], schema, key
         <path>/_LATEST
+
+    Each bucket maps to a LIST of directories: ``append`` (the dominant
+    ingestion commit) just writes its new files and extends the lists —
+    O(new data), no rewrite, exactly Delta's add-files commit — while
+    ``merge``/``delete_where`` rewrite an affected bucket back to a
+    single directory (compacting its append history as a side effect).
 
     Rows hash into ``n_buckets`` buckets on the merge key at write time
     (pmod(xxhash64(key), B) — NULL keys land in one deterministic
@@ -253,9 +259,11 @@ class ManifestVersionedTable:
             F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)
         ).cast("int")
 
-    def _write_buckets(self, df: DataFrame) -> dict[str, str]:
+    def _write_buckets(self, df: DataFrame) -> dict[str, list[str]]:
         """Write df hash-partitioned by bucket under a fresh commit dir;
-        return {bucket: dir} for the buckets that produced data."""
+        return {bucket: [dir]} for the buckets that produced data (the
+        single-element list is the rewrite/compact shape — ``append``
+        extends lists instead of replacing them)."""
         import uuid as _uuid
 
         commit_dir = f"{self.path}/data/{_uuid.uuid4().hex[:12]}"
@@ -264,11 +272,20 @@ class ManifestVersionedTable:
             .write.partitionBy("mvt_bucket")
             .parquet(commit_dir)
         )
-        out: dict[str, str] = {}
+        out: dict[str, list[str]] = {}
         for name in os.listdir(commit_dir):
             if name.startswith("mvt_bucket="):
-                out[name.split("=", 1)[1]] = os.path.join(commit_dir, name)
+                out[name.split("=", 1)[1]] = [os.path.join(commit_dir, name)]
         return out
+
+    @staticmethod
+    def _bucket_dirs(
+        buckets: dict[str, list[str]], subset: list[str] | None = None
+    ) -> list[str]:
+        keys = sorted(buckets) if subset is None else [
+            b for b in subset if b in buckets
+        ]
+        return [d for b in keys for d in buckets[b]]
 
     def _empty(self, manifest: dict) -> DataFrame:
         from pyspark.sql.types import StructType
@@ -308,7 +325,26 @@ class ManifestVersionedTable:
         if version < 0 or version > self.latest_version():
             raise ValueError(f"version {version_as_of} does not exist")
         manifest = self._manifest(version)
-        return self._read_dirs(manifest, sorted(manifest["buckets"].values()))
+        return self._read_dirs(manifest, self._bucket_dirs(manifest["buckets"]))
+
+    def append(self, df: DataFrame) -> int:
+        """APPEND — the dominant ingestion commit at scale: write ONLY the
+        new rows' files and extend the manifest's bucket lists; nothing
+        existing is read or rewritten, so the commit is O(new data)
+        regardless of table size (Delta's add-files commit). The price is
+        file-count growth per bucket — ``merge``/``delete_where`` compact
+        the buckets they touch back to one directory, and ``optimize``
+        compacts everything."""
+        version = self.latest_version()
+        manifest = self._manifest(version)
+        if df.columns != manifest["columns"]:
+            df = df.select(*manifest["columns"])
+        written = self._write_buckets(df)
+        new_buckets = {b: list(ds) for b, ds in manifest["buckets"].items()}
+        for b, ds in written.items():
+            new_buckets.setdefault(b, []).extend(ds)
+        self._commit_manifest(dict(manifest, buckets=new_buckets), version + 1)
+        return version + 1
 
     def merge(
         self,
@@ -334,9 +370,9 @@ class ManifestVersionedTable:
             str(r["b"])
             for r in source.select(self._bucket_expr().alias("b")).distinct().collect()
         )
-        prev_buckets: dict[str, str] = dict(manifest["buckets"])
+        prev_buckets: dict[str, list[str]] = dict(manifest["buckets"])
         target = self._read_dirs(
-            manifest, [prev_buckets[b] for b in affected if b in prev_buckets]
+            manifest, self._bucket_dirs(prev_buckets, affected)
         )
 
         src = F.broadcast(source) if broadcast_source else source
@@ -365,7 +401,7 @@ class ManifestVersionedTable:
         manifest), everything else shares the previous version's files."""
         version = self.latest_version()
         manifest = self._manifest(version)
-        prev_buckets: dict[str, str] = dict(manifest["buckets"])
+        prev_buckets: dict[str, list[str]] = dict(manifest["buckets"])
         affected = sorted(
             str(r["b"])
             for r in self.read()
@@ -377,7 +413,7 @@ class ManifestVersionedTable:
         new_buckets = dict(prev_buckets)
         if affected:
             kept = self._read_dirs(
-                manifest, [prev_buckets[b] for b in affected if b in prev_buckets]
+                manifest, self._bucket_dirs(prev_buckets, affected)
             ).where(~condition)
             written = self._write_buckets(kept)
             for b in affected:
@@ -412,7 +448,7 @@ class ManifestVersionedTable:
         referenced: set[str] = set()
         for v in self.history():
             if v in keep:
-                referenced.update(self._manifest(v)["buckets"].values())
+                referenced.update(self._bucket_dirs(self._manifest(v)["buckets"]))
         for v in self.history():
             if v not in keep:
                 os.remove(self._manifest_path(v))
@@ -467,7 +503,7 @@ class ManifestVersionedTable:
             .distinct()
             .collect()
         )
-        dirs = [manifest["buckets"][b] for b in buckets if b in manifest["buckets"]]
+        dirs = self._bucket_dirs(manifest["buckets"], buckets)
         df = self._read_dirs(manifest, dirs)
         return df.join(
             F.broadcast(probe),
@@ -495,7 +531,7 @@ class ManifestVersionedTable:
         file list, straight from its bucket directories."""
         manifest = self._manifest(self.latest_version())
         files: list[str] = []
-        for d in sorted(manifest["buckets"].values()):
+        for d in self._bucket_dirs(manifest["buckets"]):
             files.extend(
                 os.path.join(d, f)
                 for f in sorted(os.listdir(d))

@@ -104,9 +104,9 @@ def test_vacuum_reference_counts_shared_buckets(spark, tmp_path):
     assert got[2] == "bia2" and got[3] == "caio2"
     # only bucket dirs referenced by NO surviving manifest were deleted:
     # v0's rewritten-in-v1 bucket is gone, everything referenced remains
-    referenced = set(t._manifest(1)["buckets"].values()) | set(
-        t._manifest(2)["buckets"].values()
-    )
+    referenced = set(
+        ManifestVersionedTable._bucket_dirs(t._manifest(1)["buckets"])
+    ) | set(ManifestVersionedTable._bucket_dirs(t._manifest(2)["buckets"]))
     for d in referenced:
         assert os.path.isdir(d)
 
@@ -134,7 +134,9 @@ def test_generate_manifest_lists_latest_files(spark, tmp_path):
     mf = t.generate_manifest()
     files = [ln for ln in open(mf).read().splitlines() if ln]
     assert files and all(f.endswith(".parquet") and os.path.isfile(f) for f in files)
-    latest_dirs = set(t._manifest(t.latest_version())["buckets"].values())
+    latest_dirs = set(
+        ManifestVersionedTable._bucket_dirs(t._manifest(t.latest_version())["buckets"])
+    )
     assert {os.path.dirname(f) for f in files} == latest_dirs
 
 
@@ -163,13 +165,17 @@ def test_optimize_compacts_into_one_commit_dir(spark, tmp_path):
     t.merge(_rows(spark, [(3, "caio2", 31.0)]))
     before = _sorted(t.read())
     frag_dirs = {
-        os.path.dirname(d) for d in t._manifest(t.latest_version())["buckets"].values()
+        os.path.dirname(d)
+        for d in ManifestVersionedTable._bucket_dirs(
+            t._manifest(t.latest_version())["buckets"]
+        )
     }
     assert len(frag_dirs) > 1  # merges fragmented the layout
     v = t.optimize()
     assert _sorted(t.read()) == before  # content identical
     compact_dirs = {
-        os.path.dirname(d) for d in t._manifest(v)["buckets"].values()
+        os.path.dirname(d)
+        for d in ManifestVersionedTable._bucket_dirs(t._manifest(v)["buckets"])
     }
     assert len(compact_dirs) == 1  # one fresh commit dir holds everything
     # pre-optimize versions still time-travel (their files are shared)
@@ -202,3 +208,32 @@ def test_read_keys_prunes_to_probed_buckets(spark, tmp_path):
 
     # time travel composes: before the merge, id=7 did not exist
     assert t.read_keys([7], version_as_of=0).count() == 0
+
+
+def test_append_is_o_new_data_and_composes(spark, tmp_path):
+    """APPEND writes only the new rows' files and extends bucket lists —
+    every pre-existing directory reference is carried over UNCHANGED —
+    and reads/merges over the appended table stay correct."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.overwrite(_rows(spark, BASE))
+    extra = [(10, "gil", 100.0), (11, "hana", 110.0)]
+    v = t.append(_rows(spark, extra))
+    assert v == 1
+    assert _sorted(t.read()) == _sorted(_rows(spark, BASE + extra))
+    # file reuse: every v0 directory appears verbatim in v1's lists
+    b0 = t._manifest(0)["buckets"]
+    b1 = t._manifest(1)["buckets"]
+    for b, dirs in b0.items():
+        assert b1[b][: len(dirs)] == dirs
+    # the appended bytes are exactly the new commit's dirs
+    new_dirs = set(ManifestVersionedTable._bucket_dirs(b1)) - set(
+        ManifestVersionedTable._bucket_dirs(b0)
+    )
+    assert new_dirs and len({os.path.dirname(d) for d in new_dirs}) == 1
+    # merge after append compacts the touched bucket and sees appended rows
+    t.merge(_rows(spark, [(10, "gil2", 101.0)]))
+    got = {r["id"]: r["name"] for r in t.read().collect()}
+    assert got[10] == "gil2" and got[11] == "hana"
+    # time travel across all three commit types
+    assert len(_sorted(t.read(version_as_of=0))) == len(BASE)
+    assert len(_sorted(t.read(version_as_of=1))) == len(BASE) + 2
