@@ -279,6 +279,24 @@ class ManifestVersionedTable:
         return out
 
     @staticmethod
+    def _align_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+        """Reorder df's columns to the table's layout; REFUSE a different
+        column SET. Stricter than the snapshot façade's silent
+        select-projection: an append/merge source carrying extra columns
+        almost always means the caller expected schema evolution, and
+        silently dropping the extras would lose data without a trace —
+        evolve the schema with an explicit ``overwrite`` instead."""
+        if set(df.columns) != set(cols):
+            extra = sorted(set(df.columns) - set(cols))
+            missing = sorted(set(cols) - set(df.columns))
+            raise ValueError(
+                f"source columns do not match the table layout "
+                f"(extra={extra}, missing={missing}); schema evolution "
+                "requires an explicit overwrite()"
+            )
+        return df if df.columns == cols else df.select(*cols)
+
+    @staticmethod
     def _bucket_dirs(
         buckets: dict[str, list[str]], subset: list[str] | None = None
     ) -> list[str]:
@@ -337,8 +355,7 @@ class ManifestVersionedTable:
         compacts everything."""
         version = self.latest_version()
         manifest = self._manifest(version)
-        if df.columns != manifest["columns"]:
-            df = df.select(*manifest["columns"])
+        df = self._align_columns(df, manifest["columns"])
         written = self._write_buckets(df)
         new_buckets = {b: list(ds) for b, ds in manifest["buckets"].items()}
         for b, ds in written.items():
@@ -363,8 +380,7 @@ class ManifestVersionedTable:
         version = self.latest_version()
         manifest = self._manifest(version)
         cols = manifest["columns"]
-        if source.columns != cols:
-            source = source.select(*cols)
+        source = self._align_columns(source, cols)
 
         affected = sorted(
             str(r["b"])

@@ -237,3 +237,23 @@ def test_append_is_o_new_data_and_composes(spark, tmp_path):
     # time travel across all three commit types
     assert len(_sorted(t.read(version_as_of=0))) == len(BASE)
     assert len(_sorted(t.read(version_as_of=1))) == len(BASE) + 2
+
+
+def test_append_and_merge_refuse_column_set_mismatch(spark, tmp_path):
+    """A source with extra or missing columns refuses loudly instead of
+    silently projecting the extras away (lost data) — reorder-only
+    alignment is allowed; schema evolution goes through overwrite()."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    wide = _rows(spark, [(9, "iva", 90.0)]).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="extra=\\['extra'\\]"):
+        t.append(wide)
+    with pytest.raises(ValueError, match="schema evolution"):
+        t.merge(wide)
+    narrow = _rows(spark, [(9, "iva", 90.0)]).drop("score")
+    with pytest.raises(ValueError, match="missing=\\['score'\\]"):
+        t.append(narrow)
+    # reordered-but-same-set sources align fine
+    reordered = _rows(spark, [(9, "iva", 90.0)]).select("score", "id", "name")
+    t.append(reordered)
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3, 4, 5, 6, 9}
