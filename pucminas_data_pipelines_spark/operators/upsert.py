@@ -85,6 +85,10 @@ class ParquetVersionedTable:
         off s.<key> would instead emit a garbage all-NULL row."""
         target = self.read()
         cols = target.columns
+        if "_s_present" in cols:
+            # the sentinel below would silently shadow a real column of
+            # the same name (withColumn REPLACES it), corrupting merges
+            raise ValueError("column name '_s_present' is reserved by merge")
         if source.columns != cols:
             source = source.select(*cols)  # align schema by name
         src = F.broadcast(source) if broadcast_source else source
@@ -103,9 +107,12 @@ class ParquetVersionedTable:
         return version
 
     def delete_where(self, condition) -> int:
-        """DELETE (Delta's third merge clause family): keep rows NOT
-        matching the condition."""
-        kept = self.read().where(~condition)
+        """DELETE (Delta's third merge clause family): keep every row
+        whose condition is not TRUE. The null-safe comparison matters:
+        SQL DELETE removes only TRUE-condition rows, so a row where the
+        predicate evaluates to NULL (e.g. a NULL in the filtered column)
+        must survive — a plain ``~condition`` would drop it."""
+        kept = self.read().where(~condition.eqNullSafe(F.lit(True)))
         version = self.latest_version() + 1
         self._commit(kept, version)
         return version
@@ -135,6 +142,10 @@ class ParquetVersionedTable:
         time-travel window the pipeline's consumers need."""
         import shutil as _sh
 
+        if retain_last < 1:
+            # Delta never vacuums the live snapshot: retain_last=0 would
+            # delete every version while _LATEST still points at one
+            raise ValueError(f"retain_last={retain_last} must be >= 1")
         latest = self.latest_version()
         keep = set(range(max(0, latest - retain_last + 1), latest + 1))
         removed: list[int] = []
@@ -203,7 +214,10 @@ class ManifestVersionedTable:
         if n_buckets < 1:
             raise ValueError(f"n_buckets={n_buckets} must be >= 1")
         self.spark = spark
-        self.path = path.rstrip("/")
+        # absolute root: relative spellings would otherwise resolve
+        # against the JVM's cwd on the Spark side (not Python's) and
+        # against Python's cwd on the manifest side — two different dirs
+        self.path = os.path.abspath(path.rstrip("/"))
         self.key = key
         self.n_buckets = n_buckets
 
@@ -263,7 +277,14 @@ class ManifestVersionedTable:
         """Write df hash-partitioned by bucket under a fresh commit dir;
         return {bucket: [dir]} for the buckets that produced data (the
         single-element list is the rewrite/compact shape — ``append``
-        extends lists instead of replacing them)."""
+        extends lists instead of replacing them).
+
+        Directories are recorded RELATIVE to the table root: a manifest
+        must stay valid when the same table is opened through a
+        different path spelling (relative vs absolute, another cwd, a
+        symlinked or moved root) — with verbatim absolute paths, vacuum's
+        referenced-set comparison would miss every live directory and
+        delete data that surviving manifests still point at."""
         import uuid as _uuid
 
         commit_dir = f"{self.path}/data/{_uuid.uuid4().hex[:12]}"
@@ -272,20 +293,35 @@ class ManifestVersionedTable:
             .write.partitionBy("mvt_bucket")
             .parquet(commit_dir)
         )
+        rel_commit = os.path.relpath(commit_dir, self.path)
         out: dict[str, list[str]] = {}
         for name in os.listdir(commit_dir):
             if name.startswith("mvt_bucket="):
-                out[name.split("=", 1)[1]] = [os.path.join(commit_dir, name)]
+                out[name.split("=", 1)[1]] = [os.path.join(rel_commit, name)]
         return out
 
+    def _abs(self, d: str) -> str:
+        """Resolve a manifest-recorded bucket dir against the table root
+        (manifests store root-relative paths; absolute entries from
+        pre-relative manifests still resolve as themselves)."""
+        return d if os.path.isabs(d) else os.path.join(self.path, d)
+
     @staticmethod
-    def _align_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    def _align_columns(df: DataFrame, manifest: dict) -> DataFrame:
         """Reorder df's columns to the table's layout; REFUSE a different
-        column SET. Stricter than the snapshot façade's silent
-        select-projection: an append/merge source carrying extra columns
-        almost always means the caller expected schema evolution, and
-        silently dropping the extras would lose data without a trace —
-        evolve the schema with an explicit ``overwrite`` instead."""
+        column SET or different column TYPES. Stricter than the snapshot
+        façade's silent select-projection: an append/merge source
+        carrying extra columns almost always means the caller expected
+        schema evolution, and silently dropping the extras would lose
+        data without a trace — evolve the schema with an explicit
+        ``overwrite`` instead. Types are enforced too (Delta's schema
+        enforcement on append): a same-named column of a different type
+        would write mixed-type parquet files into one logical table, and
+        a later read would merge-fail or silently coerce depending on
+        which file the schema got inferred from."""
+        from pyspark.sql.types import StructType
+
+        cols = manifest["columns"]
         if set(df.columns) != set(cols):
             extra = sorted(set(df.columns) - set(cols))
             missing = sorted(set(cols) - set(df.columns))
@@ -293,6 +329,22 @@ class ManifestVersionedTable:
                 f"source columns do not match the table layout "
                 f"(extra={extra}, missing={missing}); schema evolution "
                 "requires an explicit overwrite()"
+            )
+        stored = {
+            f.name: f.dataType
+            for f in StructType.fromJson(manifest["schema"]).fields
+        }
+        mismatched = sorted(
+            f"{f.name}: source {f.dataType.simpleString()} "
+            f"!= table {stored[f.name].simpleString()}"
+            for f in df.schema.fields
+            if f.dataType != stored[f.name]
+        )
+        if mismatched:
+            raise ValueError(
+                "source column types do not match the table schema "
+                f"({'; '.join(mismatched)}); cast the source explicitly "
+                "or evolve the schema with overwrite()"
             )
         return df if df.columns == cols else df.select(*cols)
 
@@ -314,7 +366,9 @@ class ManifestVersionedTable:
     def _read_dirs(self, manifest: dict, dirs: list[str]) -> DataFrame:
         if not dirs:
             return self._empty(manifest)
-        return self.spark.read.parquet(*dirs).select(*manifest["columns"])
+        return self.spark.read.parquet(
+            *[self._abs(d) for d in dirs]
+        ).select(*manifest["columns"])
 
     # -- reference operator surface ------------------------------------
     def overwrite(self, df: DataFrame) -> int:
@@ -322,8 +376,12 @@ class ManifestVersionedTable:
         the whole table; every later merge/delete shares its files."""
         if self.key not in df.columns:
             raise ValueError(f"key column {self.key!r} not in {df.columns}")
-        if "mvt_bucket" in df.columns:
-            raise ValueError("column name 'mvt_bucket' is reserved")
+        for reserved in ("mvt_bucket", "_s_present"):
+            # mvt_bucket is the write-path partition column; _s_present is
+            # merge's presence sentinel (withColumn would REPLACE a real
+            # column of that name and corrupt every later merge)
+            if reserved in df.columns:
+                raise ValueError(f"column name {reserved!r} is reserved")
         version = self.latest_version() + 1
         manifest = {
             "key": self.key,
@@ -355,7 +413,7 @@ class ManifestVersionedTable:
         compacts everything."""
         version = self.latest_version()
         manifest = self._manifest(version)
-        df = self._align_columns(df, manifest["columns"])
+        df = self._align_columns(df, manifest)
         written = self._write_buckets(df)
         new_buckets = {b: list(ds) for b, ds in manifest["buckets"].items()}
         for b, ds in written.items():
@@ -380,7 +438,7 @@ class ManifestVersionedTable:
         version = self.latest_version()
         manifest = self._manifest(version)
         cols = manifest["columns"]
-        source = self._align_columns(source, cols)
+        source = self._align_columns(source, manifest)
 
         affected = sorted(
             str(r["b"])
@@ -414,7 +472,13 @@ class ManifestVersionedTable:
     def delete_where(self, condition) -> int:
         """DELETE: one scan finds the buckets containing matches; only
         those are rewritten (a bucket left empty drops out of the
-        manifest), everything else shares the previous version's files."""
+        manifest), everything else shares the previous version's files.
+
+        The keep-filter is null-safe (``NOT (condition <=> TRUE)``): SQL
+        DELETE removes only TRUE-condition rows, so a NULL-condition row
+        must survive. A plain ``~condition`` would keep it in untouched
+        buckets but drop it from any bucket that also held a TRUE match —
+        bucket-hash-dependent data loss."""
         version = self.latest_version()
         manifest = self._manifest(version)
         prev_buckets: dict[str, list[str]] = dict(manifest["buckets"])
@@ -430,7 +494,7 @@ class ManifestVersionedTable:
         if affected:
             kept = self._read_dirs(
                 manifest, self._bucket_dirs(prev_buckets, affected)
-            ).where(~condition)
+            ).where(~condition.eqNullSafe(F.lit(True)))
             written = self._write_buckets(kept)
             for b in affected:
                 new_buckets.pop(b, None)  # empty-after-delete buckets vanish
@@ -455,16 +519,28 @@ class ManifestVersionedTable:
         manifests are dropped, then every bucket directory not referenced
         by a SURVIVING manifest is removed — shared files survive as long
         as any retained version points at them (Delta's vacuum
-        contract)."""
+        contract). The referenced-set comparison is over ``os.path.
+        realpath`` so a handle opened through a different path spelling
+        (relative vs absolute, symlinked root) can never mistake live
+        directories for garbage; manifests store root-relative dirs for
+        the same reason."""
         import shutil as _sh
 
+        if retain_last < 1:
+            # Delta never vacuums the live snapshot: retain_last=0 would
+            # delete every manifest and all data while _LATEST still
+            # points at the now-missing version (a bricked table)
+            raise ValueError(f"retain_last={retain_last} must be >= 1")
         latest = self.latest_version()
         keep = set(range(max(0, latest - retain_last + 1), latest + 1))
         removed: list[int] = []
         referenced: set[str] = set()
         for v in self.history():
             if v in keep:
-                referenced.update(self._bucket_dirs(self._manifest(v)["buckets"]))
+                referenced.update(
+                    os.path.realpath(self._abs(d))
+                    for d in self._bucket_dirs(self._manifest(v)["buckets"])
+                )
         for v in self.history():
             if v not in keep:
                 os.remove(self._manifest_path(v))
@@ -474,7 +550,10 @@ class ManifestVersionedTable:
             commit_dir = os.path.join(data_root, commit)
             for name in os.listdir(commit_dir):
                 d = os.path.join(commit_dir, name)
-                if name.startswith("mvt_bucket=") and d not in referenced:
+                if (
+                    name.startswith("mvt_bucket=")
+                    and os.path.realpath(d) not in referenced
+                ):
                     _sh.rmtree(d, ignore_errors=True)
             if not os.listdir(commit_dir):
                 _sh.rmtree(commit_dir, ignore_errors=True)
@@ -521,9 +600,12 @@ class ManifestVersionedTable:
         )
         dirs = self._bucket_dirs(manifest["buckets"], buckets)
         df = self._read_dirs(manifest, dirs)
+        # join condition references the DataFrame OBJECTS, not bare
+        # F.col names: a table whose key column is literally named 'k'
+        # would otherwise make both sides of the condition ambiguous
         return df.join(
             F.broadcast(probe),
-            F.col(self.key).eqNullSafe(F.col("k")),
+            df[self.key].eqNullSafe(probe["k"]),
             "left_semi",
         )
 
@@ -547,7 +629,8 @@ class ManifestVersionedTable:
         file list, straight from its bucket directories."""
         manifest = self._manifest(self.latest_version())
         files: list[str] = []
-        for d in self._bucket_dirs(manifest["buckets"]):
+        for rel in self._bucket_dirs(manifest["buckets"]):
+            d = self._abs(rel)
             files.extend(
                 os.path.join(d, f)
                 for f in sorted(os.listdir(d))

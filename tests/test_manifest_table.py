@@ -108,7 +108,7 @@ def test_vacuum_reference_counts_shared_buckets(spark, tmp_path):
         ManifestVersionedTable._bucket_dirs(t._manifest(1)["buckets"])
     ) | set(ManifestVersionedTable._bucket_dirs(t._manifest(2)["buckets"]))
     for d in referenced:
-        assert os.path.isdir(d)
+        assert os.path.isdir(t._abs(d))
 
 
 def test_reopened_handle_trusts_the_manifest(spark, tmp_path):
@@ -134,9 +134,12 @@ def test_generate_manifest_lists_latest_files(spark, tmp_path):
     mf = t.generate_manifest()
     files = [ln for ln in open(mf).read().splitlines() if ln]
     assert files and all(f.endswith(".parquet") and os.path.isfile(f) for f in files)
-    latest_dirs = set(
-        ManifestVersionedTable._bucket_dirs(t._manifest(t.latest_version())["buckets"])
-    )
+    latest_dirs = {
+        t._abs(d)
+        for d in ManifestVersionedTable._bucket_dirs(
+            t._manifest(t.latest_version())["buckets"]
+        )
+    }
     assert {os.path.dirname(f) for f in files} == latest_dirs
 
 
@@ -257,3 +260,87 @@ def test_append_and_merge_refuse_column_set_mismatch(spark, tmp_path):
     reordered = _rows(spark, [(9, "iva", 90.0)]).select("score", "id", "name")
     t.append(reordered)
     assert {r["id"] for r in t.read().collect()} == {1, 2, 3, 4, 5, 6, 9}
+
+def test_delete_where_keeps_null_condition_rows(spark, tmp_path):
+    """SQL DELETE removes only TRUE-condition rows: a row whose predicate
+    evaluates to NULL must survive EVEN when it shares a bucket with a
+    true match (n_buckets=1 forces sharing — the regression shape where a
+    plain ~condition dropped it from rewritten buckets only)."""
+    data = [(1, "ana", 10.0), (2, "bia", None), (3, "caio", 90.0)]
+    m = ManifestVersionedTable(spark, str(tmp_path / "m"), key="id", n_buckets=1)
+    p = ParquetVersionedTable(spark, str(tmp_path / "p"))
+    m.overwrite(_rows(spark, data))
+    p.overwrite(_rows(spark, data))
+    m.delete_where(F.col("score") >= 50.0)
+    p.delete_where(F.col("score") >= 50.0)
+    survivors = {r["id"] for r in m.read().collect()}
+    assert survivors == {1, 2}, "NULL-score row must survive the delete"
+    assert _sorted(m.read()) == _sorted(p.read())
+
+
+def test_vacuum_safe_across_path_spellings(spark, tmp_path, monkeypatch):
+    """Manifests store root-relative dirs, and vacuum compares realpaths:
+    a handle reopened through a DIFFERENT spelling of the same table root
+    (relative path from another cwd) must not delete live data."""
+    abs_path = str(tmp_path / "t")
+    t = ManifestVersionedTable(spark, abs_path, key="id", n_buckets=8)
+    t.overwrite(_rows(spark, BASE))  # v0
+    t.merge(_rows(spark, [(2, "bia2", 21.0)]))  # v1 shares most of v0
+    # recorded dirs are relative to the table root (portable manifests)
+    for dirs in t._manifest(1)["buckets"].values():
+        for d in dirs:
+            assert not os.path.isabs(d)
+    monkeypatch.chdir(tmp_path)
+    t2 = ManifestVersionedTable(spark, "t", key="id", n_buckets=8)
+    t2.merge(_rows(spark, [(3, "caio2", 31.0)]))  # v2
+    assert t2.vacuum(retain_last=2) == [0]
+    # every surviving version still reads in full through EITHER handle
+    got = {r["id"]: r["name"] for r in t.read().collect()}
+    assert got[2] == "bia2" and got[3] == "caio2" and len(got) == len(BASE) + 0
+    assert len(t2.read(version_as_of=1).collect()) == len(BASE)
+
+
+def test_vacuum_refuses_to_expire_the_live_snapshot(spark, tmp_path):
+    m = ManifestVersionedTable(spark, str(tmp_path / "m"), key="id", n_buckets=4)
+    p = ParquetVersionedTable(spark, str(tmp_path / "p"))
+    m.overwrite(_rows(spark, BASE))
+    p.overwrite(_rows(spark, BASE))
+    for t in (m, p):
+        with pytest.raises(ValueError, match="retain_last"):
+            t.vacuum(retain_last=0)
+        assert len(t.read().collect()) == len(BASE)  # table untouched
+
+
+def test_append_and_merge_enforce_column_types(spark, tmp_path):
+    """Same-named column of a different type refuses loudly (Delta schema
+    enforcement) instead of writing mixed-type parquet into one table."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    bad = spark.createDataFrame([(9, "iva", 90)], "id bigint, name string, score int")
+    with pytest.raises(ValueError, match="score: source int != table double"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="types do not match"):
+        t.merge(bad)
+    # an explicit cast passes
+    t.append(bad.withColumn("score", F.col("score").cast("double")))
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3, 4, 5, 6, 9}
+
+
+def test_read_keys_on_table_whose_key_is_named_k(spark, tmp_path):
+    """The probe column is referenced through the DataFrame object, so a
+    table key literally named 'k' does not make the join ambiguous."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    got = {r["k"]: r["v"] for r in t.read_keys([2]).collect()}
+    assert got == {2: "b"}
+
+
+def test_reserved_sentinel_column_refused(spark, tmp_path):
+    flagged = _rows(spark, BASE).withColumn("_s_present", F.lit(True))
+    t = ManifestVersionedTable(spark, str(tmp_path / "m"), key="id", n_buckets=4)
+    with pytest.raises(ValueError, match="_s_present"):
+        t.overwrite(flagged)
+    p = ParquetVersionedTable(spark, str(tmp_path / "p"))
+    p.overwrite(flagged)  # snapshot facade stores anything...
+    with pytest.raises(ValueError, match="_s_present"):
+        p.merge(flagged, key="id")  # ...but merge refuses the collision
