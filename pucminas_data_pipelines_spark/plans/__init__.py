@@ -139,84 +139,70 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
 DRIVER_WINDOW: list[str] = [
-    # ROUND-9 ROTATION (VERDICT r08 "Next round #1"): the FINAL slice of
-    # the roll-forward plan above — the 42 queries that have never had a
-    # driver-green CORRECTNESS row (join 7 + source 4 + sink 2 +
-    # mutation 3 + multimodal 3 + curation 6 + streaming 3 + pii 2 +
-    # url 2 + feature 2 + project 2 + 6 singles) — plus the 5 standing
-    # canaries and, per the documented padding rule (r9 note above:
-    # 42+5=47 < the contract's exactly-50), 3 additional prior-green pads
-    # drawn from the r8-green set. Cumulative driver-green before this
-    # round: 299/341 scorable (+ the 2 rows-only ann_*_topk = 301/343);
-    # a 50/50 window lands full coverage: every oracled query
-    # driver-green at least once. The 42-name set was pre-cleared through
-    # the vanilla-session preflight in r7 (42/42) and RE-pre-cleared in
-    # r8 after the late-r7/r8 operator rewrites (PROGRESS.jsonl
-    # `r9_preclear`); the full window re-preflighted after this rotation.
-    # canaries (driver-green in CORRECTNESS_r08, 5+ consecutive rounds)
+    # ROUND-10 ROTATION. Driver-green coverage completed in r9 (union of
+    # CORRECTNESS_r01..r09 green keys = 341/341 scorable; COVERAGE.md
+    # header). This window therefore carries (a) the 5 standing canaries,
+    # (b) FIRST evidence for the round-10 ManifestVersionedTable family
+    # (driver-level proof of the r9 bucket-manifest commit layer and of
+    # this round's ADVICE fixes: null-safe DELETE, portable manifests,
+    # schema enforcement), and (c) 40 RE-confirmation picks chosen
+    # oldest-evidence-first: every name whose only driver-green row dates
+    # to r1 (27) or r3 (13) — the queries that have survived seven rounds
+    # of operator rewrites on parity tests alone get fresh driver rows.
+    # canaries (driver-green every round since r4)
     "q1_pricing_summary",
     "dedup_minhash_lsh",
     "join_asof",
     "mutation_merge_upsert",
     "events_session_window",
-    # joins (7)
-    "join_right_outer",
-    "join_cross",
-    "join_asof_forward_tolerance",
-    "join_strategy_hints",
-    "join_null_key_short_circuit",
-    "join_spatial_grid_neighbors",
-    "join_dpp_partitioned_fact",
-    # sources (4)
-    "source_csv_malformed_permissive",
-    "source_xml_roundtrip",
-    "source_csv_multiline_quoted",
-    "source_file_metadata_columns",
-    # sinks (2)
-    "sink_compressed_codec_roundtrip",
-    "sink_python_datasource_writer",
-    # mutation (3)
-    "mutation_overwrite_dynamic_partitions",
-    "mutation_scd2_asof_lookup",
-    "mutation_snapshot_expiry",
-    # multimodal (3)
-    "multimodal_payload_dedup",
-    "multimodal_bytes_stats_arrow",
-    "multimodal_aspect_ratio_buckets",
-    # curation (6)
-    "curation_quality_percentile_gate",
-    "curation_train_order_shuffle",
-    "curation_temperature_mixture",
-    "curation_seq_length_histogram",
-    "curation_chat_format_validation",
-    "curation_epoch_repeat_plan",
-    # streaming (3)
-    "streaming_watermark_late_drop_live",
-    "streaming_state_store_inspection",
-    "streaming_state_metadata_inspection",
-    # pii (2)
-    "pii_luhn_validation",
-    "pii_k_anonymity_audit",
-    # url (2)
-    "url_domain_stats",
-    "url_blocklist_filter",
-    # features (2)
-    "feature_standard_scaler",
-    "feature_target_encoding_loo",
-    # projections (2)
-    "project_cast_arithmetic",
-    "project_unpivot_metrics",
-    # singles (6)
-    "corpus_dataset_card",
-    "agg_percentile_interpolated",
-    "sample_contrastive_pairs",
-    "split_grouped_kfold",
-    "udf_python_rowwise",
-    "udtf_table_argument_stats",
-    # prior-green pads (green in CORRECTNESS_r08; padding rule above)
-    "dedup_minhash_clusters",
-    "scalar_haversine_distance",
-    "graph_connected_components",
+    # round-10 manifest-table family (first evidence)
+    "mutation_manifest_merge_bucketed",
+    "mutation_manifest_delete_null_predicate",
+    "mutation_manifest_append_pointread",
+    "mutation_manifest_optimize_roundtrip",
+    "mutation_manifest_vacuum_lifecycle",
+    # oldest-evidence re-confirmation: last green in r1
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_scalar_subquery",
+    "dedup_exact_normalized",
+    "doc_stats_by_lang_source",
+    "events_click_purchase_correlation",
+    "events_dedup_by_key",
+    "events_enriched_by_segment",
+    "events_funnel_conversion",
+    "events_hypertable_rollup",
+    "events_rate_per_user",
+    "events_retention_cohorts",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "multimodal_binary_meta",
+    "multimodal_decode_stub",
+    "multimodal_resize_stub",
+    "text_bigram_frequencies",
+    "text_fingerprint",
+    "text_fuzzy_entity_match",
+    "text_quality_scores",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    # oldest-evidence re-confirmation: last green in r3
+    "agg_approx_count_distinct",
+    "agg_basic_stats",
+    "agg_collect_set_sorted",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "corpus_curation_pipeline",
+    "curation_boilerplate_prune",
+    "dedup_cluster_collapse",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_recall",
+    "dedup_simhash",
 ]
 
 

@@ -502,3 +502,173 @@ def mutation_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, survives boolean, readable boolean"
     ).orderBy("version")
+
+
+# -- ManifestVersionedTable family (round 10): driver-level evidence for
+# -- the O(changed-buckets) commit layer built in round 9 --------------------
+
+def _run_manifest_scenario(
+    spark: SparkSession, path: str, n_buckets: int = 4
+) -> "ManifestVersionedTable":
+    """The reference's merge scenario (sparkcode/titanic_example_delta.py:
+    25-51) replayed on the manifest table: overwrite v0 → (keys 1,5 →
+    Survived=1) ∪ (rows 892,893) → MERGE (rewrites only the source's
+    buckets; untouched buckets share v0's files)."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    shutil.rmtree(path, ignore_errors=True)
+    base = from_rows(spark, TITANIC_BASE_ROWS, TITANIC_DDL)
+    table = ManifestVersionedTable(
+        spark, path, key="PassengerId", n_buckets=n_buckets
+    )
+    table.overwrite(base)  # version 0
+    changed = base.where(F.col("PassengerId").isin(1, 5)).withColumn(
+        "Survived", F.lit(1)
+    )
+    newrows = from_rows(spark, TITANIC_NEW_ROWS, TITANIC_DDL)
+    table.merge(changed.union(newrows))  # version 1
+    return table
+
+
+@query(
+    "mutation_manifest_merge_bucketed",
+    oracle=_TYPED_SELECT.format(rows=_values(_expected_merged())),
+)
+def mutation_manifest_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-MERGE state on the MANIFEST table (operators/upsert.py
+    ManifestVersionedTable): identical semantics to mutation_merge_upsert
+    but the commit rewrites ONLY the hash buckets the 4-row source
+    touches and points every other bucket at version 0's files — the
+    Delta add/remove-files idea that makes a small merge O(|source| +
+    affected-bucket bytes) instead of O(table) at 100 TB."""
+    table = _run_manifest_scenario(spark, "/root/repo/.tmp/titanic_mvt_merge")
+    return _lowered(table.read())
+
+
+@query(
+    "mutation_manifest_delete_null_predicate",
+    oracle=_TYPED_SELECT.format(
+        rows=_values(
+            [r for r in _expected_merged() if r[5] is None or r[5] >= 35.0]
+        )
+    ),
+)
+def mutation_manifest_delete_null_predicate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETE WHERE age < 35 with a NULL-age row in the SAME bucket as
+    true matches (n_buckets=1 forces sharing): SQL DELETE removes only
+    TRUE-condition rows, so the NULL-age passenger (key 6) must survive.
+    Pins the null-safe keep-filter (NOT (cond <=> TRUE)) at driver level
+    — the bucket-hash-dependent data-loss shape a plain ~cond had."""
+    table = _run_manifest_scenario(
+        spark, "/root/repo/.tmp/titanic_mvt_delnull", n_buckets=1
+    )
+    table.delete_where(F.col("Age") < 35.0)
+    return _lowered(table.read())
+
+
+@query(
+    "mutation_manifest_append_pointread",
+    oracle=_TYPED_SELECT.format(
+        rows=_values(
+            [TITANIC_BASE_ROWS[0], TITANIC_NEW_ROWS[0]]
+        )
+    ),
+)
+def mutation_manifest_append_pointread(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPEND + bucket-pruned point read: append commits only the new
+    rows' files (O(new data), manifest lists extended, nothing
+    rewritten), then read_keys([1, 892, 9999]) scans ONLY the buckets
+    those keys hash into — manifest-level data skipping; the missing key
+    simply matches nothing. Expected: base row 1 and appended row 892."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    path = "/root/repo/.tmp/titanic_mvt_append"
+    shutil.rmtree(path, ignore_errors=True)
+    base = from_rows(spark, TITANIC_BASE_ROWS, TITANIC_DDL)
+    table = ManifestVersionedTable(spark, path, key="PassengerId", n_buckets=8)
+    table.overwrite(base)
+    table.append(from_rows(spark, TITANIC_NEW_ROWS, TITANIC_DDL))
+    return _lowered(table.read_keys([1, 892, 9999]))
+
+
+@query(
+    "mutation_manifest_optimize_roundtrip",
+    oracle=_TYPED_SELECT.format(
+        rows=_values(
+            [
+                (r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8],
+                 round(r[9] + 1.0, 4), r[10], r[11])
+                for r in _expected_merged()
+            ]
+        )
+    ),
+)
+def mutation_manifest_optimize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE (compaction) preserves content exactly: two merges leave
+    the current version scattered across three commit directories; a
+    follow-up fare+1 merge-of-everything then OPTIMIZE rewrites the
+    CURRENT rows into one fresh layout as a new version. The query
+    returns the post-optimize state — byte-identical semantics to the
+    pre-optimize version — while older versions keep time-traveling
+    (pinned in tests/test_manifest_table.py)."""
+    table = _run_manifest_scenario(spark, "/root/repo/.tmp/titanic_mvt_opt")
+    bump = table.read().withColumn(
+        "Fare",
+        (F.col("Fare").cast("decimal(12,4)") + F.lit(1.0).cast("decimal(2,1)"))
+        .cast("double"),
+    )
+    table.merge(bump)  # touches every bucket: maximal fragmentation
+    table.optimize()
+    return _lowered(table.read())
+
+
+@query(
+    "mutation_manifest_vacuum_lifecycle",
+    oracle="""
+    SELECT 0 AS version, FALSE AS survives, FALSE AS readable
+    UNION ALL SELECT 1, TRUE, TRUE
+    UNION ALL SELECT 2, TRUE, TRUE
+    ORDER BY version
+    """,
+)
+def mutation_manifest_vacuum_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VACUUM with file-level reference counting on the manifest table:
+    three versions sharing bucket files (overwrite → merge → merge),
+    retention 2 — version 0's manifest is dropped and ONLY bucket
+    directories no surviving manifest references are removed, so v1/v2
+    stay fully readable through their shared files (Delta's
+    log-then-vacuum contract; a snapshot-copy store has nothing shared
+    to protect, which is why this query runs on the manifest table)."""
+    table = _run_manifest_scenario(spark, "/root/repo/.tmp/titanic_mvt_vac")
+    bump = from_rows(
+        spark,
+        [(2, 1, 1, "Cumings, Mrs. John Bradley", "female", 38.0, 1, 0,
+          "PC 17599", 71.2833, "C85", "C")],
+        TITANIC_DDL,
+    )
+    table.merge(bump)  # version 2
+    table.vacuum(retain_last=2)
+    surviving = set(table.history())
+    rows = []
+    for v in range(3):
+        readable = True
+        try:
+            table.read(version_as_of=v).count()
+        except Exception:
+            readable = False
+        rows.append((v, v in surviving, readable))
+    return spark.createDataFrame(
+        rows, "version int, survives boolean, readable boolean"
+    ).orderBy("version")
