@@ -370,6 +370,94 @@ class ManifestVersionedTable:
             *[self._abs(d) for d in dirs]
         ).select(*manifest["columns"])
 
+    # -- manifest column statistics (Delta data-skipping analogue) ------
+    @staticmethod
+    def _stat_encode(v):
+        """JSON-safe encoding for a footer min/max value; None = the type
+        is not representable, making the column unprunable."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            return {"__ts__": v.isoformat()}
+        if isinstance(v, _dt.date):
+            return {"__d__": v.isoformat()}
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    @staticmethod
+    def _stat_decode(v):
+        import datetime as _dt
+
+        if isinstance(v, dict):
+            if "__ts__" in v:
+                return _dt.datetime.fromisoformat(v["__ts__"])
+            if "__d__" in v:
+                return _dt.date.fromisoformat(v["__d__"])
+        return v
+
+    def _dir_stats(self, rel_dir: str) -> dict[str, list]:
+        """Per-column [min, max] over one bucket directory, harvested from
+        the parquet FOOTERS (no data scan — O(files) metadata reads, the
+        same place Delta's OPTIMIZE-time stats come from). A row group
+        without min/max for a column (e.g. an all-NULL chunk) makes that
+        column unprunable for the whole dir — conservatively absent.
+        Parquet writers may truncate long binary bounds, but truncation
+        keeps them BOUNDS (min rounded down, max up), which is all
+        pruning needs. In this single-JVM container the harvest is
+        driver-side pyarrow; on a real cluster the identical footer read
+        distributes as a Spark job over the commit's file list."""
+        import pyarrow.parquet as pq
+
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        bad: set[str] = set()
+        d = self._abs(rel_dir)
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, fname)).metadata
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    name = col.path_in_schema
+                    if name in bad:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        bad.add(name)
+                        continue
+                    if name not in lo or st.min < lo[name]:
+                        lo[name] = st.min
+                    if name not in hi or st.max > hi[name]:
+                        hi[name] = st.max
+        out: dict[str, list] = {}
+        for name, vmin in lo.items():
+            if name in bad:
+                continue
+            emin, emax = self._stat_encode(vmin), self._stat_encode(hi[name])
+            if emin is None or emax is None:
+                continue
+            out[name] = [emin, emax]
+        return out
+
+    def _commit_with_stats(
+        self, manifest: dict, buckets: dict[str, list[str]], version: int
+    ) -> None:
+        """Commit a manifest whose ``stats`` map covers every referenced
+        dir: carried verbatim for dirs a prior manifest already profiled,
+        harvested from footers for freshly written ones (also lazily
+        backfilling dirs from pre-stats manifests)."""
+        prev = manifest.get("stats", {})
+        stats = {}
+        for ds in buckets.values():
+            for d in ds:
+                stats[d] = prev[d] if d in prev else self._dir_stats(d)
+        self._commit_manifest(
+            dict(manifest, buckets=buckets, stats=stats), version
+        )
+
     # -- reference operator surface ------------------------------------
     def overwrite(self, df: DataFrame) -> int:
         """O5: full overwrite — the one commit that legitimately writes
@@ -388,9 +476,8 @@ class ManifestVersionedTable:
             "n_buckets": self.n_buckets,
             "columns": df.columns,
             "schema": df.schema.jsonValue(),
-            "buckets": self._write_buckets(df),
         }
-        self._commit_manifest(manifest, version)
+        self._commit_with_stats(manifest, self._write_buckets(df), version)
         return version
 
     def read(self, version_as_of: int | None = None) -> DataFrame:
@@ -418,7 +505,7 @@ class ManifestVersionedTable:
         new_buckets = {b: list(ds) for b, ds in manifest["buckets"].items()}
         for b, ds in written.items():
             new_buckets.setdefault(b, []).extend(ds)
-        self._commit_manifest(dict(manifest, buckets=new_buckets), version + 1)
+        self._commit_with_stats(manifest, new_buckets, version + 1)
         return version + 1
 
     def merge(
@@ -465,8 +552,7 @@ class ManifestVersionedTable:
         written = self._write_buckets(merged)
         new_buckets = dict(prev_buckets)
         new_buckets.update(written)  # untouched buckets keep prior files
-        new_manifest = dict(manifest, buckets=new_buckets)
-        self._commit_manifest(new_manifest, version + 1)
+        self._commit_with_stats(manifest, new_buckets, version + 1)
         return version + 1
 
     def delete_where(self, condition) -> int:
@@ -499,8 +585,7 @@ class ManifestVersionedTable:
             for b in affected:
                 new_buckets.pop(b, None)  # empty-after-delete buckets vanish
             new_buckets.update(written)
-        new_manifest = dict(manifest, buckets=new_buckets)
-        self._commit_manifest(new_manifest, version + 1)
+        self._commit_with_stats(manifest, new_buckets, version + 1)
         return version + 1
 
     def history(self) -> list[int]:
@@ -609,6 +694,53 @@ class ManifestVersionedTable:
             "left_semi",
         )
 
+    def read_range(
+        self,
+        column: str,
+        lower=None,
+        upper=None,
+        version_as_of: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned range scan (Delta data skipping at manifest
+        grain): rows with ``lower <= column <= upper``, planning ONLY the
+        bucket directories whose manifest-recorded [min, max] overlaps
+        the probe range; a dir without stats for the column is included
+        conservatively. Correct for any data layout (the residual filter
+        always applies inside scanned dirs); EFFECTIVE when commits are
+        clustered on the column — the natural shape for time-ordered
+        ingestion, where each ``append`` batch covers a tight ts window,
+        so a range scan over a 100 TB hypertable plans the handful of
+        commits that overlap instead of listing every file. Pruning
+        happens BEFORE Spark sees a path — cheaper than footer-time
+        skipping, which still enumerates and tasks all files. Skipped
+        dirs can only hold non-matching or NULL values (range predicates
+        never match NULL), so pruning is lossless."""
+        version = self.latest_version() if version_as_of is None else version_as_of
+        if version < 0 or version > self.latest_version():
+            raise ValueError(f"version {version_as_of} does not exist")
+        manifest = self._manifest(version)
+        if column not in manifest["columns"]:
+            raise ValueError(
+                f"column {column!r} not in table layout {manifest['columns']}"
+            )
+        stats = manifest.get("stats", {})
+        dirs = []
+        for d in self._bucket_dirs(manifest["buckets"]):
+            s = stats.get(d, {}).get(column)
+            if s is not None:
+                dmin, dmax = self._stat_decode(s[0]), self._stat_decode(s[1])
+                if lower is not None and dmax < lower:
+                    continue
+                if upper is not None and dmin > upper:
+                    continue
+            dirs.append(d)
+        df = self._read_dirs(manifest, dirs)
+        if lower is not None:
+            df = df.where(F.col(column) >= F.lit(lower))
+        if upper is not None:
+            df = df.where(F.col(column) <= F.lit(upper))
+        return df
+
     def optimize(self) -> int:
         """Compaction (Delta OPTIMIZE analogue): a long merge history
         leaves the current version's buckets scattered across many small
@@ -620,8 +752,9 @@ class ManifestVersionedTable:
         small-file counts start to dominate scan planning."""
         version = self.latest_version()
         manifest = self._manifest(version)
-        new_manifest = dict(manifest, buckets=self._write_buckets(self.read()))
-        self._commit_manifest(new_manifest, version + 1)
+        self._commit_with_stats(
+            manifest, self._write_buckets(self.read()), version + 1
+        )
         return version + 1
 
     def generate_manifest(self) -> str:

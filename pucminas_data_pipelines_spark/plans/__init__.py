@@ -142,12 +142,13 @@ DRIVER_WINDOW: list[str] = [
     # ROUND-10 ROTATION. Driver-green coverage completed in r9 (union of
     # CORRECTNESS_r01..r09 green keys = 341/341 scorable; COVERAGE.md
     # header). This window therefore carries (a) the 5 standing canaries,
-    # (b) FIRST evidence for the round-10 ManifestVersionedTable family
+    # (b) FIRST evidence for the round-10 ManifestVersionedTable family (6)
     # (driver-level proof of the r9 bucket-manifest commit layer and of
     # this round's ADVICE fixes: null-safe DELETE, portable manifests,
     # schema enforcement), and (c) 40 RE-confirmation picks chosen
     # oldest-evidence-first: every name whose only driver-green row dates
-    # to r1 (27) or r3 (13) — the queries that have survived seven rounds
+    # to r1 (27) or r3 (12; dedup_simhash yielded its slot to the 6th
+    # manifest query and stays parity-pinned) — the queries that have survived seven rounds
     # of operator rewrites on parity tests alone get fresh driver rows.
     # canaries (driver-green every round since r4)
     "q1_pricing_summary",
@@ -155,12 +156,14 @@ DRIVER_WINDOW: list[str] = [
     "join_asof",
     "mutation_merge_upsert",
     "events_session_window",
-    # round-10 manifest-table family (first evidence)
+    # round-10 manifest-table family (first evidence; timerange_scan
+    # exercises the stats-pruned read_range over per-window appends)
     "mutation_manifest_merge_bucketed",
     "mutation_manifest_delete_null_predicate",
     "mutation_manifest_append_pointread",
     "mutation_manifest_optimize_roundtrip",
     "mutation_manifest_vacuum_lifecycle",
+    "mutation_manifest_timerange_scan",
     # oldest-evidence re-confirmation: last green in r1
     "agg_count_distinct",
     "agg_cube",
@@ -202,7 +205,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_semantic_recall",
-    "dedup_simhash",
 ]
 
 

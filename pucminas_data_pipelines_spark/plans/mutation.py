@@ -672,3 +672,63 @@ def mutation_manifest_vacuum_lifecycle(
     return spark.createDataFrame(
         rows, "version int, survives boolean, readable boolean"
     ).orderBy("version")
+
+
+@query(
+    "mutation_manifest_timerange_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def mutation_manifest_timerange_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned time-range scan over a manifest hypertable
+    (operators/upsert.py read_range): events ingested as three
+    time-window APPEND batches (days 1-10 / 11-20 / 21-30 — the shape a
+    streaming ingest produces), each commit's manifest carrying per-dir
+    [min,max] column stats harvested from parquet footers at commit
+    time. A Jan-8..12 range read then plans ONLY the dirs whose ts
+    bounds overlap — the first two commits — and applies the residual
+    filter inside them; the third commit's files are never listed.
+
+    Scale: this is Delta data skipping at manifest grain — on a 100 TB
+    time-ordered table the range plan touches the overlapping commits'
+    file lists, not the table's, BEFORE Spark enumerates a single path.
+    Pruning-shape proof (exactly one commit-dir set scanned for an
+    interior range) is pinned in tests/test_manifest_table.py."""
+    import datetime as _dt
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    path = "/root/repo/.tmp/events_mvt_range"
+    shutil.rmtree(path, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    t = ManifestVersionedTable(spark, path, key="event_id", n_buckets=4)
+    d11 = _dt.datetime(2024, 1, 11)
+    d21 = _dt.datetime(2024, 1, 21)
+    t.overwrite(e.where(F.col("ts") < F.lit(d11)))
+    t.append(e.where((F.col("ts") >= F.lit(d11)) & (F.col("ts") < F.lit(d21))))
+    t.append(e.where(F.col("ts") >= F.lit(d21)))
+    window = t.read_range(
+        "ts", _dt.datetime(2024, 1, 8), _dt.datetime(2024, 1, 12)
+    )
+    return (
+        window.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -344,3 +344,77 @@ def test_reserved_sentinel_column_refused(spark, tmp_path):
     p.overwrite(flagged)  # snapshot facade stores anything...
     with pytest.raises(ValueError, match="_s_present"):
         p.merge(flagged, key="id")  # ...but merge refuses the collision
+
+
+def test_manifest_records_footer_stats_and_carries_them(spark, tmp_path):
+    """Every commit's manifest carries per-dir [min,max] harvested from
+    parquet footers; append CARRIES prior dirs' stats verbatim instead of
+    re-reading their footers."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    m0 = t._manifest(0)
+    assert set(m0["stats"]) == set(
+        ManifestVersionedTable._bucket_dirs(m0["buckets"])
+    )
+    ids = [s["id"] for s in m0["stats"].values() if "id" in s]
+    assert ids and min(lo for lo, _ in ids) == 1 and max(hi for _, hi in ids) == 6
+    t.append(_rows(spark, [(10, "gil", 100.0)]))
+    m1 = t._manifest(1)
+    for d in ManifestVersionedTable._bucket_dirs(m0["buckets"]):
+        assert m1["stats"][d] == m0["stats"][d]  # carried, not recomputed
+
+
+def test_read_range_prunes_to_overlapping_commits(spark, tmp_path):
+    """Time-ordered ingestion: three appended batches with disjoint id
+    ranges; a range scan plans only the dirs whose stats overlap, and
+    the result matches a full-scan filter exactly."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(_rows(spark, [(i, f"a{i}", float(i)) for i in range(0, 10)]))
+    t.append(_rows(spark, [(i, f"b{i}", float(i)) for i in range(10, 20)]))
+    t.append(_rows(spark, [(i, f"c{i}", float(i)) for i in range(20, 30)]))
+    got = t.read_range("id", 12, 17)
+    assert sorted(r["id"] for r in got.collect()) == list(range(12, 18))
+    # pruning proof: only the middle commit's dirs are in the scan
+    scanned = {
+        r[0].rsplit("/", 3)[-3]
+        for r in got.select(F.input_file_name()).distinct().collect()
+    }
+    all_commits = {
+        d.split("/")[1]
+        for d in ManifestVersionedTable._bucket_dirs(t._manifest(2)["buckets"])
+    }
+    assert len(all_commits) == 3 and len(scanned) == 1
+    # open-ended ranges and full equivalence with a plain filter
+    assert t.read_range("id", lower=25).count() == 5
+    assert t.read_range("id", upper=3).count() == 4
+    full = t.read().where((F.col("id") >= 12) & (F.col("id") <= 17))
+    assert _sorted(got) == _sorted(full)
+
+
+def test_read_range_conservative_without_stats(spark, tmp_path):
+    """A manifest without a stats map (pre-stats layout) still answers
+    range reads correctly — every dir is scanned."""
+    import json
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(_rows(spark, BASE))
+    mp = t._manifest_path(0)
+    m = json.load(open(mp))
+    del m["stats"]
+    json.dump(m, open(mp, "w"))
+    got = sorted(r["id"] for r in t.read_range("id", 2, 4).collect())
+    assert got == [2, 3, 4]
+
+
+def test_read_range_string_and_null_columns(spark, tmp_path):
+    """String bounds prune too; a column with NULLs keeps valid non-NULL
+    bounds (range predicates never match NULL, so skipping is lossless);
+    an unknown column refuses loudly."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(_rows(spark, [(1, "apple", None), (2, "banana", 5.0)]))
+    t.append(_rows(spark, [(3, "melon", 1.0), (4, "pear", None)]))
+    got = {r["name"] for r in t.read_range("name", "m", "z").collect()}
+    assert got == {"melon", "pear"}
+    assert {r["id"] for r in t.read_range("score", 1.0, 9.0).collect()} == {2, 3}
+    with pytest.raises(ValueError, match="not in table layout"):
+        t.read_range("nope", 0, 1)
