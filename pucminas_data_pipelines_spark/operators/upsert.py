@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 from pucminas_data_pipelines_spark.session import delta_available
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent writer committed the same table version first
+    (optimistic-concurrency conflict — re-read and retry)."""
+
+
 class ParquetVersionedTable:
     """Overwrite / merge / time-travel façade over plain Parquet."""
 
@@ -256,11 +261,31 @@ class ManifestVersionedTable:
         return manifest
 
     def _commit_manifest(self, manifest: dict, version: int) -> None:
+        """Atomic put-if-absent commit (Delta's transaction-log contract,
+        optimistic concurrency): the manifest is staged to a temp file
+        and published with ``os.link``, which fails atomically if another
+        writer already committed this version — the loser gets a loud
+        ConcurrentWriteError (re-read and retry on fresh state) instead
+        of silently clobbering the winner's commit. Data files are never
+        contended: every writer stages under its own uuid commit dir, so
+        an aborted commit leaves only unreferenced files for vacuum."""
         import json as _json
+        import uuid as _uuid
 
         os.makedirs(os.path.join(self.path, "_manifests"), exist_ok=True)
-        with open(self._manifest_path(version), "w") as fh:
+        target = self._manifest_path(version)
+        staged = f"{target}.tmp.{_uuid.uuid4().hex[:8]}"
+        with open(staged, "w") as fh:
             _json.dump(manifest, fh)
+        try:
+            os.link(staged, target)  # atomic on one filesystem
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {version} of {self.path} was committed by a "
+                "concurrent writer; re-read the table and retry"
+            ) from None
+        finally:
+            os.unlink(staged)
         with open(self._latest_file(), "w") as fh:
             fh.write(str(version))
 
@@ -273,11 +298,19 @@ class ManifestVersionedTable:
             F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)
         ).cast("int")
 
-    def _write_buckets(self, df: DataFrame) -> dict[str, list[str]]:
+    def _write_buckets(
+        self, df: DataFrame, cluster_by: list[str] | None = None
+    ) -> dict[str, list[str]]:
         """Write df hash-partitioned by bucket under a fresh commit dir;
         return {bucket: [dir]} for the buckets that produced data (the
         single-element list is the rewrite/compact shape — ``append``
         extends lists instead of replacing them).
+
+        ``cluster_by`` range-partitions and sorts rows on (bucket,
+        *cluster_by) before the write, so each bucket dir's FILES carry
+        tight, near-disjoint ranges of the cluster columns — what makes
+        file-grain stats pruning effective after a compaction collapses
+        everything into one commit (Delta liquid-clustering's purpose).
 
         Directories are recorded RELATIVE to the table root: a manifest
         must stay valid when the same table is opened through a
@@ -288,11 +321,15 @@ class ManifestVersionedTable:
         import uuid as _uuid
 
         commit_dir = f"{self.path}/data/{_uuid.uuid4().hex[:12]}"
-        (
-            df.withColumn("mvt_bucket", self._bucket_expr())
-            .write.partitionBy("mvt_bucket")
-            .parquet(commit_dir)
-        )
+        out_df = df.withColumn("mvt_bucket", self._bucket_expr())
+        if cluster_by:
+            missing = [c for c in cluster_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"cluster_by columns not in table: {missing}")
+            out_df = out_df.repartitionByRange(
+                F.col("mvt_bucket"), *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions("mvt_bucket", *cluster_by)
+        out_df.write.partitionBy("mvt_bucket").parquet(commit_dir)
         rel_commit = os.path.relpath(commit_dir, self.path)
         out: dict[str, list[str]] = {}
         for name in os.listdir(commit_dir):
@@ -396,26 +433,30 @@ class ManifestVersionedTable:
                 return _dt.date.fromisoformat(v["__d__"])
         return v
 
-    def _dir_stats(self, rel_dir: str) -> dict[str, list]:
-        """Per-column [min, max] over one bucket directory, harvested from
-        the parquet FOOTERS (no data scan — O(files) metadata reads, the
-        same place Delta's OPTIMIZE-time stats come from). A row group
-        without min/max for a column (e.g. an all-NULL chunk) makes that
-        column unprunable for the whole dir — conservatively absent.
-        Parquet writers may truncate long binary bounds, but truncation
-        keeps them BOUNDS (min rounded down, max up), which is all
-        pruning needs. In this single-JVM container the harvest is
-        driver-side pyarrow; on a real cluster the identical footer read
-        distributes as a Spark job over the commit's file list."""
+    def _harvest_stats(
+        self, rel_dir: str
+    ) -> tuple[dict[str, list], dict[str, dict[str, list]]]:
+        """(dir-grain, file-grain) per-column [min, max] over one bucket
+        directory, harvested from the parquet FOOTERS (no data scan —
+        O(files) metadata reads, the same place Delta's stats come
+        from). A row group without min/max for a column (e.g. an
+        all-NULL chunk) makes that column unprunable for its file/dir —
+        conservatively absent. Parquet writers may truncate long binary
+        bounds, but truncation keeps them BOUNDS (min rounded down, max
+        up), which is all pruning needs. In this single-JVM container
+        the harvest is driver-side pyarrow; on a real cluster the
+        identical footer read distributes as a Spark job over the
+        commit's file list."""
         import pyarrow.parquet as pq
 
-        lo: dict[str, object] = {}
-        hi: dict[str, object] = {}
-        bad: set[str] = set()
         d = self._abs(rel_dir)
+        per_file: dict[str, dict[str, list]] = {}
         for fname in sorted(os.listdir(d)):
             if not fname.endswith(".parquet"):
                 continue
+            lo: dict[str, object] = {}
+            hi: dict[str, object] = {}
+            bad: set[str] = set()
             md = pq.ParquetFile(os.path.join(d, fname)).metadata
             for rg_i in range(md.num_row_groups):
                 rg = md.row_group(rg_i)
@@ -432,30 +473,52 @@ class ManifestVersionedTable:
                         lo[name] = st.min
                     if name not in hi or st.max > hi[name]:
                         hi[name] = st.max
-        out: dict[str, list] = {}
-        for name, vmin in lo.items():
-            if name in bad:
-                continue
-            emin, emax = self._stat_encode(vmin), self._stat_encode(hi[name])
-            if emin is None or emax is None:
-                continue
-            out[name] = [emin, emax]
-        return out
+            fstats: dict[str, list] = {}
+            for name, vmin in lo.items():
+                if name in bad:
+                    continue
+                emin = self._stat_encode(vmin)
+                emax = self._stat_encode(hi[name])
+                if emin is None or emax is None:
+                    continue
+                fstats[name] = [emin, emax]
+            per_file[fname] = fstats
+        # dir grain = intersection-of-columns fold over the files (a col
+        # missing stats in ANY file is unprunable at dir grain)
+        dir_stats: dict[str, list] = {}
+        names = set.intersection(
+            *[set(fs) for fs in per_file.values()]
+        ) if per_file else set()
+        for name in names:
+            dmin = min(
+                (self._stat_decode(fs[name][0]) for fs in per_file.values())
+            )
+            dmax = max(
+                (self._stat_decode(fs[name][1]) for fs in per_file.values())
+            )
+            dir_stats[name] = [self._stat_encode(dmin), self._stat_encode(dmax)]
+        return dir_stats, per_file
 
     def _commit_with_stats(
         self, manifest: dict, buckets: dict[str, list[str]], version: int
     ) -> None:
-        """Commit a manifest whose ``stats`` map covers every referenced
-        dir: carried verbatim for dirs a prior manifest already profiled,
-        harvested from footers for freshly written ones (also lazily
-        backfilling dirs from pre-stats manifests)."""
+        """Commit a manifest whose ``stats``/``file_stats`` maps cover
+        every referenced dir: carried verbatim for dirs a prior manifest
+        already profiled, harvested from footers for freshly written
+        ones (also lazily backfilling dirs from pre-stats manifests)."""
         prev = manifest.get("stats", {})
-        stats = {}
+        prev_files = manifest.get("file_stats", {})
+        stats: dict[str, dict] = {}
+        file_stats: dict[str, dict] = {}
         for ds in buckets.values():
             for d in ds:
-                stats[d] = prev[d] if d in prev else self._dir_stats(d)
+                if d in prev and d in prev_files:
+                    stats[d], file_stats[d] = prev[d], prev_files[d]
+                else:
+                    stats[d], file_stats[d] = self._harvest_stats(d)
         self._commit_manifest(
-            dict(manifest, buckets=buckets, stats=stats), version
+            dict(manifest, buckets=buckets, stats=stats, file_stats=file_stats),
+            version,
         )
 
     # -- reference operator surface ------------------------------------
@@ -724,24 +787,46 @@ class ManifestVersionedTable:
                 f"column {column!r} not in table layout {manifest['columns']}"
             )
         stats = manifest.get("stats", {})
-        dirs = []
+        file_stats = manifest.get("file_stats", {})
+
+        def _overlaps(enc) -> bool:
+            if enc is None:
+                return True  # no bounds -> conservatively scan
+            vmin, vmax = self._stat_decode(enc[0]), self._stat_decode(enc[1])
+            if lower is not None and vmax < lower:
+                return False
+            if upper is not None and vmin > upper:
+                return False
+            return True
+
+        paths: list[str] = []
         for d in self._bucket_dirs(manifest["buckets"]):
-            s = stats.get(d, {}).get(column)
-            if s is not None:
-                dmin, dmax = self._stat_decode(s[0]), self._stat_decode(s[1])
-                if lower is not None and dmax < lower:
-                    continue
-                if upper is not None and dmin > upper:
-                    continue
-            dirs.append(d)
-        df = self._read_dirs(manifest, dirs)
+            if not _overlaps(stats.get(d, {}).get(column)):
+                continue
+            per_file = file_stats.get(d)
+            if per_file:
+                # file-grain second pass: within a surviving dir, plan
+                # only the files whose bounds overlap — the grain that
+                # keeps pruning alive after OPTIMIZE collapses the table
+                # into one clustered commit dir
+                paths.extend(
+                    os.path.join(self._abs(d), f)
+                    for f in sorted(per_file)
+                    if _overlaps(per_file[f].get(column))
+                )
+            else:
+                paths.append(self._abs(d))
+        if not paths:
+            df = self._empty(manifest)
+        else:
+            df = self.spark.read.parquet(*paths).select(*manifest["columns"])
         if lower is not None:
             df = df.where(F.col(column) >= F.lit(lower))
         if upper is not None:
             df = df.where(F.col(column) <= F.lit(upper))
         return df
 
-    def optimize(self) -> int:
+    def optimize(self, cluster_by: list[str] | None = None) -> int:
         """Compaction (Delta OPTIMIZE analogue): a long merge history
         leaves the current version's buckets scattered across many small
         commit directories (one per merge); this rewrites the CURRENT
@@ -749,11 +834,21 @@ class ManifestVersionedTable:
         Older versions keep reading their own (shared) files; a following
         ``vacuum`` reclaims whatever the retained horizon no longer
         references. Run it on the same cadence Delta runs OPTIMIZE: when
-        small-file counts start to dominate scan planning."""
+        small-file counts start to dominate scan planning.
+
+        ``cluster_by`` (Delta liquid clustering / ZORDER's purpose):
+        sort-cluster the rewrite on the given columns so each output
+        FILE carries a tight range of them. Plain compaction collapses
+        the table into ONE commit dir, which blinds dir-grain range
+        pruning (one dir spans everything); the file-grain stats written
+        at commit time plus clustering keep ``read_range`` pruning
+        effective on the compacted layout."""
         version = self.latest_version()
         manifest = self._manifest(version)
         self._commit_with_stats(
-            manifest, self._write_buckets(self.read()), version + 1
+            manifest,
+            self._write_buckets(self.read(), cluster_by=cluster_by),
+            version + 1,
         )
         return version + 1
 

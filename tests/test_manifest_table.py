@@ -418,3 +418,56 @@ def test_read_range_string_and_null_columns(spark, tmp_path):
     assert {r["id"] for r in t.read_range("score", 1.0, 9.0).collect()} == {2, 3}
     with pytest.raises(ValueError, match="not in table layout"):
         t.read_range("nope", 0, 1)
+
+
+def test_clustered_optimize_keeps_range_pruning_alive(spark, tmp_path):
+    """Plain compaction collapses the table into one commit dir, which
+    blinds dir-grain pruning; optimize(cluster_by) + file-grain stats
+    keep read_range planning a strict subset of the compacted files."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(_rows(spark, [(i, f"a{i}", float(i)) for i in range(0, 40)]))
+    t.append(_rows(spark, [(i, f"b{i}", float(i)) for i in range(40, 80)]))
+    v = t.optimize(cluster_by=["score"])
+    m = t._manifest(v)
+    all_files = [
+        (d, f)
+        for d in ManifestVersionedTable._bucket_dirs(m["buckets"])
+        for f in m["file_stats"][d]
+    ]
+    got = t.read_range("score", 10.0, 15.0)
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 16))
+    scanned = {
+        r[0].rsplit("/", 1)[-1]
+        for r in got.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(scanned) < len(all_files), (
+        f"file-grain pruning planned {len(scanned)}/{len(all_files)} files"
+    )
+    # full equivalence on the compacted layout
+    full = t.read().where((F.col("score") >= 10.0) & (F.col("score") <= 15.0))
+    assert _sorted(got) == _sorted(full)
+
+
+def test_commit_is_put_if_absent(spark, tmp_path):
+    """Two writers racing to the same version: the second commit fails
+    loudly with ConcurrentWriteError instead of clobbering the winner,
+    and the winner's state is intact."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ConcurrentWriteError,
+    )
+
+    path = str(tmp_path / "t")
+    t1 = ManifestVersionedTable(spark, path, key="id", n_buckets=4)
+    t1.overwrite(_rows(spark, BASE))
+    winner = t1._manifest(0)
+    with pytest.raises(ConcurrentWriteError, match="version 0"):
+        t1._commit_manifest(dict(winner), 0)
+    assert t1._manifest(0) == winner  # loser did not clobber
+    assert len(t1.read().collect()) == len(BASE)
+    # no staging litter left behind
+    leftovers = [
+        f
+        for f in os.listdir(os.path.join(path, "_manifests"))
+        if ".tmp." in f
+    ]
+    assert leftovers == []
