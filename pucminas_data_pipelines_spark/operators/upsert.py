@@ -299,7 +299,10 @@ class ManifestVersionedTable:
         ).cast("int")
 
     def _write_buckets(
-        self, df: DataFrame, cluster_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        cluster_by: list[str] | None = None,
+        files_per_bucket: int = 8,
     ) -> dict[str, list[str]]:
         """Write df hash-partitioned by bucket under a fresh commit dir;
         return {bucket: [dir]} for the buckets that produced data (the
@@ -326,8 +329,16 @@ class ManifestVersionedTable:
             missing = [c for c in cluster_by if c not in df.columns]
             if missing:
                 raise ValueError(f"cluster_by columns not in table: {missing}")
+            # explicit partition count: n_buckets × files_per_bucket range
+            # partitions split each bucket's data into ~files_per_bucket
+            # cluster-column slices — without it the range shuffle
+            # coalesces to ~one file per bucket, each spanning the full
+            # cluster range, and file-grain pruning goes blind (measured:
+            # 8/9 files "pruned" for a 10% range probe vs 2/65 with it)
             out_df = out_df.repartitionByRange(
-                F.col("mvt_bucket"), *[F.col(c) for c in cluster_by]
+                self.n_buckets * files_per_bucket,
+                F.col("mvt_bucket"),
+                *[F.col(c) for c in cluster_by],
             ).sortWithinPartitions("mvt_bucket", *cluster_by)
         out_df.write.partitionBy("mvt_bucket").parquet(commit_dir)
         rel_commit = os.path.relpath(commit_dir, self.path)
@@ -826,7 +837,11 @@ class ManifestVersionedTable:
             df = df.where(F.col(column) <= F.lit(upper))
         return df
 
-    def optimize(self, cluster_by: list[str] | None = None) -> int:
+    def optimize(
+        self,
+        cluster_by: list[str] | None = None,
+        files_per_bucket: int = 8,
+    ) -> int:
         """Compaction (Delta OPTIMIZE analogue): a long merge history
         leaves the current version's buckets scattered across many small
         commit directories (one per merge); this rewrites the CURRENT
@@ -847,7 +862,11 @@ class ManifestVersionedTable:
         manifest = self._manifest(version)
         self._commit_with_stats(
             manifest,
-            self._write_buckets(self.read(), cluster_by=cluster_by),
+            self._write_buckets(
+                self.read(),
+                cluster_by=cluster_by,
+                files_per_bucket=files_per_bucket,
+            ),
             version + 1,
         )
         return version + 1
