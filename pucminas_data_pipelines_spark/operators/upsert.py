@@ -564,23 +564,52 @@ class ManifestVersionedTable:
         manifest = self._manifest(version)
         return self._read_dirs(manifest, self._bucket_dirs(manifest["buckets"]))
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
         """APPEND — the dominant ingestion commit at scale: write ONLY the
         new rows' files and extend the manifest's bucket lists; nothing
         existing is read or rewritten, so the commit is O(new data)
         regardless of table size (Delta's add-files commit). The price is
         file-count growth per bucket — ``merge``/``delete_where`` compact
         the buckets they touch back to one directory, and ``optimize``
-        compacts everything."""
+        compacts everything.
+
+        ``txn_app``/``txn_version`` is Delta's idempotent-writer contract
+        (txnAppId/txnVersion): the manifest remembers the highest
+        txn_version committed per app, and a replayed batch (same app,
+        version ≤ remembered) is a NO-OP returning the current table
+        version. This is what makes a Structured Streaming foreachBatch
+        sink exactly-once — after a crash between data-write and
+        checkpoint-advance, the re-delivered epoch must not double-append
+        its rows."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version must be given together")
         version = self.latest_version()
         manifest = self._manifest(version)
+        txns = dict(manifest.get("txns", {}))
+        if txn_app is not None:
+            last = txns.get(txn_app)
+            if last is not None and txn_version <= last:
+                return version  # replayed epoch: already committed
+            txns[txn_app] = txn_version
         df = self._align_columns(df, manifest)
         written = self._write_buckets(df)
         new_buckets = {b: list(ds) for b, ds in manifest["buckets"].items()}
         for b, ds in written.items():
             new_buckets.setdefault(b, []).extend(ds)
-        self._commit_with_stats(manifest, new_buckets, version + 1)
+        self._commit_with_stats(
+            dict(manifest, txns=txns), new_buckets, version + 1
+        )
         return version + 1
+
+    def last_txn_version(self, txn_app: str) -> int | None:
+        """Highest txn_version committed for an app (None if never) — the
+        restart handshake for an idempotent writer."""
+        return self._manifest(self.latest_version()).get("txns", {}).get(txn_app)
 
     def merge(
         self,

@@ -142,13 +142,15 @@ DRIVER_WINDOW: list[str] = [
     # ROUND-10 ROTATION. Driver-green coverage completed in r9 (union of
     # CORRECTNESS_r01..r09 green keys = 341/341 scorable; COVERAGE.md
     # header). This window therefore carries (a) the 5 standing canaries,
-    # (b) FIRST evidence for the round-10 ManifestVersionedTable family (6)
+    # (b) FIRST evidence for the round-10 ManifestVersionedTable family (7,
+    # incl. the exactly-once foreachBatch ingest with live epoch replay)
     # (driver-level proof of the r9 bucket-manifest commit layer and of
     # this round's ADVICE fixes: null-safe DELETE, portable manifests,
     # schema enforcement), and (c) 40 RE-confirmation picks chosen
     # oldest-evidence-first: every name whose only driver-green row dates
-    # to r1 (27) or r3 (12; dedup_simhash yielded its slot to the 6th
-    # manifest query and stays parity-pinned) — the queries that have survived seven rounds
+    # to r1 (27) or r3 (11; dedup_simhash and dedup_semantic_recall
+    # yielded their slots to the 6th/7th manifest-family queries and
+    # stay parity-pinned) — the queries that have survived seven rounds
     # of operator rewrites on parity tests alone get fresh driver rows.
     # canaries (driver-green every round since r4)
     "q1_pricing_summary",
@@ -164,6 +166,7 @@ DRIVER_WINDOW: list[str] = [
     "mutation_manifest_optimize_roundtrip",
     "mutation_manifest_vacuum_lifecycle",
     "mutation_manifest_timerange_scan",
+    "streaming_manifest_ingest_live",
     # oldest-evidence re-confirmation: last green in r1
     "agg_count_distinct",
     "agg_cube",
@@ -204,7 +207,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_semantic_recall",
 ]
 
 

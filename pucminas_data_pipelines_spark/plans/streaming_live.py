@@ -414,3 +414,62 @@ def streaming_state_metadata_inspection(
         F.col("minBatchId").cast("bigint").alias("min_batch_id"),
         F.col("maxBatchId").cast("bigint").alias("max_batch_id"),
     )
+
+
+@query(
+    "streaming_manifest_ingest_live",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_manifest_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into the manifest table, end-to-end
+    LIVE: the events stream (4 source files, maxFilesPerTrigger=1 → 4
+    real micro-batches) feeds a foreachBatch sink that APPENDs each
+    epoch under Delta's idempotent-writer handshake (txn_app +
+    txn_version=batch_id) — and every epoch is deliberately DELIVERED
+    TWICE (jobs.run_foreachbatch_manifest_ingest redeliver=True), the
+    at-least-once replay foreachBatch exhibits after a crash between
+    data-write and checkpoint-advance. The txn handshake turns each
+    second delivery into a no-op, so the final table holds every event
+    exactly once: the per-type rollup equals the plain batch aggregate
+    over events, which the oracle computes directly. A double-append
+    would double every count and fail the value hash."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.streaming import jobs
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    base = "/root/repo/.tmp/stream_manifest_ingest"
+    src, tbl = f"{base}/src", f"{base}/table"
+    shutil.rmtree(base, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = jobs.run_foreachbatch_manifest_ingest(
+        stream, tbl, key="event_id", n_buckets=4, redeliver=True
+    )
+    return (
+        table.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

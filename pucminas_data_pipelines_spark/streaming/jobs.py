@@ -214,6 +214,56 @@ def run_foreachbatch_upsert(
     return target
 
 
+def run_foreachbatch_manifest_ingest(
+    stream_df: DataFrame,
+    table_path: str,
+    key: str,
+    n_buckets: int = 4,
+    redeliver: bool = False,
+    state_partitions: int | None = None,
+):
+    """foreachBatch APPEND-ONLY ingest into a ManifestVersionedTable with
+    the idempotent-writer handshake (Delta txnAppId/txnVersion): every
+    micro-batch appends under ``txn_version=batch_id``, so a re-delivered
+    epoch — Structured Streaming's at-least-once foreachBatch contract
+    after a crash between data-write and checkpoint-advance — is a no-op
+    instead of a double-append. ``redeliver=True`` re-invokes the append
+    for every batch to exercise exactly that replay path live.
+
+    Scale: append is O(micro-batch) (bucket file-lists extend, nothing
+    rewrites), so ingest cost tracks stream volume, not table size —
+    the property that lets a 100 TB hypertable absorb a continuous
+    stream; merge/optimize compact on their own cadence."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    spark = stream_df.sparkSession
+    target = ManifestVersionedTable(
+        spark, table_path, key=key, n_buckets=n_buckets
+    )
+    # bootstrap the layout so every batch takes the same append path
+    target.overwrite(spark.createDataFrame([], stream_df.schema))
+    app = "stream_ingest"
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        target.append(batch_df, txn_app=app, txn_version=batch_id)
+        if redeliver:
+            # simulate the crash-replay delivery: same epoch, same rows —
+            # the txn handshake must turn this into a no-op
+            target.append(batch_df, txn_app=app, txn_version=batch_id)
+
+    with _pinned_shuffle_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.foreachBatch(ingest)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return target
+
+
 def enriched_segment_counts(
     events: DataFrame, customer_dim: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -471,3 +471,30 @@ def test_commit_is_put_if_absent(spark, tmp_path):
         if ".tmp." in f
     ]
     assert leftovers == []
+
+
+def test_append_txn_idempotence(spark, tmp_path):
+    """Delta's txnAppId/txnVersion contract: a replayed (app, version)
+    append is a no-op; a NEWER version appends; a second app's version
+    counter is independent; half-given txn args refuse."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    batch = _rows(spark, [(10, "gil", 100.0)])
+    v1 = t.append(batch, txn_app="ingest", txn_version=0)
+    assert v1 == 1 and t.read().count() == len(BASE) + 1
+    # replay of epoch 0: no new version, no new rows
+    assert t.append(batch, txn_app="ingest", txn_version=0) == v1
+    assert t.read().count() == len(BASE) + 1
+    assert t.last_txn_version("ingest") == 0
+    # an older-than-remembered version is also a no-op after progress
+    v2 = t.append(_rows(spark, [(11, "hana", 110.0)]), txn_app="ingest", txn_version=1)
+    assert v2 == 2
+    assert t.append(batch, txn_app="ingest", txn_version=0) == v2
+    # independent app namespace
+    v3 = t.append(_rows(spark, [(12, "iva", 120.0)]), txn_app="backfill", txn_version=0)
+    assert v3 == 3 and t.last_txn_version("backfill") == 0
+    assert t.last_txn_version("ingest") == 1
+    # plain appends never consult the txn map
+    assert t.append(batch.withColumn("id", F.col("id") + 100)) == 4
+    with pytest.raises(ValueError, match="together"):
+        t.append(batch, txn_app="ingest")
