@@ -411,9 +411,51 @@ class ManifestVersionedTable:
         schema = StructType.fromJson(manifest["schema"])
         return self.spark.createDataFrame([], schema)
 
+    def _rel_file_expr(self):
+        """_metadata.file_path (a file:/ URI) → table-root-relative file
+        id, the portable key deletion vectors are stored under (the same
+        spelling regardless of how the handle addressed the root)."""
+        import re as _re
+
+        as_path = F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        )
+        return F.regexp_replace(
+            as_path, "^" + _re.escape(self.path + "/"), ""
+        )
+
+    def _scan_with_meta(self, manifest: dict, paths: list[str]) -> DataFrame:
+        """Scan the given paths with the DV key columns (__dv_file,
+        __dv_row) attached and every deletion-vector row filtered OUT via
+        a broadcast LEFT ANTI join — merge-on-read. The table side never
+        shuffles for the join (DVs are match-sized and broadcast), so DV
+        application costs one broadcast per scan, not a 100 TB shuffle."""
+        if not paths:
+            return (
+                self._empty(manifest)
+                .withColumn("__dv_file", F.lit("").cast("string"))
+                .withColumn("__dv_row", F.lit(0).cast("long"))
+            )
+        df = self.spark.read.parquet(*paths).select(
+            *manifest["columns"],
+            self._rel_file_expr().alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_row"),
+        )
+        dvs = manifest.get("deletion_vectors", [])
+        if dvs:
+            dv = self.spark.read.parquet(*[self._abs(p) for p in dvs])
+            df = df.join(
+                F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
+            )
+        return df
+
     def _read_dirs(self, manifest: dict, dirs: list[str]) -> DataFrame:
         if not dirs:
             return self._empty(manifest)
+        if manifest.get("deletion_vectors"):
+            return self._scan_with_meta(
+                manifest, [self._abs(d) for d in dirs]
+            ).drop("__dv_file", "__dv_row")
         return self.spark.read.parquet(
             *[self._abs(d) for d in dirs]
         ).select(*manifest["columns"])
@@ -658,16 +700,31 @@ class ManifestVersionedTable:
         self._commit_with_stats(manifest, new_buckets, version + 1)
         return version + 1
 
-    def delete_where(self, condition) -> int:
+    def delete_where(self, condition, mode: str = "copy_on_write") -> int:
         """DELETE: one scan finds the buckets containing matches; only
         those are rewritten (a bucket left empty drops out of the
         manifest), everything else shares the previous version's files.
+
+        ``mode='merge_on_read'`` commits a DELETION VECTOR instead
+        (Delta DVs): the matched rows' (file, row_index) keys go into a
+        parquet sidecar and NO data file is rewritten — commit cost is
+        O(matches), the right trade when a delete touches a sliver of
+        many buckets (GDPR point deletes across a 100 TB table). Every
+        read applies outstanding DVs via a broadcast anti-join;
+        ``optimize`` materializes them away.
 
         The keep-filter is null-safe (``NOT (condition <=> TRUE)``): SQL
         DELETE removes only TRUE-condition rows, so a NULL-condition row
         must survive. A plain ``~condition`` would keep it in untouched
         buckets but drop it from any bucket that also held a TRUE match —
-        bucket-hash-dependent data loss."""
+        bucket-hash-dependent data loss. (The DV path inherits this for
+        free: ``where(condition)`` marks TRUE rows only.)"""
+        if mode == "merge_on_read":
+            return self._delete_with_vector(condition)
+        if mode != "copy_on_write":
+            raise ValueError(
+                f"mode={mode!r} (expected 'copy_on_write' or 'merge_on_read')"
+            )
         version = self.latest_version()
         manifest = self._manifest(version)
         prev_buckets: dict[str, list[str]] = dict(manifest["buckets"])
@@ -689,6 +746,29 @@ class ManifestVersionedTable:
                 new_buckets.pop(b, None)  # empty-after-delete buckets vanish
             new_buckets.update(written)
         self._commit_with_stats(manifest, new_buckets, version + 1)
+        return version + 1
+
+    def _delete_with_vector(self, condition) -> int:
+        """Merge-on-read DELETE: append the matched rows' (file,
+        row_index) keys to a parquet deletion-vector sidecar and commit a
+        manifest that references it — zero data files rewritten. Stale DV
+        entries for files a later rewrite drops are harmless (their file
+        ids never reappear: every commit dir is a fresh uuid)."""
+        import uuid as _uuid
+
+        version = self.latest_version()
+        manifest = self._manifest(version)
+        scan = self._scan_with_meta(
+            manifest,
+            [self._abs(d) for d in self._bucket_dirs(manifest["buckets"])],
+        )
+        matches = scan.where(condition).select("__dv_file", "__dv_row")
+        rel = f"_dvs/{_uuid.uuid4().hex[:12]}"
+        matches.write.parquet(os.path.join(self.path, rel))
+        dvs = list(manifest.get("deletion_vectors", [])) + [rel]
+        self._commit_manifest(
+            dict(manifest, deletion_vectors=dvs), version + 1
+        )
         return version + 1
 
     def history(self) -> list[int]:
@@ -723,11 +803,17 @@ class ManifestVersionedTable:
         keep = set(range(max(0, latest - retain_last + 1), latest + 1))
         removed: list[int] = []
         referenced: set[str] = set()
+        dv_referenced: set[str] = set()
         for v in self.history():
             if v in keep:
+                m = self._manifest(v)
                 referenced.update(
                     os.path.realpath(self._abs(d))
-                    for d in self._bucket_dirs(self._manifest(v)["buckets"])
+                    for d in self._bucket_dirs(m["buckets"])
+                )
+                dv_referenced.update(
+                    os.path.realpath(self._abs(p))
+                    for p in m.get("deletion_vectors", [])
                 )
         for v in self.history():
             if v not in keep:
@@ -745,6 +831,12 @@ class ManifestVersionedTable:
                     _sh.rmtree(d, ignore_errors=True)
             if not os.listdir(commit_dir):
                 _sh.rmtree(commit_dir, ignore_errors=True)
+        # deletion-vector sidecars: same reference-count contract
+        dv_root = os.path.join(self.path, "_dvs")
+        for name in os.listdir(dv_root) if os.path.isdir(dv_root) else []:
+            d = os.path.join(dv_root, name)
+            if os.path.realpath(d) not in dv_referenced:
+                _sh.rmtree(d, ignore_errors=True)
         return removed
 
     def read_keys(self, values: list, version_as_of: int | None = None) -> DataFrame:
@@ -858,6 +950,10 @@ class ManifestVersionedTable:
                 paths.append(self._abs(d))
         if not paths:
             df = self._empty(manifest)
+        elif manifest.get("deletion_vectors"):
+            df = self._scan_with_meta(manifest, paths).drop(
+                "__dv_file", "__dv_row"
+            )
         else:
             df = self.spark.read.parquet(*paths).select(*manifest["columns"])
         if lower is not None:
@@ -889,8 +985,11 @@ class ManifestVersionedTable:
         effective on the compacted layout."""
         version = self.latest_version()
         manifest = self._manifest(version)
+        # the rewrite reads THROUGH outstanding deletion vectors, so the
+        # compacted files have the deletes applied physically — the new
+        # manifest starts DV-free (Delta's PURGE side effect of OPTIMIZE)
         self._commit_with_stats(
-            manifest,
+            dict(manifest, deletion_vectors=[]),
             self._write_buckets(
                 self.read(),
                 cluster_by=cluster_by,

@@ -732,3 +732,34 @@ def mutation_manifest_timerange_scan(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "mutation_manifest_deletion_vectors",
+    oracle=_TYPED_SELECT.format(
+        rows=_values([r for r in _expected_merged() if not (r[1] == 0)])
+    ),
+)
+def mutation_manifest_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (Delta DVs,
+    operators/upsert.py _delete_with_vector): DELETE WHERE survived=0 on
+    the merged state commits a parquet sidecar of (file, row_index) keys
+    and rewrites NO data files — the manifest's bucket lists are
+    byte-identical to the previous version's (asserted in
+    tests/test_manifest_table.py); every read applies the DV through a
+    broadcast anti-join, so the query's result equals the copy-on-write
+    delete's (mutation_delete_where's oracle, shared expectations).
+
+    Scale: DELETE cost is O(matched rows), not O(affected-bucket bytes)
+    — the right trade for point deletes (GDPR erasure) scattered across
+    a 100 TB table; the read-side anti-join broadcasts the match-sized
+    DV, never shuffling the table."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    table = _run_manifest_scenario(spark, "/root/repo/.tmp/titanic_mvt_dv")
+    table.delete_where(F.col("Survived") == 0, mode="merge_on_read")
+    return _lowered(table.read())

@@ -498,3 +498,65 @@ def test_append_txn_idempotence(spark, tmp_path):
     assert t.append(batch.withColumn("id", F.col("id") + 100)) == 4
     with pytest.raises(ValueError, match="together"):
         t.append(batch, txn_app="ingest")
+
+
+def test_deletion_vector_delete_rewrites_nothing(spark, tmp_path):
+    """merge_on_read DELETE: no bucket dir changes, a DV sidecar appears,
+    reads (full / point / range) all apply it, the prior version still
+    serves the deleted rows, and NULL-condition rows survive."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, [(1, "ana", 10.0), (2, "bia", None),
+                              (3, "caio", 90.0), (4, "dina", 70.0)]))
+    v = t.delete_where(F.col("score") >= 50.0, mode="merge_on_read")
+    m0, m1 = t._manifest(0), t._manifest(v)
+    assert m1["buckets"] == m0["buckets"], "DV delete must rewrite nothing"
+    assert len(m1["deletion_vectors"]) == 1
+    assert {r["id"] for r in t.read().collect()} == {1, 2}  # NULL survives
+    assert t.read_keys([3]).count() == 0 and t.read_keys([2]).count() == 1
+    assert {r["id"] for r in t.read_range("id", 1, 4).collect()} == {1, 2}
+    # time travel to the pre-delete version still sees everything
+    assert t.read(version_as_of=0).count() == 4
+    # the DV apply is a broadcast anti-join: the table side must not shuffle
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_deletion_vector_then_merge_does_not_resurrect(spark, tmp_path):
+    """A merge that rewrites a DV'd bucket reads THROUGH the DV, so the
+    deleted row stays dead in the rewritten files; a second DV delete
+    stacks with the first."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=1)
+    t.overwrite(_rows(spark, BASE))
+    t.delete_where(F.col("id") == 3, mode="merge_on_read")
+    t.merge(_rows(spark, [(2, "bia2", 21.0)]))  # rewrites the single bucket
+    got = {r["id"]: r["name"] for r in t.read().collect()}
+    assert 3 not in got and got[2] == "bia2" and len(got) == len(BASE) - 1
+    t.delete_where(F.col("id") == 5, mode="merge_on_read")
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 4, 6}
+
+
+def test_optimize_purges_deletion_vectors(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    t.delete_where(F.col("id").isin(1, 6), mode="merge_on_read")
+    before = _sorted(t.read())
+    v = t.optimize()
+    assert t._manifest(v)["deletion_vectors"] == []
+    assert _sorted(t.read()) == before  # deletes applied physically
+    # vacuum past the DV'd versions reclaims the now-unreferenced sidecar
+    t.vacuum(retain_last=1)
+    dv_root = os.path.join(t.path, "_dvs")
+    assert not os.path.isdir(dv_root) or os.listdir(dv_root) == []
+
+
+def test_deletion_vector_differential_vs_copy_on_write(spark, tmp_path):
+    """Both delete modes produce identical table state on the same input
+    and predicate (incl. a NULL-condition row)."""
+    data = [(i, f"u{i}", None if i % 5 == 0 else float(i)) for i in range(1, 21)]
+    a = ManifestVersionedTable(spark, str(tmp_path / "a"), key="id", n_buckets=4)
+    b = ManifestVersionedTable(spark, str(tmp_path / "b"), key="id", n_buckets=4)
+    a.overwrite(_rows(spark, data))
+    b.overwrite(_rows(spark, data))
+    a.delete_where(F.col("score") > 12.0, mode="copy_on_write")
+    b.delete_where(F.col("score") > 12.0, mode="merge_on_read")
+    assert _sorted(a.read()) == _sorted(b.read())
