@@ -436,7 +436,7 @@ class ManifestVersionedTable:
                 .withColumn("__dv_file", F.lit("").cast("string"))
                 .withColumn("__dv_row", F.lit(0).cast("long"))
             )
-        df = self.spark.read.parquet(*paths).select(
+        df = self._reader(manifest).parquet(*paths).select(
             *manifest["columns"],
             self._rel_file_expr().alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_row"),
@@ -449,6 +449,15 @@ class ManifestVersionedTable:
             )
         return df
 
+    def _reader(self, manifest: dict):
+        """Parquet reader pinned to the MANIFEST's schema: no footer
+        inference (the manifest is authoritative, and at 100 TB schema
+        inference lists footers), and files written before a schema
+        evolution simply yield NULL for columns they don't carry."""
+        from pyspark.sql.types import StructType
+
+        return self.spark.read.schema(StructType.fromJson(manifest["schema"]))
+
     def _read_dirs(self, manifest: dict, dirs: list[str]) -> DataFrame:
         if not dirs:
             return self._empty(manifest)
@@ -456,7 +465,7 @@ class ManifestVersionedTable:
             return self._scan_with_meta(
                 manifest, [self._abs(d) for d in dirs]
             ).drop("__dv_file", "__dv_row")
-        return self.spark.read.parquet(
+        return self._reader(manifest).parquet(
             *[self._abs(d) for d in dirs]
         ).select(*manifest["columns"])
 
@@ -606,11 +615,47 @@ class ManifestVersionedTable:
         manifest = self._manifest(version)
         return self._read_dirs(manifest, self._bucket_dirs(manifest["buckets"]))
 
+    def _evolve_schema(
+        self, manifest: dict, df: DataFrame
+    ) -> tuple[dict, DataFrame]:
+        """Delta ``mergeSchema`` semantics for append: source columns the
+        table lacks are ADDED to the table schema (nullable — files
+        written before the evolution yield NULL for them via the
+        explicit-schema read); table columns the source lacks are
+        null-filled in the batch. Shared columns keep the strict type
+        gate (_align_columns). Only widens — never drops or retypes."""
+        from pyspark.sql.types import StructField, StructType
+
+        stored = StructType.fromJson(manifest["schema"])
+        known = {f.name for f in stored.fields}
+        added = [
+            StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+            if f.name not in known
+        ]
+        for f in added:
+            if f.name in ("mvt_bucket", "_s_present"):
+                raise ValueError(f"column name {f.name!r} is reserved")
+        evolved = StructType(list(stored.fields) + added)
+        fill = [f for f in evolved.fields if f.name not in df.columns]
+        if fill:
+            df = df.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in fill],
+            )
+        manifest = dict(
+            manifest,
+            columns=manifest["columns"] + [f.name for f in added],
+            schema=evolved.jsonValue(),
+        )
+        return manifest, df
+
     def append(
         self,
         df: DataFrame,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """APPEND — the dominant ingestion commit at scale: write ONLY the
         new rows' files and extend the manifest's bucket lists; nothing
@@ -627,7 +672,12 @@ class ManifestVersionedTable:
         version. This is what makes a Structured Streaming foreachBatch
         sink exactly-once — after a crash between data-write and
         checkpoint-advance, the re-delivered epoch must not double-append
-        its rows."""
+        its rows.
+
+        ``merge_schema=True`` is Delta's mergeSchema append (see
+        _evolve_schema): new source columns widen the table schema, old
+        files serve NULL for them; without it the strict column-set gate
+        applies."""
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version must be given together")
         version = self.latest_version()
@@ -638,6 +688,8 @@ class ManifestVersionedTable:
             if last is not None and txn_version <= last:
                 return version  # replayed epoch: already committed
             txns[txn_app] = txn_version
+        if merge_schema:
+            manifest, df = self._evolve_schema(manifest, df)
         df = self._align_columns(df, manifest)
         written = self._write_buckets(df)
         new_buckets = {b: list(ds) for b, ds in manifest["buckets"].items()}
@@ -955,7 +1007,9 @@ class ManifestVersionedTable:
                 "__dv_file", "__dv_row"
             )
         else:
-            df = self.spark.read.parquet(*paths).select(*manifest["columns"])
+            df = self._reader(manifest).parquet(*paths).select(
+                *manifest["columns"]
+            )
         if lower is not None:
             df = df.where(F.col(column) >= F.lit(lower))
         if upper is not None:

@@ -560,3 +560,39 @@ def test_deletion_vector_differential_vs_copy_on_write(spark, tmp_path):
     a.delete_where(F.col("score") > 12.0, mode="copy_on_write")
     b.delete_where(F.col("score") > 12.0, mode="merge_on_read")
     assert _sorted(a.read()) == _sorted(b.read())
+
+
+def test_append_merge_schema_evolution(spark, tmp_path):
+    """Delta mergeSchema append: a new source column widens the table
+    schema (old rows serve NULL through the explicit-schema read), a
+    missing source column is null-filled, shared-column types stay
+    strictly enforced, and time travel keeps the OLD schema."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    wide = spark.createDataFrame(
+        [(10, "gil", 100.0, "BR")], "id bigint, name string, score double, country string"
+    )
+    with pytest.raises(ValueError, match="schema evolution"):
+        t.append(wide)  # strict gate without merge_schema
+    t.append(wide, merge_schema=True)
+    got = {r["id"]: (r["score"], r["country"]) for r in t.read().collect()}
+    assert got[10] == (100.0, "BR")
+    assert got[1] == (10.0, None)  # pre-evolution rows: NULL country
+    assert t.read().columns == ["id", "name", "score", "country"]
+    # a later batch WITHOUT the new column null-fills it
+    t.append(
+        spark.createDataFrame([(11, "hana")], "id bigint, name string"),
+        merge_schema=True,
+    )
+    got = {r["id"]: (r["score"], r["country"]) for r in t.read().collect()}
+    assert got[11] == (None, None)
+    # shared-column type conflicts still refuse under merge_schema
+    bad = spark.createDataFrame([(12, "iva", 1)], "id bigint, name string, score int")
+    with pytest.raises(ValueError, match="types do not match"):
+        t.append(bad, merge_schema=True)
+    # the pre-evolution version still reads with its own (old) schema
+    assert t.read(version_as_of=0).columns == ["id", "name", "score"]
+    # reserved names cannot enter via evolution
+    sneaky = _rows(spark, [(13, "x", 1.0)]).withColumn("_s_present", F.lit(True))
+    with pytest.raises(ValueError, match="_s_present"):
+        t.append(sneaky, merge_schema=True)
