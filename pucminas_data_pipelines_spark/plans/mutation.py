@@ -756,10 +756,6 @@ def mutation_manifest_deletion_vectors(
     — the right trade for point deletes (GDPR erasure) scattered across
     a 100 TB table; the read-side anti-join broadcasts the match-sized
     DV, never shuffling the table."""
-    from pucminas_data_pipelines_spark.operators.upsert import (
-        ManifestVersionedTable,
-    )
-
     table = _run_manifest_scenario(spark, "/root/repo/.tmp/titanic_mvt_dv")
     table.delete_where(F.col("Survived") == 0, mode="merge_on_read")
     return _lowered(table.read())
