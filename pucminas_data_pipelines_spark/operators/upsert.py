@@ -1154,9 +1154,34 @@ def version_diff(table, key: str, from_version: int, to_version: int) -> DataFra
     production path is reading the CDF change files instead of diffing two
     full snapshots; the two-snapshot join is the general fallback and is
     linear in snapshot size — no all-pairs, survives wide tables.
+
+    MANIFEST FAST PATH: on a ManifestVersionedTable, rows can only differ
+    in buckets whose file lists differ between the two manifests (files
+    are immutable and a key's bucket is fixed), so both sides restrict to
+    the CHANGED buckets — diff cost O(changed buckets), not O(table),
+    which is what makes downstream incremental view maintenance
+    (operators/incremental.py) refresh at O(changes). The path requires
+    equal deletion-vector lists and an unevolved schema between the two
+    versions; anything else falls back to the full-snapshot diff.
     """
-    pre = table.read(version_as_of=from_version)
-    post = table.read(version_as_of=to_version)
+    pre = post = None
+    if hasattr(table, "_manifest") and hasattr(table, "_bucket_dirs"):
+        m_from = table._manifest(from_version)
+        m_to = table._manifest(to_version)
+        if (
+            m_from.get("deletion_vectors", []) == m_to.get("deletion_vectors", [])
+            and m_from["n_buckets"] == m_to["n_buckets"]
+            and m_from["columns"] == m_to["columns"]
+        ):
+            bf, bt = m_from["buckets"], m_to["buckets"]
+            changed = sorted(
+                b for b in set(bf) | set(bt) if bf.get(b) != bt.get(b)
+            )
+            pre = table._read_dirs(m_from, table._bucket_dirs(bf, changed))
+            post = table._read_dirs(m_to, table._bucket_dirs(bt, changed))
+    if pre is None:
+        pre = table.read(version_as_of=from_version)
+        post = table.read(version_as_of=to_version)
     cols = pre.columns
     payload = [c for c in cols if c != key]
 

@@ -142,16 +142,18 @@ DRIVER_WINDOW: list[str] = [
     # ROUND-10 ROTATION. Driver-green coverage completed in r9 (union of
     # CORRECTNESS_r01..r09 green keys = 341/341 scorable; COVERAGE.md
     # header). This window therefore carries (a) the 5 standing canaries,
-    # (b) FIRST evidence for the round-10 ManifestVersionedTable family (8,
-    # incl. the exactly-once foreachBatch ingest with live epoch replay
-    # and the merge-on-read deletion-vector DELETE)
+    # (b) FIRST evidence for the round-10 ManifestVersionedTable family (9,
+    # incl. the exactly-once foreachBatch ingest with live epoch replay,
+    # the merge-on-read deletion-vector DELETE, and the incrementally
+    # maintained rollup fed by the manifest-fast-path CDC)
     # (driver-level proof of the r9 bucket-manifest commit layer and of
     # this round's ADVICE fixes: null-safe DELETE, portable manifests,
     # schema enforcement), and (c) 40 RE-confirmation picks chosen
     # oldest-evidence-first: every name whose only driver-green row dates
-    # to r1 (27) or r3 (10; dedup_simhash, dedup_semantic_recall and
-    # dedup_ngram_jaccard yielded their slots to the 6th-8th
-    # manifest-family queries and stay parity-pinned) — the queries that have survived seven rounds
+    # to r1 (27) or r3 (9; dedup_simhash, dedup_semantic_recall,
+    # dedup_ngram_jaccard and dedup_embedding_cosine yielded their
+    # slots to the 6th-9th manifest-family queries and stay
+    # parity-pinned) — the queries that have survived seven rounds
     # of operator rewrites on parity tests alone get fresh driver rows.
     # canaries (driver-green every round since r4)
     "q1_pricing_summary",
@@ -169,6 +171,7 @@ DRIVER_WINDOW: list[str] = [
     "mutation_manifest_timerange_scan",
     "streaming_manifest_ingest_live",
     "mutation_manifest_deletion_vectors",
+    "mutation_incremental_rollup",
     # oldest-evidence re-confirmation: last green in r1
     "agg_count_distinct",
     "agg_cube",
@@ -206,7 +209,6 @@ DRIVER_WINDOW: list[str] = [
     "corpus_curation_pipeline",
     "curation_boilerplate_prune",
     "dedup_cluster_collapse",
-    "dedup_embedding_cosine",
     "dedup_exact",
 ]
 

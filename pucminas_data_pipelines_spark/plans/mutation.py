@@ -759,3 +759,78 @@ def mutation_manifest_deletion_vectors(
     table = _run_manifest_scenario(spark, "/root/repo/.tmp/titanic_mvt_dv")
     table.delete_where(F.col("Survived") == 0, mode="merge_on_read")
     return _lowered(table.read())
+
+
+@query(
+    "mutation_incremental_rollup",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DOUBLE) AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL SELECT -1, CAST(111.11 AS DOUBLE), 'NEWSEG'
+      UNION ALL SELECT -2, CAST(222.22 AS DOUBLE), 'NEWSEG'
+    ),
+    post AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM upd
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM post GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def mutation_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view (operators/incremental.py
+    + version_diff's manifest fast path): a segment-level balance rollup
+    is built once from the base customer table, the table takes a MERGE
+    batch (every 7th customer +100 exactly via DECIMAL, plus two NEWSEG
+    rows), and the rollup is refreshed FROM THE CHANGE SET — the diff
+    reads only the buckets the merge rewrote, and the refresh joins the
+    change aggregate against the segment-sized rollup. The oracle
+    recomputes the rollup from scratch on the post-merge state: exact
+    DECIMAL maintenance makes the two bit-identical.
+
+    Scale: refresh cost is O(changed buckets + rollup), table-size
+    independent — the continuous-aggregate contract; the naive recompute
+    the oracle performs is the thing this operator avoids."""
+    from pucminas_data_pipelines_spark.operators.incremental import (
+        apply_rollup_delta,
+        rollup_from_scratch,
+    )
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    path = "/root/repo/.tmp/customer_mvt_rollup"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    t = ManifestVersionedTable(spark, path, key="c_custkey", n_buckets=16)
+    t.overwrite(cust)
+    rollup = rollup_from_scratch(t.read(), ["c_mktsegment"], "c_acctbal")
+    rollup = rollup.localCheckpoint(eager=True)  # segment-sized view state
+    changed = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(12,2)") + 100)
+        .cast("double")
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    new_rows = spark.createDataFrame(
+        [(-1, 111.11, "NEWSEG"), (-2, 222.22, "NEWSEG")],
+        "c_custkey bigint, c_acctbal double, c_mktsegment string",
+    )
+    t.merge(changed.unionByName(new_rows))
+    diff = version_diff(t, key="c_custkey", from_version=0, to_version=1)
+    refreshed = apply_rollup_delta(rollup, diff, ["c_mktsegment"], "c_acctbal")
+    return refreshed.select(
+        "c_mktsegment",
+        "n",
+        F.col("total").cast("double").alias("total_balance"),
+    ).orderBy("c_mktsegment")
