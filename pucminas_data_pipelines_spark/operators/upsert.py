@@ -269,9 +269,13 @@ class ManifestVersionedTable:
         of silently clobbering the winner's commit. Data files are never
         contended: every writer stages under its own uuid commit dir, so
         an aborted commit leaves only unreferenced files for vacuum."""
+        import datetime as _dt
         import json as _json
         import uuid as _uuid
 
+        info = dict(manifest.get("commit_info", {}))
+        info.setdefault("ts", _dt.datetime.now().astimezone().isoformat())
+        manifest = dict(manifest, commit_info=info)
         os.makedirs(os.path.join(self.path, "_manifests"), exist_ok=True)
         target = self._manifest_path(version)
         staged = f"{target}.tmp.{_uuid.uuid4().hex[:8]}"
@@ -562,12 +566,18 @@ class ManifestVersionedTable:
         return dir_stats, per_file
 
     def _commit_with_stats(
-        self, manifest: dict, buckets: dict[str, list[str]], version: int
+        self,
+        manifest: dict,
+        buckets: dict[str, list[str]],
+        version: int,
+        operation: str = "WRITE",
     ) -> None:
         """Commit a manifest whose ``stats``/``file_stats`` maps cover
         every referenced dir: carried verbatim for dirs a prior manifest
         already profiled, harvested from footers for freshly written
-        ones (also lazily backfilling dirs from pre-stats manifests)."""
+        ones (also lazily backfilling dirs from pre-stats manifests).
+        ``operation`` lands in the commit_info the DESCRIBE HISTORY
+        surface (describe_history) reports."""
         prev = manifest.get("stats", {})
         prev_files = manifest.get("file_stats", {})
         stats: dict[str, dict] = {}
@@ -579,7 +589,13 @@ class ManifestVersionedTable:
                 else:
                     stats[d], file_stats[d] = self._harvest_stats(d)
         self._commit_manifest(
-            dict(manifest, buckets=buckets, stats=stats, file_stats=file_stats),
+            dict(
+                manifest,
+                buckets=buckets,
+                stats=stats,
+                file_stats=file_stats,
+                commit_info={"operation": operation},
+            ),
             version,
         )
 
@@ -602,7 +618,9 @@ class ManifestVersionedTable:
             "columns": df.columns,
             "schema": df.schema.jsonValue(),
         }
-        self._commit_with_stats(manifest, self._write_buckets(df), version)
+        self._commit_with_stats(
+            manifest, self._write_buckets(df), version, operation="OVERWRITE"
+        )
         return version
 
     def read(self, version_as_of: int | None = None) -> DataFrame:
@@ -696,7 +714,8 @@ class ManifestVersionedTable:
         for b, ds in written.items():
             new_buckets.setdefault(b, []).extend(ds)
         self._commit_with_stats(
-            dict(manifest, txns=txns), new_buckets, version + 1
+            dict(manifest, txns=txns), new_buckets, version + 1,
+            operation="APPEND",
         )
         return version + 1
 
@@ -749,7 +768,9 @@ class ManifestVersionedTable:
         written = self._write_buckets(merged)
         new_buckets = dict(prev_buckets)
         new_buckets.update(written)  # untouched buckets keep prior files
-        self._commit_with_stats(manifest, new_buckets, version + 1)
+        self._commit_with_stats(
+            manifest, new_buckets, version + 1, operation="MERGE"
+        )
         return version + 1
 
     def delete_where(self, condition, mode: str = "copy_on_write") -> int:
@@ -797,7 +818,9 @@ class ManifestVersionedTable:
             for b in affected:
                 new_buckets.pop(b, None)  # empty-after-delete buckets vanish
             new_buckets.update(written)
-        self._commit_with_stats(manifest, new_buckets, version + 1)
+        self._commit_with_stats(
+            manifest, new_buckets, version + 1, operation="DELETE"
+        )
         return version + 1
 
     def _delete_with_vector(self, condition) -> int:
@@ -819,7 +842,12 @@ class ManifestVersionedTable:
         matches.write.parquet(os.path.join(self.path, rel))
         dvs = list(manifest.get("deletion_vectors", [])) + [rel]
         self._commit_manifest(
-            dict(manifest, deletion_vectors=dvs), version + 1
+            dict(
+                manifest,
+                deletion_vectors=dvs,
+                commit_info={"operation": "DELETE (merge-on-read)"},
+            ),
+            version + 1,
         )
         return version + 1
 
@@ -833,6 +861,42 @@ class ManifestVersionedTable:
         except FileNotFoundError:
             return []
         return found
+
+    def describe_history(self) -> list[dict]:
+        """Delta DESCRIBE HISTORY analogue: newest-first commit metadata —
+        version, the operation that produced it (OVERWRITE / APPEND /
+        MERGE / DELETE / DELETE (merge-on-read) / OPTIMIZE / RESTORE),
+        and the commit wall-clock timestamp. O(manifests), no data
+        reads; pre-commit_info manifests report operation None."""
+        out: list[dict] = []
+        for v in sorted(self.history(), reverse=True):
+            info = self._manifest(v).get("commit_info", {})
+            out.append(
+                {
+                    "version": v,
+                    "operation": info.get("operation"),
+                    "ts": info.get("ts"),
+                }
+            )
+        return out
+
+    def restore(self, version: int) -> int:
+        """Delta RESTORE: commit a NEW version whose content is an old
+        version's — the manifest simply points at the old version's
+        (shared, immutable) files, so the commit writes no data and the
+        forward history is preserved (restore is itself an audited
+        commit, not a rollback that erases history). The restored
+        manifest carries the old version's deletion vectors, txn
+        watermarks and schema verbatim: the table state IS that
+        version's state; vacuum keeps every re-referenced directory
+        alive through normal reference counting."""
+        old = self._manifest(version)  # validates existence
+        current = self.latest_version()
+        self._commit_manifest(
+            dict(old, commit_info={"operation": f"RESTORE(v={version})"}),
+            current + 1,
+        )
+        return current + 1
 
     def vacuum(self, retain_last: int = 2) -> list[int]:
         """Snapshot expiry with file-level reference counting: expired
@@ -1042,6 +1106,7 @@ class ManifestVersionedTable:
         # the rewrite reads THROUGH outstanding deletion vectors, so the
         # compacted files have the deletes applied physically — the new
         # manifest starts DV-free (Delta's PURGE side effect of OPTIMIZE)
+        op = "OPTIMIZE" if not cluster_by else f"OPTIMIZE (cluster_by={cluster_by})"
         self._commit_with_stats(
             dict(manifest, deletion_vectors=[]),
             self._write_buckets(
@@ -1050,6 +1115,7 @@ class ManifestVersionedTable:
                 files_per_bucket=files_per_bucket,
             ),
             version + 1,
+            operation=op,
         )
         return version + 1
 

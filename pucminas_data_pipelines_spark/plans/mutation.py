@@ -834,3 +834,22 @@ def mutation_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("total").cast("double").alias("total_balance"),
     ).orderBy("c_mktsegment")
+
+
+@query(
+    "mutation_manifest_restore",
+    oracle=_TYPED_SELECT.format(rows=_values(TITANIC_BASE_ROWS)),
+)
+def mutation_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE on the manifest table (operators/upsert.py restore):
+    after a MERGE and a DELETE, restoring version 0 commits a NEW version
+    whose manifest points at version 0's shared, immutable files — no
+    data is written, history moves forward (the restore is itself an
+    audited commit, visible in describe_history as RESTORE(v=0)) and the
+    table reads exactly as it did before any mutation; the oracle is the
+    base fixture verbatim. Operation log + shared-files invariants are
+    pinned in tests/test_manifest_table.py."""
+    table = _run_manifest_scenario(spark, "/root/repo/.tmp/titanic_mvt_restore")
+    table.delete_where(F.col("Survived") == 0)
+    table.restore(0)
+    return _lowered(table.read())

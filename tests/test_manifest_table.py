@@ -596,3 +596,35 @@ def test_append_merge_schema_evolution(spark, tmp_path):
     sneaky = _rows(spark, [(13, "x", 1.0)]).withColumn("_s_present", F.lit(True))
     with pytest.raises(ValueError, match="_s_present"):
         t.append(sneaky, merge_schema=True)
+
+
+def test_describe_history_and_restore(spark, tmp_path):
+    """Every commit records its operation; RESTORE commits a new version
+    pointing at the old version's shared files (no data written), keeps
+    forward history, and reproduces the old state exactly — including
+    dropping deletion vectors added after the restore point. Vacuum
+    keeps re-referenced dirs alive."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))                                   # v0
+    t.append(_rows(spark, [(10, "gil", 100.0)]))                      # v1
+    t.merge(_rows(spark, [(2, "bia2", 21.0)]))                        # v2
+    t.delete_where(F.col("id") == 4, mode="merge_on_read")            # v3
+    t.optimize()                                                      # v4
+    v0_state = _sorted(t.read(version_as_of=0))
+    v5 = t.restore(0)                                                 # v5
+    ops = {h["version"]: h["operation"] for h in t.describe_history()}
+    assert ops == {
+        0: "OVERWRITE", 1: "APPEND", 2: "MERGE",
+        3: "DELETE (merge-on-read)", 4: "OPTIMIZE", 5: "RESTORE(v=0)",
+    }
+    assert all(h["ts"] for h in t.describe_history())
+    assert _sorted(t.read()) == v0_state
+    # restore wrote no data: v5's buckets are exactly v0's dir lists
+    assert t._manifest(v5)["buckets"] == t._manifest(0)["buckets"]
+    assert t._manifest(v5).get("deletion_vectors", []) == []
+    # vacuum down to the restore + one: the re-referenced v0 dirs survive
+    t.vacuum(retain_last=2)
+    assert _sorted(t.read()) == v0_state
+    # and committing after a restore keeps working
+    t.append(_rows(spark, [(11, "hana", 110.0)]))
+    assert len(t.read().collect()) == len(BASE) + 1
