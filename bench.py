@@ -69,6 +69,13 @@ HEADLINE = [
     # rewritten to frontier-only (delta) relaxation with early exit —
     # pins the per-round join volume cut longitudinally
     "graph_hop_distance_histogram",
+    # appended r10: the manifest-table headliners — 30-commit-shaped
+    # time-range scan through footer-stat pruning (ingest + pruned read
+    # end-to-end), and the incrementally-maintained rollup refreshed
+    # from manifest-fast-path CDC (merge + diff + delta-apply) — pin the
+    # commit-layer costs longitudinally
+    "mutation_manifest_timerange_scan",
+    "mutation_incremental_rollup",
 ]
 
 
