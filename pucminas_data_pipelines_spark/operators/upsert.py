@@ -33,6 +33,29 @@ class ConcurrentWriteError(RuntimeError):
     (optimistic-concurrency conflict — re-read and retry)."""
 
 
+def _reject_ambiguous_merge_source(source: DataFrame, key: str) -> None:
+    """Delta's merge contract: a target row matched by MULTIPLE source
+    rows is an error, not a silent row multiplication (the full-outer
+    join would otherwise fan each matched target row out once per
+    duplicate source key). One aggregation on the dimension-sized
+    source; NULL keys never equi-match, so duplicates there are legal
+    (each inserts as-is)."""
+    dup = (
+        source.where(F.col(key).isNotNull())
+        .groupBy(key)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge source has {dup[0]['count']} rows for key "
+            f"{dup[0][0]!r}; Delta merge rejects ambiguous matches — "
+            "pre-aggregate the source to one row per key"
+        )
+
+
 class ParquetVersionedTable:
     """Overwrite / merge / time-travel façade over plain Parquet."""
 
@@ -96,6 +119,7 @@ class ParquetVersionedTable:
             raise ValueError("column name '_s_present' is reserved by merge")
         if source.columns != cols:
             source = source.select(*cols)  # align schema by name
+        _reject_ambiguous_merge_source(source, key)
         src = F.broadcast(source) if broadcast_source else source
         t = target.alias("t")
         s = src.withColumn("_s_present", F.lit(True)).alias("s")
@@ -742,6 +766,7 @@ class ManifestVersionedTable:
         manifest = self._manifest(version)
         cols = manifest["columns"]
         source = self._align_columns(source, manifest)
+        _reject_ambiguous_merge_source(source, self.key)
 
         affected = sorted(
             str(r["b"])

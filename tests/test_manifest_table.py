@@ -628,3 +628,23 @@ def test_describe_history_and_restore(spark, tmp_path):
     # and committing after a restore keeps working
     t.append(_rows(spark, [(11, "hana", 110.0)]))
     assert len(t.read().collect()) == len(BASE) + 1
+
+
+def test_merge_rejects_ambiguous_source(spark, tmp_path):
+    """Delta's contract: multiple source rows for one key refuse loudly
+    instead of silently fanning each matched target row out; duplicate
+    NULL keys stay legal (they never match — each inserts as-is)."""
+    m = ManifestVersionedTable(spark, str(tmp_path / "m"), key="id", n_buckets=2)
+    p = ParquetVersionedTable(spark, str(tmp_path / "p"))
+    m.overwrite(_rows(spark, BASE))
+    p.overwrite(_rows(spark, BASE))
+    dup = _rows(spark, [(1, "x", 9.0), (1, "y", 8.0)])
+    with pytest.raises(ValueError, match="ambiguous"):
+        m.merge(dup)
+    with pytest.raises(ValueError, match="ambiguous"):
+        p.merge(dup, key="id")
+    nulls = _rows(spark, [(None, "n1", 1.0), (None, "n2", 2.0)])
+    m.merge(nulls)
+    p.merge(nulls, key="id")
+    assert _sorted(m.read()) == _sorted(p.read())
+    assert len(m.read().collect()) == len(BASE) + 2

@@ -850,3 +850,114 @@ def test_manifest_merge_matches_snapshot_facade(spark, base, updates, n_buckets)
     p.merge(_df(updates), key="k")
     assert _rows(m.read()) == _rows(p.read())
     assert _rows(m.read(version_as_of=0)) == _rows(p.read(version_as_of=0))
+
+
+# -- ManifestVersionedTable: model-based op-sequence property -------------
+
+_mvt_score = st.sampled_from([None, 0.5, 10.0, 20.0, 35.5, 60.0])
+_mvt_rows = st.lists(
+    st.tuples(st.integers(0, 9), _words, _mvt_score),
+    min_size=1,
+    max_size=6,
+)
+_mvt_merge_rows = st.lists(
+    st.tuples(st.integers(0, 9), _words, _mvt_score),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda r: r[0],  # merge refuses ambiguous (duplicate) keys
+)
+_mvt_op = st.one_of(
+    st.tuples(st.just("append"), _mvt_rows),
+    st.tuples(st.just("merge"), _mvt_merge_rows),
+    st.tuples(
+        st.just("delete_cow"), st.sampled_from([5.0, 15.0, 30.0, 50.0])
+    ),
+    st.tuples(
+        st.just("delete_dv"), st.sampled_from([5.0, 15.0, 30.0, 50.0])
+    ),
+    st.tuples(st.just("optimize"), st.none()),
+    st.tuples(st.just("restore"), st.integers(0, 3)),
+)
+
+
+def _mvt_model_merge(rows, src):
+    """Reference semantics of MERGE on a multiset with possible duplicate
+    keys (appends create them): every target row whose key matches a
+    source row is replaced by that source row; unmatched source rows are
+    inserted once; NULL-key source rows never match and insert as-is."""
+    by_key = {}
+    for r in src:
+        if r[0] is not None:
+            by_key[r[0]] = r
+    out = [by_key.get(r[0], r) if r[0] is not None else r for r in rows]
+    matched = {r[0] for r in rows if r[0] is not None}
+    out += [r for r in src if r[0] is None or r[0] not in matched]
+    return out
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=_mvt_rows,
+    ops=st.lists(_mvt_op, min_size=1, max_size=5),
+    n_buckets=st.sampled_from([1, 2, 4]),
+)
+def test_manifest_table_op_sequences_match_model(
+    spark, tmp_path_factory, base, ops, n_buckets
+):
+    """Model-based differential test over random op sequences (append /
+    merge / copy-on-write delete / deletion-vector delete / optimize /
+    restore): after every op the table must read exactly as a plain
+    Python multiset model predicts — including duplicate keys introduced
+    by append, NULL merge keys inserted as-is, NULL-score rows surviving
+    score-threshold deletes, DV and CoW deletes agreeing, optimize
+    preserving content, and restore reproducing any committed version."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    path = str(tmp_path_factory.mktemp("mvt_model") / "t")
+    t = ManifestVersionedTable(spark, path, key="id", n_buckets=n_buckets)
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "id bigint, name string, score double"
+        )
+
+    def canon(rows):
+        return sorted(
+            rows, key=lambda r: (r[0] is None, r[0], r[1], r[2] is None, r[2])
+        )
+
+    t.overwrite(df(base))
+    snapshots = [list(base)]
+    for op, arg in ops:
+        state = snapshots[-1]
+        if op == "append":
+            t.append(df(arg))
+            snapshots.append(state + list(arg))
+        elif op == "merge":
+            t.merge(df(arg))
+            snapshots.append(_mvt_model_merge(state, arg))
+        elif op in ("delete_cow", "delete_dv"):
+            mode = "copy_on_write" if op == "delete_cow" else "merge_on_read"
+            t.delete_where(F.col("score") >= arg, mode=mode)
+            snapshots.append(
+                [r for r in state if r[2] is None or r[2] < arg]
+            )
+        elif op == "optimize":
+            t.optimize()
+            snapshots.append(list(state))
+        elif op == "restore":
+            v = min(arg, t.latest_version())
+            t.restore(v)
+            snapshots.append(list(snapshots[v]))
+        got = canon([tuple(r) for r in t.read().collect()])
+        assert got == canon(snapshots[-1]), f"after {op}({arg})"
+    # every committed version must still time-travel to its model state
+    for v, expected in enumerate(snapshots):
+        got = canon([tuple(r) for r in t.read(version_as_of=v).collect()])
+        assert got == canon(expected), f"time travel to v{v}"
