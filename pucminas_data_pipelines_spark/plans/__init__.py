@@ -142,7 +142,9 @@ DRIVER_WINDOW: list[str] = [
     # ROUND-10 ROTATION. Driver-green coverage completed in r9 (union of
     # CORRECTNESS_r01..r09 green keys = 341/341 scorable; COVERAGE.md
     # header). This window therefore carries (a) the 5 standing canaries,
-    # (b) FIRST evidence for the round-10 ManifestVersionedTable family (10,
+    # (b) FIRST evidence for the round-10 commit-layer work (11 = 10
+    # ManifestVersionedTable queries + the protocol-level Delta-log
+    # reader,
     # incl. the exactly-once foreachBatch ingest with live epoch replay,
     # the merge-on-read deletion-vector DELETE, and the incrementally
     # maintained rollup fed by the manifest-fast-path CDC)
@@ -150,10 +152,10 @@ DRIVER_WINDOW: list[str] = [
     # this round's ADVICE fixes: null-safe DELETE, portable manifests,
     # schema enforcement), and (c) 40 RE-confirmation picks chosen
     # oldest-evidence-first: every name whose only driver-green row dates
-    # to r1 (27) or r3 (8; dedup_simhash, dedup_semantic_recall,
-    # dedup_ngram_jaccard, dedup_embedding_cosine and
-    # dedup_cluster_collapse yielded their slots to the 6th-10th
-    # manifest-family queries and stay parity-pinned) — the queries that have survived seven rounds
+    # to r1 (27) or r3 (7; dedup_simhash, dedup_semantic_recall,
+    # dedup_ngram_jaccard, dedup_embedding_cosine,
+    # dedup_cluster_collapse and agg_collect_set_sorted yielded their
+    # slots to first-evidence queries and stay parity-pinned) — the queries that have survived seven rounds
     # of operator rewrites on parity tests alone get fresh driver rows.
     # canaries (driver-green every round since r4)
     "q1_pricing_summary",
@@ -173,6 +175,7 @@ DRIVER_WINDOW: list[str] = [
     "mutation_manifest_deletion_vectors",
     "mutation_incremental_rollup",
     "mutation_manifest_restore",
+    "source_delta_log_reader",
     # oldest-evidence re-confirmation: last green in r1
     "agg_count_distinct",
     "agg_cube",
@@ -204,7 +207,6 @@ DRIVER_WINDOW: list[str] = [
     # oldest-evidence re-confirmation: last green in r3
     "agg_approx_count_distinct",
     "agg_basic_stats",
-    "agg_collect_set_sorted",
     "ann_ivf_recall",
     "ann_lsh_recall",
     "corpus_curation_pipeline",

@@ -920,3 +920,80 @@ def source_file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_metadata.row_index").cast("bigint").alias("min_row_index"),
         F.max("_metadata.row_index").cast("bigint").alias("max_row_index"),
     )
+
+
+@query(
+    "source_delta_log_reader",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey < 20
+    ORDER BY n_nationkey
+    """,
+)
+def source_delta_log_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-level Delta transaction-log reader
+    (operators/deltalog.py DeltaLogReader): a Delta table is constructed
+    in the PUBLIC log format — commit 0 adds two data files (nation keys
+    <12 and >=12), commit 1 replays a DELETE of keys >=20 as
+    remove(file2)+add(file3) — and read back by replaying the JSON
+    actions into the active file set, with NO delta-spark involved. The
+    latest snapshot must therefore be exactly nation keys <20 (the
+    oracle), and version 0 still time-travels (pinned with checkpoint
+    replay, partition reconstruction and reader-feature refusal in
+    tests/test_deltalog.py). This is the interop half of the
+    reference's Delta layer: tables written by real Delta engines are
+    readable and time-travelable here, while writes go through
+    delta-spark when importable (DeltaVersionedTable) or the manifest
+    table otherwise."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from pucminas_data_pipelines_spark.operators.deltalog import DeltaLogReader
+
+    root = "/root/repo/.tmp/delta_log_reader"
+    shutil.rmtree(root, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def plant(rel: str, df: DataFrame) -> None:
+        tmp = _os.path.join(root, "_tmp_plant")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        _os.makedirs(_os.path.dirname(_os.path.join(root, rel)), exist_ok=True)
+        shutil.move(part, _os.path.join(root, rel))
+        shutil.rmtree(tmp)
+
+    plant("f1.parquet", nation.where(F.col("n_nationkey") < 12))
+    plant("f2.parquet", nation.where(F.col("n_nationkey") >= 12))
+    plant(
+        "f3.parquet",
+        nation.where(
+            (F.col("n_nationkey") >= 12) & (F.col("n_nationkey") < 20)
+        ),
+    )
+    log = _os.path.join(root, "_delta_log")
+    _os.makedirs(log, exist_ok=True)
+
+    def add(rel):
+        return {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in (
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "nation-fixture",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": _json.dumps(nation.schema.jsonValue()),
+                          "partitionColumns": [], "configuration": {}}},
+            add("f1.parquet"),
+            add("f2.parquet"),
+        ):
+            fh.write(_json.dumps(a) + "\n")
+    with open(_os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        for a in ({"remove": {"path": "f2.parquet", "dataChange": True}},
+                  add("f3.parquet")):
+            fh.write(_json.dumps(a) + "\n")
+
+    return DeltaLogReader(spark, root).read().orderBy("n_nationkey")

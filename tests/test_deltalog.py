@@ -1,0 +1,203 @@
+"""Protocol-level Delta log reader (operators/deltalog.py): hand-built
+transaction logs in the PUBLIC Delta format (JSON actions + classic
+parquet checkpoint + _last_checkpoint) must replay to the right active
+file set, serve versionAsOf time travel, reconstruct partition columns,
+and refuse reader features it does not implement."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pucminas_data_pipelines_spark.operators.deltalog import (
+    DeltaLogReader,
+    DeltaProtocolError,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType(), True),
+        StructField("name", StringType(), True),
+    ]
+)
+
+
+def _plant_file(spark, root: str, rel: str, rows) -> None:
+    """Write rows as ONE parquet file at root/rel (Delta add paths are
+    files, not directories)."""
+    tmp = os.path.join(root, "_tmp_plant")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dest = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    shutil.move(part, dest)
+    shutil.rmtree(tmp)
+
+
+def _commit(root: str, version: int, actions: list[dict]) -> None:
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _meta(partition_cols=None, schema=SCHEMA):
+    return {
+        "metaData": {
+            "id": "fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema.jsonValue()),
+            "partitionColumns": partition_cols or [],
+            "configuration": {},
+        }
+    }
+
+
+def _add(rel: str, pv=None):
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": pv or {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+_PROTO = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def test_replay_add_remove_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _plant_file(spark, root, "f1.parquet", [(i, f"n{i}") for i in range(5)])
+    _plant_file(spark, root, "f2.parquet", [(i, f"n{i}") for i in range(5, 10)])
+    _plant_file(spark, root, "f3.parquet", [(i, f"n{i}") for i in range(5, 8)])
+    _commit(root, 0, [_PROTO, _meta(), _add("f1.parquet"), _add("f2.parquet")])
+    # v1 = DELETE k >= 8, rewritten as remove(f2) + add(f3)
+    _commit(root, 1, [{"remove": {"path": "f2.parquet", "dataChange": True}},
+                      _add("f3.parquet")])
+    r = DeltaLogReader(spark, root)
+    assert r.versions() == [0, 1] and r.latest_version() == 1
+    assert [f.name for f in r.schema().fields] == ["k", "name"]
+    assert sorted(x["k"] for x in r.read().collect()) == list(range(8))
+    assert sorted(x["k"] for x in r.read(version_as_of=0).collect()) == list(
+        range(10)
+    )
+    assert [os.path.basename(p) for p in r.snapshot_files()] == [
+        "f1.parquet",
+        "f3.parquet",
+    ]
+
+
+def test_partitioned_table_reconstructs_partition_column(spark, tmp_path):
+    root = str(tmp_path / "t")
+    data_schema = StructType(
+        [StructField("k", LongType(), True), StructField("name", StringType(), True)]
+    )
+    full = StructType(
+        list(data_schema.fields) + [StructField("region", LongType(), True)]
+    )
+    _plant_file(spark, root, "region=1/a.parquet", [(1, "x")])
+    _plant_file(spark, root, "region=2/b.parquet", [(2, "y")])
+    _commit(
+        root,
+        0,
+        [
+            _PROTO,
+            _meta(partition_cols=["region"], schema=full),
+            _add("region=1/a.parquet", {"region": "1"}),
+            _add("region=2/b.parquet", {"region": "2"}),
+        ],
+    )
+    got = DeltaLogReader(spark, root).read()
+    assert got.schema["region"].dataType == LongType()  # cast to declared type
+    assert sorted((x["k"], x["region"]) for x in got.collect()) == [(1, 1), (2, 2)]
+
+
+def test_checkpoint_plus_tail_replay(spark, tmp_path):
+    """State starts from the classic checkpoint parquet when the older
+    JSON commits are gone (log-retention cleanup), then replays the
+    tail commits."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "t")
+    _plant_file(spark, root, "f1.parquet", [(0, "a")])
+    _plant_file(spark, root, "f2.parquet", [(1, "b")])
+    _plant_file(spark, root, "f3.parquet", [(2, "c")])
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    # checkpoint at v1: protocol + metaData + active files {f1, f2}
+    cp_schema = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "metaData struct<id:string,schemaString:string,"
+        "partitionColumns:array<string>>, "
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>, "
+        "remove struct<path:string>"
+    )
+    rows = [
+        Row(protocol=Row(minReaderVersion=1, minWriterVersion=2),
+            metaData=None, add=None, remove=None),
+        Row(protocol=None,
+            metaData=Row(id="fixture",
+                         schemaString=json.dumps(SCHEMA.jsonValue()),
+                         partitionColumns=[]),
+            add=None, remove=None),
+        Row(protocol=None, metaData=None,
+            add=Row(path="f1.parquet", partitionValues={}, size=1,
+                    modificationTime=0, dataChange=True), remove=None),
+        Row(protocol=None, metaData=None,
+            add=Row(path="f2.parquet", partitionValues={}, size=1,
+                    modificationTime=0, dataChange=True), remove=None),
+    ]
+    tmp = os.path.join(root, "_tmp_cp")
+    spark.createDataFrame(rows, cp_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    shutil.rmtree(tmp)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": 4}, fh)
+    # v0/v1 JSON deliberately absent; v2 removes f1 and adds f3
+    _commit(root, 2, [{"remove": {"path": "f1.parquet", "dataChange": True}},
+                      _add("f3.parquet")])
+    r = DeltaLogReader(spark, root)
+    assert sorted(x["k"] for x in r.read(version_as_of=2).collect()) == [1, 2]
+    # a version BELOW the missing JSON range refuses loudly
+    with pytest.raises(ValueError, match="missing from the log"):
+        r.read(version_as_of=0)
+
+
+def test_refuses_unsupported_reader_features(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _plant_file(spark, root, "f1.parquet", [(0, "a")])
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta(), _add("f1.parquet"),
+    ])
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        DeltaLogReader(spark, root).read()
+    root2 = str(tmp_path / "t2")
+    _plant_file(spark, root2, "f1.parquet", [(0, "a")])
+    add_dv = _add("f1.parquet")
+    add_dv["add"]["deletionVector"] = {"storageType": "u", "pathOrInlineDv": "x",
+                                       "sizeInBytes": 1, "cardinality": 1}
+    _commit(root2, 0, [_PROTO, _meta(), add_dv])
+    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+        DeltaLogReader(spark, root2).read()
