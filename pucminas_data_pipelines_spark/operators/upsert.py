@@ -1163,6 +1163,72 @@ class ManifestVersionedTable:
             fh.write("\n".join(files) + "\n")
         return out
 
+    def export_delta_log(self) -> str:
+        """Write the CURRENT version as a ``_delta_log`` in the public
+        Delta transaction-log format (protocol 1/2, one commit: protocol
+        + metaData + an add per data file) inside the table root — the
+        interop bridge outward: any Delta engine (including
+        operators/deltalog.DeltaLogReader, round-trip-tested) can then
+        read this table's snapshot directly; the data files are shared,
+        nothing is copied. Like generate_manifest (O16) this is a
+        SNAPSHOT export, not a live mirror: later manifest commits do
+        not update it — re-export on whatever cadence consumers need.
+        Outstanding deletion vectors refuse (exported files alone would
+        resurrect deleted rows — run optimize() first to materialize
+        them); the txn/stat layers are manifest-side refinements Delta
+        readers don't need."""
+        import json as _json
+        import shutil as _sh
+
+        from pyspark.sql.types import StructType
+
+        manifest = self._manifest(self.latest_version())
+        if manifest.get("deletion_vectors"):
+            raise ValueError(
+                "outstanding deletion vectors; optimize() first so the "
+                "exported files carry the deletes physically"
+            )
+        schema = StructType.fromJson(manifest["schema"])
+        log_dir = os.path.join(self.path, "_delta_log")
+        _sh.rmtree(log_dir, ignore_errors=True)
+        os.makedirs(log_dir)
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": f"mvt-{os.path.basename(self.path)}",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(schema.jsonValue()),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+        ]
+        for rel in self._bucket_dirs(manifest["buckets"]):
+            d = self._abs(rel)
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(d, fname)
+                actions.append(
+                    {
+                        "add": {
+                            "path": os.path.join(rel, fname),
+                            "partitionValues": {},
+                            "size": os.path.getsize(full),
+                            "modificationTime": int(
+                                os.path.getmtime(full) * 1000
+                            ),
+                            "dataChange": True,
+                        }
+                    }
+                )
+        commit = os.path.join(log_dir, f"{0:020d}.json")
+        with open(commit, "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+        return commit
+
 
 class DeltaVersionedTable:
     """Same method surface as ParquetVersionedTable, delegating to real

@@ -142,9 +142,9 @@ DRIVER_WINDOW: list[str] = [
     # ROUND-10 ROTATION. Driver-green coverage completed in r9 (union of
     # CORRECTNESS_r01..r09 green keys = 341/341 scorable; COVERAGE.md
     # header). This window therefore carries (a) the 5 standing canaries,
-    # (b) FIRST evidence for the round-10 commit-layer work (11 = 10
+    # (b) FIRST evidence for the round-10 commit-layer work (12 = 10
     # ManifestVersionedTable queries + the protocol-level Delta-log
-    # reader,
+    # reader + the outbound _delta_log export round trip,
     # incl. the exactly-once foreachBatch ingest with live epoch replay,
     # the merge-on-read deletion-vector DELETE, and the incrementally
     # maintained rollup fed by the manifest-fast-path CDC)
@@ -152,10 +152,11 @@ DRIVER_WINDOW: list[str] = [
     # this round's ADVICE fixes: null-safe DELETE, portable manifests,
     # schema enforcement), and (c) 40 RE-confirmation picks chosen
     # oldest-evidence-first: every name whose only driver-green row dates
-    # to r1 (27) or r3 (7; dedup_simhash, dedup_semantic_recall,
+    # to r1 (27) or r3 (6; dedup_simhash, dedup_semantic_recall,
     # dedup_ngram_jaccard, dedup_embedding_cosine,
-    # dedup_cluster_collapse and agg_collect_set_sorted yielded their
-    # slots to first-evidence queries and stay parity-pinned) — the queries that have survived seven rounds
+    # dedup_cluster_collapse, agg_collect_set_sorted and
+    # corpus_curation_pipeline yielded their slots to first-evidence
+    # queries and stay parity-pinned) — the queries that have survived seven rounds
     # of operator rewrites on parity tests alone get fresh driver rows.
     # canaries (driver-green every round since r4)
     "q1_pricing_summary",
@@ -176,6 +177,7 @@ DRIVER_WINDOW: list[str] = [
     "mutation_incremental_rollup",
     "mutation_manifest_restore",
     "source_delta_log_reader",
+    "mutation_manifest_delta_export",
     # oldest-evidence re-confirmation: last green in r1
     "agg_count_distinct",
     "agg_cube",
@@ -209,7 +211,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_basic_stats",
     "ann_ivf_recall",
     "ann_lsh_recall",
-    "corpus_curation_pipeline",
     "curation_boilerplate_prune",
     "dedup_exact",
 ]

@@ -853,3 +853,26 @@ def mutation_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.delete_where(F.col("Survived") == 0)
     table.restore(0)
     return _lowered(table.read())
+
+
+@query(
+    "mutation_manifest_delta_export",
+    oracle=_TYPED_SELECT.format(rows=_values(_expected_merged())),
+)
+def mutation_manifest_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound Delta interop (operators/upsert.py export_delta_log +
+    operators/deltalog.py DeltaLogReader): the manifest table's current
+    snapshot is exported as a PUBLIC-format _delta_log (protocol 1/2,
+    metaData + one add per shared data file — nothing copied) and read
+    back purely through the protocol reader. The round trip through the
+    public format must reproduce the post-MERGE state exactly (same
+    oracle as mutation_merge_upsert); any Delta engine could do the
+    read half. Refusal on outstanding deletion vectors and the
+    DV→optimize→export path are pinned in tests/test_deltalog.py."""
+    from pucminas_data_pipelines_spark.operators.deltalog import DeltaLogReader
+
+    table = _run_manifest_scenario(
+        spark, "/root/repo/.tmp/titanic_mvt_export"
+    )
+    table.export_delta_log()
+    return _lowered(DeltaLogReader(spark, table.path).read())

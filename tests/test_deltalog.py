@@ -201,3 +201,33 @@ def test_refuses_unsupported_reader_features(spark, tmp_path):
     _commit(root2, 0, [_PROTO, _meta(), add_dv])
     with pytest.raises(DeltaProtocolError, match="deletion vectors"):
         DeltaLogReader(spark, root2).read()
+
+
+def test_manifest_table_exports_readable_delta_log(spark, tmp_path):
+    """Round trip through the PUBLIC format: a manifest table (with
+    merge + append history) exports a _delta_log that the protocol
+    reader loads back to exactly the table's current state; outstanding
+    deletion vectors refuse until optimize materializes them."""
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    t.overwrite(
+        spark.createDataFrame([(i, f"n{i}") for i in range(10)], SCHEMA)
+    )
+    t.append(spark.createDataFrame([(10, "x"), (11, "y")], SCHEMA))
+    t.merge(spark.createDataFrame([(3, "z")], SCHEMA))
+    t.delete_where(F.col("k") == 7, mode="merge_on_read")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.export_delta_log()
+    t.optimize()  # materializes the DV delete
+    commit = t.export_delta_log()
+    assert os.path.basename(commit) == f"{0:020d}.json"
+    got = DeltaLogReader(spark, t.path).read()
+    expect = sorted(map(tuple, t.read().collect()))
+    assert sorted(map(tuple, got.collect())) == expect
+    assert (3, "z") in expect and all(r[0] != 7 for r in expect)
+    assert [f.name for f in got.schema.fields] == ["k", "name"]
