@@ -354,9 +354,23 @@ class ManifestVersionedTable:
         commit_dir = f"{self.path}/data/{_uuid.uuid4().hex[:12]}"
         out_df = df.withColumn("mvt_bucket", self._bucket_expr())
         if cluster_by:
-            missing = [c for c in cluster_by if c not in df.columns]
-            if missing:
-                raise ValueError(f"cluster_by columns not in table: {missing}")
+            # entries are column NAMES or computed Column expressions
+            # (e.g. a Z-order interleave); computed keys ride along under
+            # temp names for the shuffle+sort and are dropped before the
+            # write, so they never reach the files
+            sort_cols, tmp = [], []
+            for i, c in enumerate(cluster_by):
+                if isinstance(c, str):
+                    if c not in df.columns:
+                        raise ValueError(
+                            f"cluster_by column {c!r} not in table"
+                        )
+                    sort_cols.append(F.col(c))
+                else:
+                    name = f"__mvt_cluster_{i}"
+                    out_df = out_df.withColumn(name, c)
+                    tmp.append(name)
+                    sort_cols.append(F.col(name))
             # explicit partition count: n_buckets × files_per_bucket range
             # partitions split each bucket's data into ~files_per_bucket
             # cluster-column slices — without it the range shuffle
@@ -366,8 +380,10 @@ class ManifestVersionedTable:
             out_df = out_df.repartitionByRange(
                 self.n_buckets * files_per_bucket,
                 F.col("mvt_bucket"),
-                *[F.col(c) for c in cluster_by],
-            ).sortWithinPartitions("mvt_bucket", *cluster_by)
+                *sort_cols,
+            ).sortWithinPartitions(F.col("mvt_bucket"), *sort_cols)
+            for name in tmp:
+                out_df = out_df.drop(name)  # projection: order preserved
         out_df.write.partitionBy("mvt_bucket").parquet(commit_dir)
         rel_commit = os.path.relpath(commit_dir, self.path)
         out: dict[str, list[str]] = {}
@@ -1051,30 +1067,50 @@ class ManifestVersionedTable:
         skipping, which still enumerates and tasks all files. Skipped
         dirs can only hold non-matching or NULL values (range predicates
         never match NULL), so pruning is lossless."""
+        return self.read_where([(column, lower, upper)], version_as_of)
+
+    def read_where(
+        self,
+        ranges: list[tuple],
+        version_as_of: int | None = None,
+    ) -> DataFrame:
+        """Conjunction of range predicates with multi-column stats
+        pruning: ``ranges`` is ``[(column, lower, upper), ...]`` (None =
+        open end); a dir/file is skipped when ANY predicate's probe
+        range is disjoint from its recorded bounds — the multi-dim form
+        that pays off on a Z-order-clustered layout
+        (optimize(zorder_by=...)), where files carry tight bounds on
+        BOTH interleaved dimensions and a selective filter on EITHER one
+        skips most files."""
         version = self.latest_version() if version_as_of is None else version_as_of
         if version < 0 or version > self.latest_version():
             raise ValueError(f"version {version_as_of} does not exist")
         manifest = self._manifest(version)
-        if column not in manifest["columns"]:
-            raise ValueError(
-                f"column {column!r} not in table layout {manifest['columns']}"
-            )
+        for column, _, _ in ranges:
+            if column not in manifest["columns"]:
+                raise ValueError(
+                    f"column {column!r} not in table layout "
+                    f"{manifest['columns']}"
+                )
         stats = manifest.get("stats", {})
         file_stats = manifest.get("file_stats", {})
 
-        def _overlaps(enc) -> bool:
-            if enc is None:
-                return True  # no bounds -> conservatively scan
-            vmin, vmax = self._stat_decode(enc[0]), self._stat_decode(enc[1])
-            if lower is not None and vmax < lower:
-                return False
-            if upper is not None and vmin > upper:
-                return False
+        def _overlaps(col_stats: dict) -> bool:
+            for column, lower, upper in ranges:
+                enc = col_stats.get(column)
+                if enc is None:
+                    continue  # no bounds for this column -> can't skip on it
+                vmin = self._stat_decode(enc[0])
+                vmax = self._stat_decode(enc[1])
+                if lower is not None and vmax < lower:
+                    return False
+                if upper is not None and vmin > upper:
+                    return False
             return True
 
         paths: list[str] = []
         for d in self._bucket_dirs(manifest["buckets"]):
-            if not _overlaps(stats.get(d, {}).get(column)):
+            if not _overlaps(stats.get(d, {})):
                 continue
             per_file = file_stats.get(d)
             if per_file:
@@ -1085,7 +1121,7 @@ class ManifestVersionedTable:
                 paths.extend(
                     os.path.join(self._abs(d), f)
                     for f in sorted(per_file)
-                    if _overlaps(per_file[f].get(column))
+                    if _overlaps(per_file[f])
                 )
             else:
                 paths.append(self._abs(d))
@@ -1099,15 +1135,17 @@ class ManifestVersionedTable:
             df = self._reader(manifest).parquet(*paths).select(
                 *manifest["columns"]
             )
-        if lower is not None:
-            df = df.where(F.col(column) >= F.lit(lower))
-        if upper is not None:
-            df = df.where(F.col(column) <= F.lit(upper))
+        for column, lower, upper in ranges:
+            if lower is not None:
+                df = df.where(F.col(column) >= F.lit(lower))
+            if upper is not None:
+                df = df.where(F.col(column) <= F.lit(upper))
         return df
 
     def optimize(
         self,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
         files_per_bucket: int = 8,
     ) -> int:
         """Compaction (Delta OPTIMIZE analogue): a long merge history
@@ -1119,24 +1157,59 @@ class ManifestVersionedTable:
         references. Run it on the same cadence Delta runs OPTIMIZE: when
         small-file counts start to dominate scan planning.
 
-        ``cluster_by`` (Delta liquid clustering / ZORDER's purpose):
-        sort-cluster the rewrite on the given columns so each output
-        FILE carries a tight range of them. Plain compaction collapses
-        the table into ONE commit dir, which blinds dir-grain range
-        pruning (one dir spans everything); the file-grain stats written
-        at commit time plus clustering keep ``read_range`` pruning
-        effective on the compacted layout."""
+        ``cluster_by`` (Delta liquid clustering): sort-cluster the
+        rewrite lexicographically on the given columns so each output
+        FILE carries a tight range of the LEADING column. Plain
+        compaction collapses the table into ONE commit dir, which blinds
+        dir-grain range pruning (one dir spans everything); the
+        file-grain stats written at commit time plus clustering keep
+        ``read_range`` pruning effective on the compacted layout.
+
+        ``zorder_by`` (Delta OPTIMIZE ZORDER BY, exactly two numeric
+        columns): cluster along the Morton curve instead
+        (functions/zorder.py — rank both columns to 16-bit, interleave
+        bits, all codegen expressions), so files carry tight bounds on
+        BOTH dimensions and a selective ``read_where`` on EITHER one
+        prunes — lexicographic clustering gives the trailing column
+        nothing. Column min/max for the ranking come from one aggregate
+        over the table being rewritten (which optimize scans anyway)."""
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
         version = self.latest_version()
         manifest = self._manifest(version)
+        current = self.read()
+        cluster: list | None = cluster_by
+        op = "OPTIMIZE"
+        if zorder_by:
+            from pucminas_data_pipelines_spark.functions.zorder import (
+                interleave2,
+                to_rank,
+            )
+
+            if len(zorder_by) != 2:
+                raise ValueError(
+                    f"zorder_by takes exactly 2 columns, got {zorder_by}"
+                )
+            a, b = zorder_by
+            bounds = current.agg(
+                F.min(a), F.max(a), F.min(b), F.max(b)
+            ).collect()[0]
+            z = interleave2(
+                to_rank(F.col(a), F.lit(bounds[0]), F.lit(bounds[1])),
+                to_rank(F.col(b), F.lit(bounds[2]), F.lit(bounds[3])),
+            )
+            cluster = [z]
+            op = f"OPTIMIZE (zorder_by={zorder_by})"
+        elif cluster_by:
+            op = f"OPTIMIZE (cluster_by={cluster_by})"
         # the rewrite reads THROUGH outstanding deletion vectors, so the
         # compacted files have the deletes applied physically — the new
         # manifest starts DV-free (Delta's PURGE side effect of OPTIMIZE)
-        op = "OPTIMIZE" if not cluster_by else f"OPTIMIZE (cluster_by={cluster_by})"
         self._commit_with_stats(
             dict(manifest, deletion_vectors=[]),
             self._write_buckets(
-                self.read(),
-                cluster_by=cluster_by,
+                current,
+                cluster_by=cluster,
                 files_per_bucket=files_per_bucket,
             ),
             version + 1,

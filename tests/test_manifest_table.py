@@ -648,3 +648,59 @@ def test_merge_rejects_ambiguous_source(spark, tmp_path):
     p.merge(nulls, key="id")
     assert _sorted(m.read()) == _sorted(p.read())
     assert len(m.read().collect()) == len(BASE) + 2
+
+
+def test_zorder_optimize_prunes_on_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): files carry tight bounds on BOTH
+    interleaved dimensions, so a selective read_where on EITHER prunes;
+    the lexicographic layout prunes only the leading column. Results
+    equal plain filters on every probe."""
+    rows = [(i, float(i % 32), float(i // 32)) for i in range(1024)]
+    df_schema = "id bigint, x double, y double"
+
+    def planned(t, ranges):
+        got = t.read_where(ranges)
+        files = {
+            r[0]
+            for r in got.select(F.input_file_name()).distinct().collect()
+        }
+        return len(files), got
+
+    z = ManifestVersionedTable(spark, str(tmp_path / "z"), key="id", n_buckets=2)
+    z.overwrite(spark.createDataFrame(rows, df_schema))
+    z.optimize(zorder_by=["x", "y"], files_per_bucket=8)
+    m = z._manifest(z.latest_version())
+    total = sum(len(fs) for fs in m["file_stats"].values())
+    nx, got_x = planned(z, [("x", 4.0, 6.0)])
+    ny, got_y = planned(z, [("y", 4.0, 6.0)])
+    nboth, got_b = planned(z, [("x", 4.0, 6.0), ("y", 4.0, 6.0)])
+    assert nx < total and ny < total, (nx, ny, total)
+    assert nboth <= min(nx, ny)
+    assert got_x.count() == 3 * 32 and got_y.count() == 3 * 32
+    assert got_b.count() == 9
+    full = z.read()
+    assert sorted(r["id"] for r in got_b.collect()) == sorted(
+        r["id"]
+        for r in full.where(
+            (F.col("x").between(4.0, 6.0)) & (F.col("y").between(4.0, 6.0))
+        ).collect()
+    )
+
+    # differential vs lexicographic: trailing column prunes NOTHING there
+    lx = ManifestVersionedTable(spark, str(tmp_path / "l"), key="id", n_buckets=2)
+    lx.overwrite(spark.createDataFrame(rows, df_schema))
+    lx.optimize(cluster_by=["x", "y"], files_per_bucket=8)
+    lex_total = sum(
+        len(fs)
+        for fs in lx._manifest(lx.latest_version())["file_stats"].values()
+    )
+    ny_lex, _ = planned(lx, [("y", 4.0, 6.0)])
+    assert ny < ny_lex or ny_lex == lex_total, (
+        f"zorder y-prune {ny}/{total} must beat lexicographic "
+        f"{ny_lex}/{lex_total}"
+    )
+
+    with pytest.raises(ValueError, match="exactly 2"):
+        z.optimize(zorder_by=["x"])
+    with pytest.raises(ValueError, match="not both"):
+        z.optimize(cluster_by=["x"], zorder_by=["x", "y"])
