@@ -1125,3 +1125,210 @@ def curation_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("effective_tokens"),
         (epochs >= 4.0).alias("repeat_capped"),
     ).orderBy("source")
+
+
+# --------------------------------------------- DSIR importance resampling --
+
+_DSIR_B = 512  # hashed n-gram feature buckets
+_DSIR_K = 64  # selection budget (docs)
+_DSIR_TARGET = "en"  # target-domain proxy: the English slice
+
+_DSIR_LR_ROUND = 9
+
+
+def _micros_double(col):
+    """Exact decimal(.,9) -> 6-dp double, bit-identical across engines:
+    FLOOR(x * 1e6 + 0.5) in EXACT decimal arithmetic (round-half-toward
+    +inf, the same rule everywhere; the int64-backed decimal product
+    cannot overflow at this magnitude), then int -> double (exact below
+    2^53) and ONE correctly-rounded IEEE division by the exactly-
+    representable 1e6. A direct decimal->double CAST is engine-dependent
+    at the last ulp (DuckDB multiplies by an inexact reciprocal; the JVM
+    converts via the correctly-rounded BigDecimal path), which flips a
+    6-decimal ROUND on ~10% of rows."""
+    micros = F.floor(col.cast("decimal(18,9)") * F.lit(1000000) + F.lit(0.5))
+    return micros.cast("bigint").cast("double") / F.lit(1000000.0)
+
+
+@query(
+    "curation_dsir_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, w[i] AS gram
+      FROM toks, unnest(generate_series(1, len(w))) AS t(i)
+      UNION ALL
+      SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS gram
+      FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    docb AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang,
+             ('0x' || substring(md5(gram), 1, 8))::BIGINT % {_DSIR_B} AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM grams
+      GROUP BY doc_id, ('0x' || substring(md5(gram), 1, 8))::BIGINT % {_DSIR_B}
+    ),
+    raw_b AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cr FROM docb GROUP BY b),
+    tgt_b AS (
+      SELECT b, CAST(SUM(cnt) AS BIGINT) AS ct
+      FROM docb WHERE lang = '{_DSIR_TARGET}' GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS tr,
+             CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET}' THEN cnt
+                           ELSE 0 END) AS BIGINT) AS tt
+      FROM docb
+    ),
+    lr AS (
+      SELECT r.b,
+             CAST(ROUND(
+                 LN(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE))
+               - LN(CAST(tot.tt + {_DSIR_B} AS DOUBLE))
+               - LN(CAST(r.cr + 1 AS DOUBLE))
+               + LN(CAST(tot.tr + {_DSIR_B} AS DOUBLE)),
+               {_DSIR_LR_ROUND}) AS DECIMAL(12, {_DSIR_LR_ROUND})) AS lr
+      FROM raw_b r LEFT JOIN tgt_b t ON r.b = t.b CROSS JOIN tot
+    ),
+    weighted AS (
+      SELECT d.doc_id, ANY_VALUE(d.lang) AS lang,
+             CAST(SUM(d.cnt) AS BIGINT) AS n_grams,
+             SUM(CAST(d.cnt AS DECIMAL(8, 0)) * lr.lr) AS lw
+      FROM docb d JOIN lr ON d.b = lr.b
+      GROUP BY d.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, lang, n_grams, lw,
+             lw + CAST(ROUND(-LN(-LN(
+                 ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 0.5) / 4294967296.0))), {_DSIR_LR_ROUND})
+               AS DECIMAL(18, {_DSIR_LR_ROUND})) AS gkey
+      FROM weighted
+    ),
+    topk AS (SELECT * FROM keyed ORDER BY gkey DESC, doc_id LIMIT {_DSIR_K})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS INT) AS rank,
+           doc_id, lang, n_grams,
+           CAST(CAST(FLOOR(CAST(lw AS DECIMAL(18, 9)) * 1000000 + 0.5)
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS dsir_logweight,
+           CAST(CAST(FLOOR(CAST(gkey AS DECIMAL(18, 9)) * 1000000 + 0.5)
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS dsir_gumbel_key
+    FROM topk ORDER BY rank
+    """,
+)
+def curation_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every raw document by the log-likelihood ratio
+    of a target-domain bag-of-hashed-ngrams model (here: the English
+    slice as the target proxy) against the raw-corpus model, then draw
+    the K-document selection with Gumbel-top-k. Features are unigrams +
+    bigrams hashed into 512 buckets (the paper's hashed n-gram
+    parameterization); both bucket models are add-one smoothed.
+
+    Determinism: the per-bucket log-ratio and the per-doc Gumbel key are
+    quantized to DECIMAL(18,9) (the registry's float discipline), so
+    doc-level weights are EXACT decimal sums, and the Gumbel noise is
+    hash-derived (u = (md5-coin + 0.5) / 2^32 per doc_id) rather than an
+    RNG — the same deterministic resample on both engines. Production
+    swaps the coin for true Gumbel draws; nothing else changes.
+
+    Scale: gram extraction is row-local (split + transform, no
+    explode-per-token shuffle until the (doc_id, bucket) groupBy — the
+    one data-grain shuffle); both corpus models are bucket-grain
+    (512 rows) and BROADCAST back; selection is TakeOrdered (orderBy +
+    limit), never a global window over data grain — the rank window
+    runs over the already-limited K rows. This is exactly the shape
+    that lets DSIR sweep a 100 TB crawl: one shuffle, two tiny
+    broadcast models, a top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    bigrams = F.when(
+        F.size("w") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        )
+    )
+    grams = toks.select(
+        "doc_id", "lang", F.explode(F.concat(F.col("w"), bigrams)).alias("gram")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+        % _DSIR_B
+    )
+    docb = (
+        grams.select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    raw_b = docb.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("cr"))
+    tgt_b = (
+        docb.where(F.col("lang") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("bigint").alias("ct"))
+    )
+    tot = docb.agg(
+        F.sum("cnt").cast("bigint").alias("tr"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("tt"),
+    )
+    lr = (
+        raw_b.join(tgt_b, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double"))
+                - F.log((F.col("tt") + _DSIR_B).cast("double"))
+                - F.log((F.col("cr") + 1).cast("double"))
+                + F.log((F.col("tr") + _DSIR_B).cast("double")),
+                _DSIR_LR_ROUND,
+            )
+            .cast(f"decimal(12,{_DSIR_LR_ROUND})")
+            .alias("lr"),
+        )
+    )
+    weighted = (
+        docb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.sum(F.col("cnt").cast("decimal(8,0)") * F.col("lr")).alias(
+                "lw"
+            ),
+        )
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (coin + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = weighted.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "lw",
+        (
+            F.col("lw")
+            + F.round(-F.log(-F.log(u)), _DSIR_LR_ROUND).cast(
+                f"decimal(18,{_DSIR_LR_ROUND})"
+            )
+        ).alias("gkey"),
+    )
+    topk = keyed.orderBy(F.desc("gkey"), "doc_id").limit(_DSIR_K)
+    rank_w = Window.orderBy(F.desc("gkey"), "doc_id")
+    return topk.select(
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+        "doc_id",
+        "lang",
+        "n_grams",
+        _micros_double(F.col("lw")).alias("dsir_logweight"),
+        _micros_double(F.col("gkey")).alias("dsir_gumbel_key"),
+    ).orderBy("rank")

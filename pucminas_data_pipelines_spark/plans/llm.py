@@ -1016,6 +1016,182 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K0 = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_TOPK = 5
+_RRF_NQ = 3  # query documents: doc_id < 3
+
+
+@query(
+    "knn_hybrid_rrf",
+    oracle=f"""
+    WITH tokc AS (
+      SELECT DISTINCT doc_id, t.token
+      FROM documents,
+           UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t(token)
+    ),
+    tq AS (SELECT doc_id AS query_id, token FROM tokc WHERE doc_id < {_RRF_NQ}),
+    toks_f AS (
+      SELECT doc_id, token FROM tokc
+      WHERE token IN (SELECT DISTINCT token FROM tq)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    idf AS (
+      SELECT token,
+             CAST(ROUND(LN((n.n_docs + 1.0) / (COUNT(*) + 1.0)), 9)
+               AS DECIMAL(18, 9)) AS idf
+      FROM toks_f CROSS JOIN n
+      GROUP BY token, n.n_docs
+    ),
+    lex AS (
+      SELECT tq.query_id, tf.doc_id, SUM(idf.idf) AS lex_score
+      FROM tq
+      JOIN toks_f tf USING (token)
+      JOIN idf USING (token)
+      GROUP BY tq.query_id, tf.doc_id
+    ),
+    dense AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             ROUND({_COSINE_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cosine
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_RRF_NQ}
+    ),
+    combined AS (
+      SELECT d.query_id, d.doc_id, d.cosine,
+             COALESCE(l.lex_score, CAST(0 AS DECIMAL(18, 9))) AS lex_score
+      FROM dense d
+      LEFT JOIN lex l ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, doc_id) AS INT) AS dense_rank,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY lex_score DESC, doc_id) AS INT) AS lex_rank
+      FROM combined
+    ),
+    fused AS (
+      SELECT query_id, doc_id, dense_rank, lex_rank,
+             ROUND(CAST(1 AS DOUBLE) / ({_RRF_K0} + dense_rank)
+                 + CAST(1 AS DOUBLE) / ({_RRF_K0} + lex_rank), 6) AS rrf_score
+      FROM ranked
+    ),
+    top AS (
+      SELECT query_id, doc_id, rrf_score, dense_rank, lex_rank,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+      FROM fused
+    )
+    SELECT query_id, rank, doc_id, rrf_score, dense_rank, lex_rank
+    FROM top WHERE rank <= {_RRF_TOPK} ORDER BY query_id, rank
+    """,
+)
+def knn_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR 2009): every corpus document is ranked per query by BOTH a
+    dense leg (exact cosine over the embedding column; embeddings.vec_id
+    is the embedding of documents.doc_id) and a lexical leg
+    (IDF-weighted distinct-token overlap with the query document), then
+    fused as rrf = 1/(60+r_dense) + 1/(60+r_lex) and cut to the top-5 —
+    the standard RAG retrieval stack (BM25/SPLADE x dense bi-encoder ->
+    RRF) expressed as joins + windows.
+
+    Determinism: cosines are rounded to 6 decimals before ranking (the
+    kNN idiom); per-token IDF is quantized to DECIMAL(18,9) so lexical
+    scores are EXACT decimal sums; both rank columns are integers, so
+    the fused score is the same pair of correctly-rounded IEEE divisions
+    on both engines, summed in a fixed order; every window breaks ties
+    by doc_id.
+
+    Scale: the query-token set and per-term IDF table BROADCAST; the
+    corpus token stream is semi-join-filtered to query terms BEFORE its
+    one aggregation shuffle (an inverted-index probe, not a corpus
+    scan); the dense leg broadcasts the query vectors so the corpus
+    never shuffles (the ANN operators replace brute-force at 100 TB —
+    swap ann_lsh/ivf_topk in for the dense leg; fusion is rank-based so
+    nothing else changes); ranking windows are partitioned per query."""
+    from pucminas_data_pipelines_spark.functions.vector import cosine_similarity
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tokc = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).distinct()
+    tq = tokc.where(F.col("doc_id") < _RRF_NQ).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    toks_f = tokc.join(
+        F.broadcast(tq.select("token").distinct()), "token", "left_semi"
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    idf = (
+        toks_f.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.round(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("idf"),
+        )
+    )
+    lex = (
+        tq.join(toks_f, "token")
+        .join(F.broadcast(idf), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("idf").alias("lex_score"))
+    )
+    q = emb.where(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("q_vec"), F.col("embedding")), 6
+            ).alias("cosine"),
+        )
+    )
+    both = dense.join(lex, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        "cosine",
+        F.coalesce(F.col("lex_score"), F.lit(0).cast("decimal(18,9)")).alias(
+            "lex_score"
+        ),
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "doc_id")
+    wl = Window.partitionBy("query_id").orderBy(F.desc("lex_score"), "doc_id")
+    ranked = both.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(wd).cast("int").alias("dense_rank"),
+        F.row_number().over(wl).cast("int").alias("lex_rank"),
+    )
+    fused = ranked.withColumn(
+        "rrf_score",
+        F.round(
+            F.lit(1.0) / (F.lit(_RRF_K0) + F.col("dense_rank"))
+            + F.lit(1.0) / (F.lit(_RRF_K0) + F.col("lex_rank")),
+            6,
+        ),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .where(F.col("rank") <= _RRF_TOPK)
+        .select("query_id", "rank", "doc_id", "rrf_score", "dense_rank", "lex_rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query(
     "text_tfidf_top_terms",
     oracle="""

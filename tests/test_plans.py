@@ -580,3 +580,68 @@ def test_kcore_survivor_join_not_hint_forced(spark):
 
     src = inspect.getsource(graph.kcore_peel)
     assert "broadcast" not in src.split('"""')[2]
+
+
+def test_dsir_broadcasts_models_and_takeordered_selection(spark):
+    """DSIR's two bucket models (512 rows each) must broadcast back onto
+    the (doc, bucket) stream — never shuffle the corpus to align with a
+    model — and the K-document selection must be TakeOrdered, not a
+    global sort/window over data grain."""
+    plan = _plan(QUERIES["curation_dsir_selection"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_dsir_selection_enriches_target_domain(spark):
+    """Importance resampling against an English target model must select
+    English documents at well above the corpus base rate (the paper's
+    sanity check: DSIR recovers the target domain from the raw pool)."""
+    import duckdb
+
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERIES["curation_dsir_selection"](spark, SF_ORACLE).collect()
+    n_en = sum(1 for r in rows if r.lang == "en")
+    base = duckdb.sql(
+        "SELECT AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0 END) FROM "
+        f"'{SF_ORACLE}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == 64
+    assert n_en / len(rows) > float(base)  # enrichment over base rate
+    # ranks are a dense 1..K permutation ordered by the gumbel key
+    assert sorted(r.rank for r in rows) == list(range(1, 65))
+    keys = [r.dsir_gumbel_key for r in [*rows]]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_hybrid_rrf_broadcasts_and_partitioned_windows(spark):
+    """RRF hybrid retrieval: query vectors and the IDF table broadcast
+    (the corpus never shuffles for the dense leg); nothing drops to
+    Python; ranking windows are per-query (no unpartitioned window —
+    the registry-wide hygiene gate also pins this)."""
+    plan = _plan(QUERIES["knn_hybrid_rrf"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """Fusion sanity: each query returns exactly 5 hits with a dense
+    1..5 fused rank; the fused score must equal the two reciprocal-rank
+    terms recomputed from the reported leg ranks; and the winner must
+    outrank at least one leg's median (fusion can't promote a document
+    both legs agree is irrelevant)."""
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERIES["knn_hybrid_rrf"](spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 3
+    for q, hits in by_q.items():
+        assert sorted(h.rank for h in hits) == [1, 2, 3, 4, 5]
+        for h in hits:
+            expect = round(1.0 / (60 + h.dense_rank) + 1.0 / (60 + h.lex_rank), 6)
+            assert abs(h.rrf_score - expect) < 1e-9
+        top = min(hits, key=lambda h: h.rank)
+        assert min(top.dense_rank, top.lex_rank) <= 30
