@@ -473,3 +473,91 @@ def streaming_manifest_ingest_live(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_manifest_source_live",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_manifest_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest table as a LIVE STREAM SOURCE (the read-side twin of
+    streaming_manifest_ingest_live): a third of the events are committed
+    as the starting snapshot, the stream starts tailing, and the other
+    two thirds are APPENDED while it runs — the micro-batches pick each
+    commit up from the manifest log (offsets ARE commit versions), and
+    the complete-mode rollup converges to the plain batch aggregate over
+    ALL events, which the oracle computes directly. Under-emission
+    (missed commit), double-emission (offset replay), or leakage across
+    the snapshot/tail boundary would each break the per-type counts.
+
+    Scale: per micro-batch the source plans O(manifest-diff) and reads
+    only the newly added directories, one executor task per directory,
+    as Arrow record batches — the lakehouse CDC fan-out pattern where
+    any number of independent streams tail one ingest table. (Python
+    stream sources fall back to single-batch under AvailableNow, so the
+    drain is a processingTime trigger + row-count poll, the
+    streaming_python_source_live pattern.)"""
+    import shutil
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+    from pucminas_data_pipelines_spark.sources.manifest_stream import (
+        ManifestStreamDataSource,
+    )
+    from pucminas_data_pipelines_spark.streaming import jobs
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    base = "/root/repo/.tmp/stream_manifest_source"
+    shutil.rmtree(base, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    total = events.count()
+    table = ManifestVersionedTable(spark, base, key="event_id", n_buckets=4)
+    table.overwrite(events.where(F.col("event_id") % 3 == 0))
+    try:
+        spark.dataSource.register(ManifestStreamDataSource)
+    except Exception:
+        pass
+    src = spark.readStream.format("manifest_stream").option("path", base).load()
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    sink = f"mvt_src_live_{uuid.uuid4().hex[:8]}"
+    with jobs._pinned_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            # tail: two more APPEND commits land while the stream runs
+            table.append(events.where(F.col("event_id") % 3 == 1))
+            table.append(events.where(F.col("event_id") % 3 == 2))
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                seen = spark.table(sink).agg(F.sum("n_events")).collect()[0][0]
+                if seen == total:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    return spark.table(sink).orderBy("event_type")

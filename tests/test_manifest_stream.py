@@ -1,0 +1,106 @@
+"""Streaming-source semantics over the manifest table: version offsets
+plan O(manifest-diff) directory sets, the initial batch is the full
+snapshot, and non-append history / schema drift are refused loudly
+(the Delta streaming-source contract without ignoreChanges)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators.upsert import ManifestVersionedTable
+from pucminas_data_pipelines_spark.sources.manifest_stream import (
+    ManifestStreamReader,
+)
+from pucminas_data_pipelines_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+BASE = "/root/repo/.tmp/test_manifest_stream"
+
+
+@pytest.fixture()
+def table(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    t = ManifestVersionedTable(spark, BASE, key="event_id", n_buckets=2)
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t.overwrite(ev.where(F.col("event_id") % 2 == 0))
+    yield t, ev
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+def _reader() -> ManifestStreamReader:
+    return ManifestStreamReader({"path": BASE})
+
+
+def test_initial_batch_is_snapshot_then_appends_are_diffs(table, spark):
+    t, ev = table
+    r = _reader()
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 0}
+    snap, cols = r._added_dirs(-1, 0)
+    assert cols == ["event_id", "event_type", "value"]
+    assert len(snap) > 0
+    t.append(ev.where(F.col("event_id") % 2 == 1))
+    assert r.latestOffset() == {"version": 1}
+    tail, _ = r._added_dirs(0, 1)
+    # the tail batch plans ONLY the appended dirs, disjoint from the snapshot
+    assert tail and not (set(tail) & set(snap))
+    full, _ = r._added_dirs(-1, 1)
+    assert set(full) == set(snap) | set(tail)
+
+
+def test_partitions_read_exactly_the_appended_rows(table, spark):
+    t, ev = table
+    t.append(ev.where(F.col("event_id") % 2 == 1))
+    r = _reader()
+    parts = r.partitions({"version": 0}, {"version": 1})
+    n = 0
+    for p in parts:
+        for batch in r.read(p):
+            n += batch.num_rows
+    assert n == ev.where(F.col("event_id") % 2 == 1).count()
+
+
+def test_empty_range_yields_one_empty_partition(table):
+    r = _reader()
+    parts = r.partitions({"version": 0}, {"version": 0})
+    assert len(parts) == 1
+    assert list(r.read(parts[0])) == []
+
+
+def test_non_append_commit_is_refused(table, spark):
+    t, _ = table
+    t.delete_where(F.col("event_type") == "click")
+    r = _reader()
+    with pytest.raises(ValueError, match="APPEND-only"):
+        r._added_dirs(0, 1)
+
+
+def test_deletion_vector_commit_is_refused(table, spark):
+    t, _ = table
+    t.delete_where(F.col("event_type") == "click", mode="merge_on_read")
+    r = _reader()
+    with pytest.raises(ValueError, match="deletion vectors|APPEND-only"):
+        r._added_dirs(0, 1)
+
+
+def test_schema_evolution_is_refused_mid_stream(table, spark):
+    t, ev = table
+    t.append(
+        ev.where(F.col("event_id") % 2 == 1).withColumn(
+            "extra", F.lit(1).cast("int")
+        ),
+        merge_schema=True,
+    )
+    r = _reader()
+    with pytest.raises(ValueError, match="schema changed"):
+        r._added_dirs(0, 1)
+
+
+def test_missing_table_is_loud():
+    with pytest.raises(ValueError, match="no manifest table"):
+        ManifestStreamReader({"path": "/root/repo/.tmp/nope_mvt"})
