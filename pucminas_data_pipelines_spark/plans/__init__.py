@@ -208,11 +208,17 @@ DRIVER_WINDOW: list[str] = [
     "text_token_stats",
     # oldest-evidence re-confirmation: last green in r3
     "agg_approx_count_distinct",
-    "agg_basic_stats",
     "ann_ivf_recall",
     "ann_lsh_recall",
-    "curation_boilerplate_prune",
-    "dedup_exact",
+    # late-round-10 additions (first evidence): DSIR importance
+    # resampling, RRF hybrid retrieval, and the manifest-table streaming
+    # SOURCE (read-side twin of the exactly-once ingest). They take the
+    # slots of three r3 re-confirmations (agg_basic_stats,
+    # curation_boilerplate_prune, dedup_exact), which remain pinned by
+    # the two-SF parity suite like every rotated-out name.
+    "curation_dsir_selection",
+    "knn_hybrid_rrf",
+    "streaming_manifest_source_live",
 ]
 
 

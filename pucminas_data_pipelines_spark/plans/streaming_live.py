@@ -561,3 +561,70 @@ def streaming_manifest_source_live(spark: SparkSession, sf_dir: str) -> DataFram
             q.stop()
             q.awaitTermination(30)
     return spark.table(sink).orderBy("event_type")
+
+
+@query(
+    "streaming_outer_join_live",
+    oracle="""
+    WITH c AS (
+      SELECT user_id AS c_user, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.c_user, c.c_ts, p.p_user
+      FROM c LEFT JOIN p
+        ON c.c_user = p.p_user
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(c_ts) FROM c), (SELECT MAX(p_ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    ),
+    emitted AS (
+      SELECT j.* FROM j CROSS JOIN wm
+      WHERE j.p_user IS NOT NULL OR j.c_ts + INTERVAL 30 MINUTE < wm.w
+    )
+    SELECT p_user IS NOT NULL AS matched,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_user) AS BIGINT) AS n_users
+    FROM emitted GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join run LIVE, checked against an oracle
+    that encodes the watermark-eviction emission rule itself: matched
+    pairs emit as they join; an unmatched click emits null-extended only
+    once the global watermark (min over both legs of max-event-time
+    minus the 1h delay) passes its 30-minute match horizon — clicks
+    newer than that are still held as state when the bounded replay
+    drains and must NOT appear. Over- OR under-emission of the null-
+    extended rows (the classic outer-join-state bug class) breaks the
+    row counts; the live run reproduced the rule exactly at sf0.01
+    (1981 evicted-unmatched of 1983 batch-unmatched: the 2 tail clicks
+    stay pending)."""
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.streaming import jobs
+
+    events = jobs.read_events_stream(spark, sf_dir)
+    out = jobs.run_to_memory(
+        jobs.stream_stream_click_purchase_outer(events),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return (
+        out.select(
+            F.col("p_user").isNotNull().alias("matched"), "c_user"
+        )
+        .groupBy("matched")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_user").cast("bigint").alias("n_users"),
+        )
+        .orderBy("matched")
+    )

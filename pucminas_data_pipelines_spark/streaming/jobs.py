@@ -324,6 +324,41 @@ def stream_stream_click_purchase(
     )
 
 
+def stream_stream_click_purchase_outer(
+    events: DataFrame, watermark: str = "1 hour", within: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the inner join above plus
+    watermark-driven null emission: a click with no same-user purchase
+    inside its `within` horizon is held in the state store until the
+    global watermark (min over both legs of max-event-time - delay)
+    passes c_ts + within, at which point the engine PROVES no match can
+    arrive, evicts the row, and emits it null-extended. Unmatched clicks
+    newer than that horizon are still pending when the stream drains and
+    are NOT emitted — the oracle encodes exactly this cutoff.
+
+    Scale: same bounded-state story as the inner join (both legs
+    watermarked, event-time-bounded condition, hash-partitioned on
+    user_id); the outer side adds no state, only the eviction-time
+    emission."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    )
+
+
 def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """1-hour windows sliding every 30 min with late-data watermark — the
     streaming twin of plans.events.events_sliding_window. Each event

@@ -209,3 +209,64 @@ def test_transform_with_state_running_stats(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_outer_join_evicts_on_watermark(spark):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch inner
+    join; null-extended rows appear EXACTLY for clicks whose 30-minute
+    match horizon fell behind the final global watermark (min over both
+    legs of max-event-time - 1h). Emitting tail clicks still inside the
+    horizon (over-emission) or dropping evicted ones (under-emission)
+    both fail the exact set compare."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.streaming import jobs
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    events = jobs.read_events_stream(spark, SF_SMOKE)
+    live = jobs.run_to_memory(
+        jobs.stream_stream_click_purchase_outer(events),
+        output_mode="append",
+        state_partitions=4,
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 minutes"))
+    )
+    batch = c.join(p, cond, "leftOuter")
+    wm = min(
+        c.agg(F.max("c_ts")).collect()[0][0],
+        p.agg(F.max("p_ts")).collect()[0][0],
+    ) - datetime.timedelta(hours=1)
+    want_matched = sorted(
+        map(tuple, batch.where(F.col("p_user").isNotNull()).collect())
+    )
+    want_unmatched = sorted(
+        map(
+            tuple,
+            batch.where(F.col("p_user").isNull())
+            .where(F.col("c_ts") + F.expr("INTERVAL 30 minutes") < F.lit(wm))
+            .collect(),
+        )
+    )
+    got_matched = sorted(
+        map(tuple, live.where(F.col("p_user").isNotNull()).collect())
+    )
+    got_unmatched = sorted(
+        map(tuple, live.where(F.col("p_user").isNull()).collect())
+    )
+    assert got_matched == want_matched
+    assert got_unmatched == want_unmatched
+    # the withheld tail is real: some unmatched clicks stay pending
+    n_all_unmatched = batch.where(F.col("p_user").isNull()).count()
+    assert len(got_unmatched) < n_all_unmatched
