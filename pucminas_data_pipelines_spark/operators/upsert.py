@@ -1236,6 +1236,69 @@ class ManifestVersionedTable:
             fh.write("\n".join(files) + "\n")
         return out
 
+    def shallow_clone(
+        self, dst_path: str, version_as_of: int | None = None
+    ) -> "ManifestVersionedTable":
+        """Delta SHALLOW CLONE: fork the table (optionally at a past
+        version) into a new root WITHOUT copying data — the clone's v0
+        manifest points at the source's directories by absolute path, so
+        the clone costs O(manifest) regardless of table size. From then
+        on the two tables diverge independently: the clone's appends/
+        merges/deletes write under its own root and never touch the
+        source; source commits after the clone point are invisible to
+        the clone (commit-time snapshot isolation). The clone's vacuum
+        only sweeps the clone's own data root, so it can never reclaim
+        source files — but vacuuming the SOURCE can remove directories
+        a clone still references, exactly Delta's documented shallow-
+        clone hazard (a clone is a dev/test fork, not a backup; use
+        optimize() on the clone to localize its files when it must
+        outlive the source's retention)."""
+        version = (
+            self.latest_version() if version_as_of is None else version_as_of
+        )
+        if version < 0 or version > self.latest_version():
+            raise ValueError(f"version {version_as_of} does not exist")
+        m = self._manifest(version)
+        clone = ManifestVersionedTable(
+            self.spark, dst_path, key=self.key, n_buckets=m["n_buckets"]
+        )
+        if clone.latest_version() >= 0:
+            raise ValueError(f"destination {dst_path} is already a table")
+        abs_buckets: dict[str, list[str]] = {}
+        stats: dict[str, dict] = {}
+        file_stats: dict[str, dict] = {}
+        for b, ds in m["buckets"].items():
+            abs_buckets[b] = []
+            for d in ds:
+                a = os.path.realpath(self._abs(d))
+                abs_buckets[b].append(a)
+                if d in m.get("stats", {}):
+                    stats[a] = m["stats"][d]
+                if d in m.get("file_stats", {}):
+                    file_stats[a] = m["file_stats"][d]
+        clone._commit_manifest(
+            {
+                "key": m["key"],
+                "n_buckets": m["n_buckets"],
+                "columns": m["columns"],
+                "schema": m["schema"],
+                "buckets": abs_buckets,
+                "stats": stats,
+                "file_stats": file_stats,
+                "deletion_vectors": [
+                    os.path.realpath(self._abs(p))
+                    for p in m.get("deletion_vectors", [])
+                ],
+                "commit_info": {
+                    "operation": "CLONE",
+                    "source": self.path,
+                    "source_version": version,
+                },
+            },
+            0,
+        )
+        return clone
+
     def export_delta_log(self) -> str:
         """Write the CURRENT version as a ``_delta_log`` in the public
         Delta transaction-log format (protocol 1/2, one commit: protocol

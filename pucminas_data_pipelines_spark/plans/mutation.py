@@ -876,3 +876,79 @@ def mutation_manifest_delta_export(spark: SparkSession, sf_dir: str) -> DataFram
     )
     table.export_delta_log()
     return _lowered(DeltaLogReader(spark, table.path).read())
+
+
+@query(
+    "mutation_manifest_shallow_clone",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id % 2 = 0 AND event_type <> 'click'
+      GROUP BY event_type
+    ),
+    cl AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type
+    )
+    SELECT 'clone' AS side, cl.* FROM cl
+    UNION ALL
+    SELECT 'source' AS side, src.* FROM src
+    ORDER BY side, event_type
+    """,
+)
+def mutation_manifest_shallow_clone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHALLOW CLONE (Delta CLONE semantics): fork the manifest table by
+    committing a v0 manifest that references the source's data
+    directories by absolute path — O(manifest) cost, zero bytes copied —
+    then prove the forks are independent in BOTH directions: odd events
+    are APPENDED to the clone (invisible to the source) and clicks are
+    DELETED from the source (invisible to the clone, whose manifest
+    still pins the pre-delete directories — copy-on-write rewrites new
+    dirs, it never mutates shared ones). Expected: the clone aggregates
+    ALL events, the source aggregates even non-clicks.
+
+    Scale: this is how a 100 TB table gets a dev/test fork in
+    milliseconds; the clone's writes stay under its own root, and its
+    vacuum can never reclaim source files (it sweeps only its own data
+    root)."""
+    import shutil as _sh
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    src_path = "/root/repo/.tmp/mvt_clone_src"
+    dst_path = "/root/repo/.tmp/mvt_clone_dst"
+    for p in (src_path, dst_path):
+        _sh.rmtree(p, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    source = ManifestVersionedTable(spark, src_path, key="event_id", n_buckets=4)
+    source.overwrite(events.where(F.col("event_id") % 2 == 0))
+    clone = source.shallow_clone(dst_path)
+    clone.append(events.where(F.col("event_id") % 2 == 1))
+    source.delete_where(F.col("event_type") == "click")
+
+    def _rollup(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(F.lit(side).alias("side"), "*")
+        )
+
+    return (
+        _rollup(clone.read(), "clone")
+        .unionByName(_rollup(source.read(), "source"))
+        .orderBy("side", "event_type")
+    )

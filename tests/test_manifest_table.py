@@ -704,3 +704,57 @@ def test_zorder_optimize_prunes_on_both_dimensions(spark, tmp_path):
         z.optimize(zorder_by=["x"])
     with pytest.raises(ValueError, match="not both"):
         z.optimize(cluster_by=["x"], zorder_by=["x", "y"])
+
+
+# ------------------------------------------------------- shallow clone --
+
+
+def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    src = ManifestVersionedTable(spark, str(tmp_path / "s"), key="id", n_buckets=4)
+    src.overwrite(_rows(spark, BASE))
+    clone = src.shallow_clone(str(tmp_path / "c"))
+    # zero-copy: the clone owns no data files of its own yet
+    assert not os.path.isdir(str(tmp_path / "c" / "data"))
+    assert _sorted(clone.read()) == _sorted(src.read())
+    # divergence is invisible in both directions
+    clone.append(_rows(spark, [(7, "gui", 70.0)]))
+    src.delete_where(F.col("id") == 1)
+    assert _sorted(clone.read()) == _sorted(
+        _rows(spark, BASE + [(7, "gui", 70.0)])
+    )
+    assert _sorted(src.read()) == _sorted(_rows(spark, BASE[1:]))
+
+
+def test_shallow_clone_at_past_version(spark, tmp_path):
+    src = ManifestVersionedTable(spark, str(tmp_path / "s"), key="id", n_buckets=4)
+    src.overwrite(_rows(spark, BASE))
+    src.append(_rows(spark, [(7, "gui", 70.0)]))
+    clone = src.shallow_clone(str(tmp_path / "c"), version_as_of=0)
+    assert _sorted(clone.read()) == _sorted(_rows(spark, BASE))
+
+
+def test_shallow_clone_refuses_existing_destination(spark, tmp_path):
+    src = ManifestVersionedTable(spark, str(tmp_path / "s"), key="id", n_buckets=4)
+    src.overwrite(_rows(spark, BASE))
+    src.shallow_clone(str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="already a table"):
+        src.shallow_clone(str(tmp_path / "c"))
+
+
+def test_source_vacuum_breaks_clone_but_optimize_localizes(spark, tmp_path):
+    """The documented Delta shallow-clone hazard, pinned from both sides:
+    vacuuming the source past the clone point reclaims directories the
+    clone still references (clone A breaks), while a clone that ran
+    optimize() first has localized every row under its own root and
+    survives the same source vacuum (clone B)."""
+    src = ManifestVersionedTable(spark, str(tmp_path / "s"), key="id", n_buckets=4)
+    src.overwrite(_rows(spark, BASE))
+    broken = src.shallow_clone(str(tmp_path / "a"))
+    safe = src.shallow_clone(str(tmp_path / "b"))
+    safe.optimize()  # rewrites current rows under the clone's own root
+    # rewrite everything in the source, then expire the shared version
+    src.merge(_rows(spark, [(i, n, s + 1) for i, n, s in BASE]))
+    src.vacuum(retain_last=1)
+    assert _sorted(safe.read()) == _sorted(_rows(spark, BASE))
+    with pytest.raises(Exception):
+        broken.read().collect()
