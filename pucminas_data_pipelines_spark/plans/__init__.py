@@ -179,11 +179,6 @@ DRIVER_WINDOW: list[str] = [
     "source_delta_log_reader",
     "mutation_manifest_delta_export",
     # oldest-evidence re-confirmation: last green in r1
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_pivot",
     "agg_rollup",
     "agg_scalar_subquery",
     "dedup_exact_normalized",
@@ -219,6 +214,16 @@ DRIVER_WINDOW: list[str] = [
     "curation_dsir_selection",
     "knn_hybrid_rrf",
     "streaming_manifest_source_live",
+    # second late-round-10 batch (first evidence): watermark-evicting
+    # stream-stream outer join, zero-copy shallow clone, DP noisy
+    # release, n-gram novelty. They take four r1 re-confirmation slots
+    # (agg_count_distinct/_cube/_grouping_sets/_having — parity-pinned
+    # like every rotated-out name).
+    "streaming_outer_join_live",
+    "mutation_manifest_shallow_clone",
+    "pii_dp_noisy_release",
+    "text_ngram_novelty",
+    "events_lttb_downsample",
 ]
 
 

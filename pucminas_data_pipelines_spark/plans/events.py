@@ -1910,3 +1910,137 @@ def events_fraud_velocity_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_LTTB_BUCKET_HOURS = 12  # downsample the hourly series ~12:1
+
+
+@query(
+    "events_lttb_downsample",
+    oracle=f"""
+    WITH series AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS min_h FROM series),
+    pts AS (
+      SELECT s.h, s.y,
+             CAST(FLOOR((s.h - b.min_h) / {_LTTB_BUCKET_HOURS}) AS BIGINT) AS b
+      FROM series s CROSS JOIN bounds b
+    ),
+    nb AS (SELECT MAX(b) AS max_b FROM pts),
+    cent AS (
+      SELECT b,
+             CAST(SUM(h) AS DOUBLE) / COUNT(*) AS cx,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS cy
+      FROM pts GROUP BY b
+    ),
+    scored AS (
+      SELECT p.b, p.h, p.y, nb.max_b,
+             ABS((l.cx - r.cx) * (CAST(p.y AS DOUBLE) - l.cy)
+                 - (l.cx - CAST(p.h AS DOUBLE)) * (r.cy - l.cy)) AS area
+      FROM pts p
+      CROSS JOIN nb
+      LEFT JOIN cent l ON l.b = p.b - 1
+      LEFT JOIN cent r ON r.b = p.b + 1
+    ),
+    ranked AS (
+      SELECT b, h, y,
+             ROW_NUMBER() OVER (
+               PARTITION BY b
+               ORDER BY area DESC NULLS LAST,
+                        CASE WHEN b = max_b THEN -h ELSE h END
+             ) AS rn
+      FROM scored
+    )
+    SELECT b AS bucket, h AS hour_epoch, y AS n_events
+    FROM ranked WHERE rn = 1
+    ORDER BY bucket
+    """,
+)
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Steinarsson 2013, largest-triangle-three-
+    buckets) of the hourly event-count series, in the PARALLEL
+    fixed-reference variant: each 12-hour bucket keeps the point whose
+    triangle against the NEIGHBOR BUCKETS' CENTROIDS has the largest
+    area — the standard visualization-grade reducer that preserves
+    peaks/valleys a plain per-bucket average flattens. (Classic LTTB
+    anchors on the previously SELECTED point, a sequential chain; the
+    centroid-anchored variant is order-free, which is what makes it one
+    Spark job instead of a driver loop.) The first bucket keeps its
+    first point and the last bucket its last, matching LTTB's pinned
+    endpoints; a bucket missing a neighbor (series gaps) falls back to
+    the same endpoint rule via NULLS LAST.
+
+    Determinism: the OUTPUT is integer-only (bucket, epoch-hour, count);
+    floats appear only in the selection, where every input double comes
+    from one correctly-rounded division of exact integers and the area
+    arithmetic is the same IEEE ops on both engines — bit-identical
+    areas, ties broken by hour.
+
+    Scale: one data-grain shuffle (the hourly aggregate); centroids are
+    bucket-grain and broadcast; the selection window is partitioned per
+    bucket. A 10-year, billion-point series downsampled for a dashboard
+    is the same three-aggregate plan."""
+    series = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    bounds = series.agg(F.min("h").alias("min_h"))
+    pts = series.crossJoin(F.broadcast(bounds)).select(
+        "h",
+        "y",
+        F.floor((F.col("h") - F.col("min_h")) / _LTTB_BUCKET_HOURS)
+        .cast("bigint")
+        .alias("b"),
+    )
+    nb = pts.agg(F.max("b").alias("max_b"))
+    cent = pts.groupBy("b").agg(
+        (F.sum("h").cast("double") / F.count(F.lit(1))).alias("cx"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("cy"),
+    )
+    left = F.broadcast(
+        cent.select(
+            (F.col("b") + 1).alias("b"),
+            F.col("cx").alias("lx"),
+            F.col("cy").alias("ly"),
+        )
+    )
+    right = F.broadcast(
+        cent.select(
+            (F.col("b") - 1).alias("b"),
+            F.col("cx").alias("rx"),
+            F.col("cy").alias("ry"),
+        )
+    )
+    area = F.abs(
+        (F.col("lx") - F.col("rx")) * (F.col("y").cast("double") - F.col("ly"))
+        - (F.col("lx") - F.col("h").cast("double"))
+        * (F.col("ry") - F.col("ly"))
+    )
+    scored = (
+        pts.join(left, "b", "left")
+        .join(right, "b", "left")
+        .crossJoin(F.broadcast(nb))
+        .select("b", "h", "y", "max_b", area.alias("area"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("b").orderBy(
+        F.col("area").desc_nulls_last(),
+        F.when(F.col("b") == F.col("max_b"), -F.col("h")).otherwise(F.col("h")),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("h").alias("hour_epoch"),
+            F.col("y").alias("n_events"),
+        )
+        .orderBy("bucket")
+    )

@@ -3570,3 +3570,90 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_NOV_N = 5  # n-gram order for the novelty signal
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4]), 1, 15))::BIGINT AS h
+      FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+    ),
+    df AS (
+      SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docfreq
+      FROM grams GROUP BY h
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.docfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN df.docfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty_ratio
+    FROM grams g JOIN df ON g.h = df.h
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's 5-gram
+    occurrences whose 5-gram appears in NO other document — the
+    uniqueness/memorization-risk signal curation pipelines threshold on
+    (a near-zero ratio means the document is assembled from corpus
+    boilerplate; a high ratio means genuinely novel text). Documents
+    shorter than 5 tokens carry no 5-grams and are absent by definition.
+
+    Determinism: grams are keyed by the 60-bit md5 prefix (the
+    engine-portable hash used across the dedup stack); the ratio is ONE
+    exact-integer division, identical on both engines.
+
+    Scale: gram extraction is row-local (transform over the token
+    array, no per-token explode before hashing); the doc-frequency
+    table aggregates narrow (hash, doc_id) pairs — the same inverted-
+    index shape as the exact-substring dedup — and the scoring join
+    shuffles on the 8-byte hash key once, then re-aggregates per doc.
+    Two keyed shuffles total, no window, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    gram_arr = F.when(
+        F.size("w") < _NOV_N, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(w) - {_NOV_N - 1}), i -> "
+            "concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+            "element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))"
+        )
+    )
+    grams = toks.select(
+        "doc_id", F.explode(gram_arr).alias("gram")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    df = grams.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("docfreq")
+    )
+    novel = F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        grams.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )

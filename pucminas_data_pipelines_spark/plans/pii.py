@@ -417,3 +417,89 @@ def pii_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_homogeneous_groups"),
     )
+
+
+_DP_EPS = 0.5  # privacy budget for the released histogram
+_DP_B = 1.0 / _DP_EPS  # Laplace scale for a sensitivity-1 count
+
+
+@query(
+    "pii_dp_noisy_release",
+    oracle=f"""
+    WITH counts AS (
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment
+    ),
+    coined AS (
+      SELECT c_mktsegment, n,
+             ((('0x' || substring(md5(c_mktsegment), 1, 8))::BIGINT + 0.5)
+              / 4294967296.0) AS u
+      FROM counts
+    ),
+    lap AS (
+      SELECT c_mktsegment, n,
+             CAST(ROUND(-{_DP_B} * SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5)), 9)
+               AS DECIMAL(12, 9)) AS lap_noise
+      FROM coined
+    ),
+    released AS (
+      SELECT c_mktsegment,
+             CAST(n * 1000000
+                  + CAST(FLOOR(lap_noise * 1000000 + 0.5) AS BIGINT)
+               AS DOUBLE) / 1000000.0 AS released_count
+      FROM lap
+    )
+    SELECT c_mktsegment,
+           released_count,
+           GREATEST(released_count, 0.0) AS released_nonneg,
+           {_DP_EPS} AS epsilon
+    FROM released ORDER BY c_mktsegment
+    """,
+)
+def pii_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially private count release (Dwork et al. 2006): the
+    per-segment customer histogram published through the Laplace
+    mechanism — a sensitivity-1 count gets Laplace(1/epsilon) noise
+    (epsilon = 0.5), negative releases are clamped for display, and the
+    spent budget is reported alongside. The noise draw is the inverse
+    Laplace CDF applied to a hash-derived uniform (md5 coin per group),
+    so both engines release the SAME values — production swaps the coin
+    for a real RNG draw and nothing else changes; the true counts never
+    appear in the output.
+
+    Determinism: the noise is quantized to DECIMAL(12,9), shifted to
+    integer micros with an exact decimal FLOOR, added to the exact
+    count-in-micros as BIGINT arithmetic, and converted by ONE correctly
+    rounded IEEE division — the engine-portable float discipline.
+
+    Scale: one map-side-combined count per group; the mechanism itself
+    is group-grain (|segments| rows). A 100 TB DP release costs exactly
+    the underlying aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.col("c_mktsegment")), 1, 8), 16, 10
+    ).cast("double")
+    u = (coin + F.lit(0.5)) / F.lit(4294967296.0)
+    lap = (
+        -F.lit(_DP_B)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    lap_dec = F.round(lap, 9).cast("decimal(12,9)")
+    released = (
+        (
+            F.col("n") * F.lit(1000000)
+            + F.floor(lap_dec * F.lit(1000000) + F.lit(0.5)).cast("bigint")
+        ).cast("double")
+        / F.lit(1000000.0)
+    ).alias("released_count")
+    out = counts.select("c_mktsegment", released)
+    return out.select(
+        "c_mktsegment",
+        "released_count",
+        F.greatest(F.col("released_count"), F.lit(0.0)).alias("released_nonneg"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    ).orderBy("c_mktsegment")

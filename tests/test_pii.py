@@ -40,3 +40,29 @@ def test_domain_extraction(spark):
     )
     doms = df.select(P.extract_domains(F.col("body")).alias("d")).first()["d"]
     assert doms == ["a.b.example.com", "cdn.io"]
+
+
+def test_dp_noisy_release_mechanism(spark):
+    """The Laplace release: reported epsilon matches the configured
+    budget, clamping only raises negatives to zero, and each released
+    count differs from the true count by a noise term bounded in the
+    far tail (|Laplace(2)| < 2*ln(2^31) ~ 43 for any coin value)."""
+    from pucminas_data_pipelines_spark.plans import QUERIES
+    from pucminas_data_pipelines_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["pii_dp_noisy_release"](spark, SF_SMOKE).collect()
+    true = {
+        r["c_mktsegment"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(true)
+    for r in rows:
+        assert r.epsilon == 0.5
+        assert r.released_nonneg == max(r.released_count, 0.0)
+        noise = r.released_count - true[r.c_mktsegment]
+        assert abs(noise) < 45.0
+        assert noise != 0.0  # the mechanism actually perturbs

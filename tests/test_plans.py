@@ -645,3 +645,68 @@ def test_hybrid_rrf_fuses_both_legs(spark):
             assert abs(h.rrf_score - expect) < 1e-9
         top = min(hits, key=lambda h: h.rank)
         assert min(top.dense_rank, top.lex_rank) <= 30
+
+
+def test_ngram_novelty_flags_exact_duplicates(spark):
+    """Two identical documents share every 5-gram, so both must score
+    novelty 0; a unique singleton doc scores 1. Built on a local-rows
+    corpus where the answer is knowable by eye."""
+    from pucminas_data_pipelines_spark.plans import llm as L
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [(0, dup), (1, dup), (2, uniq)], "doc_id bigint, text string"
+    )
+    import pucminas_data_pipelines_spark.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, d, n: docs  # noqa: E731
+        L.load_table = tables.load_table
+        rows = {r.doc_id: r for r in L.text_ngram_novelty(spark, "x").collect()}
+    finally:
+        tables.load_table = orig
+        L.load_table = orig
+    assert rows[0].novelty_ratio == 0.0 and rows[1].novelty_ratio == 0.0
+    assert rows[2].novelty_ratio == 1.0
+    assert rows[2].n_grams == 5
+
+
+def test_lttb_keeps_peaks_and_endpoints(spark):
+    """The whole point of LTTB vs a per-bucket average: a one-hour spike
+    inside a flat bucket must be the bucket's selected point, and the
+    global first/last points are pinned. Synthetic hourly series: flat
+    ones with a spike at hour 30 (bucket 2)."""
+    import datetime
+
+    from pucminas_data_pipelines_spark.plans import events as EV
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(60):
+        n = 50 if hour == 30 else 1  # spike
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(hours=hour), 1, "view", 1.0, "{}"))
+            eid += 1
+    docs = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    import pucminas_data_pipelines_spark.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, d, n: docs  # noqa: E731
+        EV.load_table = tables.load_table
+        out = {r.bucket: r for r in EV.events_lttb_downsample(spark, "x").collect()}
+    finally:
+        tables.load_table = orig
+        EV.load_table = orig
+    h0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp() // 3600)
+    assert out[0].hour_epoch == h0  # first point pinned
+    assert out[4].hour_epoch == h0 + 59  # last point pinned
+    assert out[2].hour_epoch == h0 + 30  # the spike survives
+    assert out[2].n_events == 50
