@@ -639,10 +639,72 @@ class ManifestVersionedTable:
             version,
         )
 
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT) -----------
+    def _enforce_constraints(self, df: DataFrame, manifest: dict, what: str) -> None:
+        """Refuse rows for which any stored CHECK expression is not TRUE
+        (Delta semantics: a NULL predicate is a violation too, hence the
+        null-safe compare). Cost is one short-circuiting take(1) per
+        constraint over the batch being written — O(batch), not
+        O(table)."""
+        for name in sorted(manifest.get("constraints", {})):
+            expr = manifest["constraints"][name]
+            bad = df.where(~F.expr(expr).eqNullSafe(F.lit(True))).take(1)
+            if bad:
+                raise ValueError(
+                    f"{what} violates CHECK constraint {name!r} ({expr}); "
+                    f"example row: {bad[0]}"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Commit a named CHECK constraint (a SQL boolean expression over
+        the table's columns). Existing data is validated FIRST — a
+        constraint the current snapshot violates is refused, exactly
+        Delta's ALTER TABLE ADD CONSTRAINT contract — and every later
+        overwrite/append/merge batch is gated on it. The commit itself
+        shares all data files (metadata-only, O(manifest))."""
+        version = self.latest_version()
+        manifest = self._manifest(version)
+        constraints = dict(manifest.get("constraints", {}))
+        if name in constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._enforce_constraints(
+            self.read(), {"constraints": {name: expr}}, "existing table data"
+        )
+        constraints[name] = expr
+        self._commit_manifest(
+            dict(
+                manifest,
+                constraints=constraints,
+                commit_info={"operation": "ADD CONSTRAINT"},
+            ),
+            version + 1,
+        )
+        return version + 1
+
+    def drop_constraint(self, name: str) -> int:
+        """Metadata-only commit removing a CHECK constraint."""
+        version = self.latest_version()
+        manifest = self._manifest(version)
+        constraints = dict(manifest.get("constraints", {}))
+        if name not in constraints:
+            raise ValueError(f"constraint {name!r} does not exist")
+        del constraints[name]
+        self._commit_manifest(
+            dict(
+                manifest,
+                constraints=constraints,
+                commit_info={"operation": "DROP CONSTRAINT"},
+            ),
+            version + 1,
+        )
+        return version + 1
+
     # -- reference operator surface ------------------------------------
     def overwrite(self, df: DataFrame) -> int:
         """O5: full overwrite — the one commit that legitimately writes
-        the whole table; every later merge/delete shares its files."""
+        the whole table; every later merge/delete shares its files.
+        CHECK constraints survive an overwrite (they are table
+        properties, Delta semantics) and gate its rows."""
         if self.key not in df.columns:
             raise ValueError(f"key column {self.key!r} not in {df.columns}")
         for reserved in ("mvt_bucket", "_s_present"):
@@ -652,12 +714,20 @@ class ManifestVersionedTable:
             if reserved in df.columns:
                 raise ValueError(f"column name {reserved!r} is reserved")
         version = self.latest_version() + 1
+        constraints = (
+            self._manifest(version - 1).get("constraints", {})
+            if version > 0
+            else {}
+        )
         manifest = {
             "key": self.key,
             "n_buckets": self.n_buckets,
             "columns": df.columns,
             "schema": df.schema.jsonValue(),
         }
+        if constraints:
+            manifest["constraints"] = constraints
+            self._enforce_constraints(df, manifest, "overwrite source")
         self._commit_with_stats(
             manifest, self._write_buckets(df), version, operation="OVERWRITE"
         )
@@ -749,6 +819,7 @@ class ManifestVersionedTable:
         if merge_schema:
             manifest, df = self._evolve_schema(manifest, df)
         df = self._align_columns(df, manifest)
+        self._enforce_constraints(df, manifest, "append source")
         written = self._write_buckets(df)
         new_buckets = {b: list(ds) for b, ds in manifest["buckets"].items()}
         for b, ds in written.items():
@@ -782,6 +853,7 @@ class ManifestVersionedTable:
         manifest = self._manifest(version)
         cols = manifest["columns"]
         source = self._align_columns(source, manifest)
+        self._enforce_constraints(source, manifest, "merge source")
         _reject_ambiguous_merge_source(source, self.key)
 
         affected = sorted(

@@ -179,8 +179,6 @@ DRIVER_WINDOW: list[str] = [
     "source_delta_log_reader",
     "mutation_manifest_delta_export",
     # oldest-evidence re-confirmation: last green in r1
-    "agg_rollup",
-    "agg_scalar_subquery",
     "dedup_exact_normalized",
     "doc_stats_by_lang_source",
     "events_click_purchase_correlation",
@@ -224,6 +222,8 @@ DRIVER_WINDOW: list[str] = [
     "pii_dp_noisy_release",
     "text_ngram_novelty",
     "events_lttb_downsample",
+    "mutation_manifest_check_constraint",
+    "udf_apply_in_arrow",
 ]
 
 

@@ -952,3 +952,80 @@ def mutation_manifest_shallow_clone(
         .unionByName(_rollup(source.read(), "source"))
         .orderBy("side", "event_type")
     )
+
+
+@query(
+    "mutation_manifest_check_constraint",
+    oracle="""
+    SELECT 'clean_append_total' AS fact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n
+    UNION ALL
+    SELECT 'impossible_constraint_refused', CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'rows_after_refusals',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
+    UNION ALL
+    SELECT 'violating_append_refused', CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'violating_merge_refused', CAST(1 AS BIGINT)
+    ORDER BY fact
+    """,
+)
+def mutation_manifest_check_constraint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT semantics):
+    a committed `value >= 0` constraint gates every later write — an
+    appended batch and a merge source carrying negated values are both
+    REFUSED loudly (not filtered: silently dropping violating rows would
+    hide upstream corruption), the table is provably unchanged after the
+    refusals, adding a constraint the EXISTING snapshot violates is
+    itself refused, and a clean append still commits. Constraint commits
+    are metadata-only (all data files shared).
+
+    Each fact row encodes one contract outcome; the oracle recomputes
+    the expected row counts straight from events."""
+    import shutil as _sh
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    path = "/root/repo/.tmp/mvt_check_constraint"
+    _sh.rmtree(path, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    evens = events.where(F.col("event_id") % 2 == 0)
+    odds = events.where(F.col("event_id") % 2 == 1)
+    table = ManifestVersionedTable(spark, path, key="event_id", n_buckets=4)
+    table.overwrite(evens)
+    table.add_constraint("value_nonneg", "value >= 0")
+
+    def _refused(fn) -> int:
+        try:
+            fn()
+            return 0
+        except ValueError:
+            return 1
+
+    bad = odds.withColumn("value", -F.abs(F.col("value")) - F.lit(1.0))
+    append_refused = _refused(lambda: table.append(bad))
+    merge_refused = _refused(lambda: table.merge(bad))
+    impossible_refused = _refused(
+        lambda: table.add_constraint("impossible", "value > 1e12")
+    )
+    rows_after = table.read().count()
+    table.append(odds)  # clean batch still commits
+    total = table.read().count()
+    return spark.createDataFrame(
+        [
+            ("clean_append_total", total),
+            ("impossible_constraint_refused", impossible_refused),
+            ("rows_after_refusals", rows_after),
+            ("violating_append_refused", append_refused),
+            ("violating_merge_refused", merge_refused),
+        ],
+        "fact string, n bigint",
+    ).orderBy("fact")

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf
 
-from pucminas_data_pipelines_spark.plans.registry import query
+from pucminas_data_pipelines_spark.plans.registry import ORACLES, query
 from pucminas_data_pipelines_spark.tables import load_table
 
 
@@ -142,6 +142,73 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey", "o_orderkey", "o_totalprice")
         .groupBy("o_custkey")
         .applyInPandas(center, "o_custkey bigint, o_orderkey bigint, price_dev double")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle=ORACLES["udf_apply_in_pandas"],
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInArrow: the same per-customer mean-centering
+    contract as udf_apply_in_pandas, executed on raw pyarrow Tables with
+    Arrow compute kernels — no pandas materialization at all, the
+    zero-copy grouped path for codecs/binary workloads where pandas
+    object columns would double memory. Identical contract, so it
+    reuses the applyInPandas oracle verbatim.
+
+    The integer-cents discipline carries over: every arithmetic step
+    runs in int64 Arrow kernels (cents, common denominator, half-away
+    round via the 2x+den trick), with ONE float division at the end —
+    bit-identical to both the pandas twin and the SQL oracle.
+
+    Scale: same story as applyInPandas (state partitioned by group key,
+    Arrow-batched transfer) minus the pandas conversion overhead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def center(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        n = pa.scalar(tbl.num_rows, pa.int64())
+        total = pc.sum(cents)
+        num = pc.subtract(pc.multiply(cents, n), total)
+        den = pa.scalar(100 * tbl.num_rows, pa.int64())
+        two_den = pc.multiply(den, pa.scalar(2, pa.int64()))
+        mag = pc.divide(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(pc.abs(num), pa.scalar(2, pa.int64())),
+                    pa.scalar(10000, pa.int64()),
+                ),
+                den,
+            ),
+            two_den,
+        )
+        signed = pc.if_else(
+            pc.greater_equal(num, pa.scalar(0, pa.int64())),
+            mag,
+            pc.negate(mag),
+        )
+        dev = pc.divide(
+            pc.cast(signed, pa.float64()), pa.scalar(10000.0, pa.float64())
+        )
+        return pa.table(
+            {
+                "o_custkey": tbl["o_custkey"],
+                "o_orderkey": tbl["o_orderkey"],
+                "price_dev": dev,
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 20)
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInArrow(center, "o_custkey bigint, o_orderkey bigint, price_dev double")
         .orderBy("o_custkey", "o_orderkey")
     )
 

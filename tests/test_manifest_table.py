@@ -758,3 +758,43 @@ def test_source_vacuum_breaks_clone_but_optimize_localizes(spark, tmp_path):
     assert _sorted(safe.read()) == _sorted(_rows(spark, BASE))
     with pytest.raises(Exception):
         broken.read().collect()
+
+
+# ----------------------------------------------------- CHECK constraints --
+
+
+def test_check_constraint_gates_every_write_path(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    t.add_constraint("score_pos", "score > 0")
+    bad = _rows(spark, [(9, "zed", -1.0)])
+    for op in (
+        lambda: t.append(bad),
+        lambda: t.merge(bad),
+        lambda: t.overwrite(bad),
+    ):
+        with pytest.raises(ValueError, match="CHECK constraint 'score_pos'"):
+            op()
+    # NULL predicate is a violation too (Delta semantics)
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.append(_rows(spark, [(9, "zed", None)]))
+    assert _sorted(t.read()) == _sorted(_rows(spark, BASE))
+    t.append(_rows(spark, [(9, "zed", 5.0)]))  # clean rows pass
+    assert t.read().count() == len(BASE) + 1
+
+
+def test_add_constraint_validates_existing_and_drop_releases(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    with pytest.raises(ValueError, match="existing table data"):
+        t.add_constraint("too_high", "score > 100")
+    t.add_constraint("score_pos", "score > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("score_pos", "score > 0")
+    t.drop_constraint("score_pos")
+    t.append(_rows(spark, [(9, "zed", -1.0)]))  # gate released
+    with pytest.raises(ValueError, match="does not exist"):
+        t.drop_constraint("score_pos")
+    # constraint commits are metadata-only and audited
+    ops = [h["operation"] for h in t.describe_history()]
+    assert "ADD CONSTRAINT" in ops and "DROP CONSTRAINT" in ops
