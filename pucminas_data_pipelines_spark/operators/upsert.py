@@ -733,15 +733,52 @@ class ManifestVersionedTable:
         )
         return version
 
-    def read(self, version_as_of: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version_as_of: int | None = None,
+        timestamp_as_of: str | None = None,
+    ) -> DataFrame:
         """O12 scan / O15 time travel: resolve the version's manifest and
         scan exactly its file list — O(manifest) planning regardless of
-        how many versions exist."""
+        how many versions exist. ``timestamp_as_of`` (ISO-8601, Delta's
+        timestampAsOf) resolves to the NEWEST commit at or before that
+        wall-clock instant (commit timestamps come from commit_info);
+        asking for a time before the first commit is refused, like
+        Delta."""
+        if version_as_of is not None and timestamp_as_of is not None:
+            raise ValueError(
+                "give version_as_of or timestamp_as_of, not both"
+            )
+        if timestamp_as_of is not None:
+            version_as_of = self._version_at(timestamp_as_of)
         version = self.latest_version() if version_as_of is None else version_as_of
         if version < 0 or version > self.latest_version():
             raise ValueError(f"version {version_as_of} does not exist")
         manifest = self._manifest(version)
         return self._read_dirs(manifest, self._bucket_dirs(manifest["buckets"]))
+
+    def _version_at(self, timestamp: str) -> int:
+        """Newest version whose commit timestamp <= the given ISO-8601
+        instant (naive inputs are interpreted in the commit's own local
+        offset domain via datetime comparison on aware stamps)."""
+        import datetime as _dt
+
+        want = _dt.datetime.fromisoformat(timestamp)
+        if want.tzinfo is None:
+            want = want.astimezone()
+        best = -1
+        for v in sorted(self.history()):
+            ts = self._manifest(v).get("commit_info", {}).get("ts")
+            if ts is None:
+                continue
+            if _dt.datetime.fromisoformat(ts) <= want:
+                best = v
+        if best < 0:
+            raise ValueError(
+                f"no commit at or before {timestamp!r} "
+                "(table history starts later)"
+            )
+        return best
 
     def _evolve_schema(
         self, manifest: dict, df: DataFrame

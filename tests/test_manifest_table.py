@@ -798,3 +798,26 @@ def test_add_constraint_validates_existing_and_drop_releases(spark, tmp_path):
     # constraint commits are metadata-only and audited
     ops = [h["operation"] for h in t.describe_history()]
     assert "ADD CONSTRAINT" in ops and "DROP CONSTRAINT" in ops
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """Delta timestampAsOf: a timestamp between commits resolves to the
+    newest earlier version; before-history refuses; both selectors
+    together refuse."""
+    import datetime
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    t.append(_rows(spark, [(7, "gui", 70.0)]))
+    hist = {h["version"]: h["ts"] for h in t.describe_history()}
+    t0 = datetime.datetime.fromisoformat(hist[0])
+    t1 = datetime.datetime.fromisoformat(hist[1])
+    mid = (t0 + (t1 - t0) / 2).isoformat()
+    assert _sorted(t.read(timestamp_as_of=mid)) == _sorted(_rows(spark, BASE))
+    after = (t1 + datetime.timedelta(seconds=1)).isoformat()
+    assert t.read(timestamp_as_of=after).count() == len(BASE) + 1
+    before = (t0 - datetime.timedelta(seconds=1)).isoformat()
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.read(timestamp_as_of=before)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version_as_of=0, timestamp_as_of=mid)
