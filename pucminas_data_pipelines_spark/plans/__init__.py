@@ -179,7 +179,6 @@ DRIVER_WINDOW: list[str] = [
     "source_delta_log_reader",
     "mutation_manifest_delta_export",
     # oldest-evidence re-confirmation: last green in r1
-    "dedup_exact_normalized",
     "doc_stats_by_lang_source",
     "events_click_purchase_correlation",
     "events_dedup_by_key",
@@ -224,6 +223,7 @@ DRIVER_WINDOW: list[str] = [
     "events_lttb_downsample",
     "mutation_manifest_check_constraint",
     "udf_apply_in_arrow",
+    "udtf_analyze_polymorphic",
 ]
 
 

@@ -382,3 +382,60 @@ def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         _enrich(F.col("c_mktsegment"), F.col("c_nationkey")).alias("enriched"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "udtf_analyze_polymorphic",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS p
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+           p[i] AS token_1, p[i + 1] AS token_2, p[i + 2] AS token_3
+    FROM parts, UNNEST(generate_series(1, len(p) - 2)) AS t(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 static ``analyze``): the output
+    schema is computed at PLAN TIME from the call's literal arguments —
+    ngrams_udtf(text, 3) resolves to (pos, token_1..token_3) before any
+    row runs, so Catalyst prunes/validates against the real shape and a
+    different n yields a different relation type (pinned by pytest with
+    n=2). This is the table-function tier beyond fixed-schema UDTFs:
+    one registration serves every arity.
+
+    Scale: same lateral-join execution as any UDTF (Arrow-batched rows
+    through the Python worker); the analyze call happens once on the
+    driver at resolution."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if n.value is None or not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive integer literal")
+            schema = StructType().add("pos", IntegerType())
+            for i in range(n.value):
+                schema = schema.add(f"token_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ") if text else []
+            for i in range(len(toks) - n + 1):
+                yield (i, *toks[i : i + n])
+
+    spark.udtf.register("ngrams_udtf", NGrams)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("_udtf_ngram_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token_1, t.token_2, t.token_3
+        FROM _udtf_ngram_docs d, LATERAL ngrams_udtf(d.text, 3) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )

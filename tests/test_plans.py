@@ -710,3 +710,23 @@ def test_lttb_keeps_peaks_and_endpoints(spark):
     assert out[4].hour_epoch == h0 + 59  # last point pinned
     assert out[2].hour_epoch == h0 + 30  # the spike survives
     assert out[2].n_events == 50
+
+
+def test_udtf_analyze_resolves_schema_per_arity(spark):
+    """The polymorphic UDTF's analyze() runs at plan time: the SAME
+    registration yields (pos, token_1, token_2) for n=2 and five columns
+    for n=3, and a non-literal / bad n fails resolution loudly."""
+    import pytest as _pytest
+
+    QUERIES["udtf_analyze_polymorphic"](spark, SF_SMOKE)  # registers n=3 path
+    two = spark.sql(
+        "SELECT t.* FROM VALUES ('a b c d') AS v(txt), "
+        "LATERAL ngrams_udtf(v.txt, 2) t"
+    )
+    assert two.columns == ["pos", "token_1", "token_2"]
+    assert two.count() == 3
+    with _pytest.raises(Exception, match="positive integer"):
+        spark.sql(
+            "SELECT t.* FROM VALUES ('a b') AS v(txt), "
+            "LATERAL ngrams_udtf(v.txt, 0) t"
+        ).collect()
