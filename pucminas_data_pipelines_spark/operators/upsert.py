@@ -655,6 +655,27 @@ class ManifestVersionedTable:
                     f"example row: {bad[0]}"
                 )
 
+    def _apply_generated(self, df: DataFrame, manifest: dict, what: str) -> DataFrame:
+        """Delta GENERATED ALWAYS AS columns: a batch that omits a
+        generated column gets it computed from the stored expression; a
+        batch that carries it is VALIDATED against the expression and
+        refused on any mismatch (silently trusting caller-supplied
+        values would let drift into a column readers assume derivable).
+        NULL-safe compare, so NULL==NULL passes."""
+        for name in sorted(manifest.get("generated", {})):
+            expr = manifest["generated"][name]
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+                continue
+            bad = df.where(~F.col(name).eqNullSafe(F.expr(expr))).take(1)
+            if bad:
+                raise ValueError(
+                    f"{what} carries generated column {name!r} with values "
+                    f"that do not match its expression ({expr}); example "
+                    f"row: {bad[0]}"
+                )
+        return df
+
     def add_constraint(self, name: str, expr: str) -> int:
         """Commit a named CHECK constraint (a SQL boolean expression over
         the table's columns). Existing data is validated FIRST — a
@@ -700,11 +721,17 @@ class ManifestVersionedTable:
         return version + 1
 
     # -- reference operator surface ------------------------------------
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, generated: dict[str, str] | None = None
+    ) -> int:
         """O5: full overwrite — the one commit that legitimately writes
         the whole table; every later merge/delete shares its files.
         CHECK constraints survive an overwrite (they are table
-        properties, Delta semantics) and gate its rows."""
+        properties, Delta semantics) and gate its rows. ``generated``
+        declares GENERATED ALWAYS AS columns ({name: sql_expr}) for the
+        table going forward: computed here if absent from df, validated
+        if present, and enforced on every later append/merge; omit to
+        keep the previous table's declarations."""
         if self.key not in df.columns:
             raise ValueError(f"key column {self.key!r} not in {df.columns}")
         for reserved in ("mvt_bucket", "_s_present"):
@@ -714,17 +741,22 @@ class ManifestVersionedTable:
             if reserved in df.columns:
                 raise ValueError(f"column name {reserved!r} is reserved")
         version = self.latest_version() + 1
-        constraints = (
-            self._manifest(version - 1).get("constraints", {})
-            if version > 0
-            else {}
-        )
+        prev = self._manifest(version - 1) if version > 0 else {}
+        constraints = prev.get("constraints", {})
+        if generated is None:
+            generated = prev.get("generated", {})
+        if generated:
+            df = self._apply_generated(
+                df, {"generated": generated}, "overwrite source"
+            )
         manifest = {
             "key": self.key,
             "n_buckets": self.n_buckets,
             "columns": df.columns,
             "schema": df.schema.jsonValue(),
         }
+        if generated:
+            manifest["generated"] = generated
         if constraints:
             manifest["constraints"] = constraints
             self._enforce_constraints(df, manifest, "overwrite source")
@@ -855,6 +887,7 @@ class ManifestVersionedTable:
             txns[txn_app] = txn_version
         if merge_schema:
             manifest, df = self._evolve_schema(manifest, df)
+        df = self._apply_generated(df, manifest, "append source")
         df = self._align_columns(df, manifest)
         self._enforce_constraints(df, manifest, "append source")
         written = self._write_buckets(df)
@@ -889,6 +922,7 @@ class ManifestVersionedTable:
         version = self.latest_version()
         manifest = self._manifest(version)
         cols = manifest["columns"]
+        source = self._apply_generated(source, manifest, "merge source")
         source = self._align_columns(source, manifest)
         self._enforce_constraints(source, manifest, "merge source")
         _reject_ambiguous_merge_source(source, self.key)

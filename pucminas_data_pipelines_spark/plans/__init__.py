@@ -179,7 +179,6 @@ DRIVER_WINDOW: list[str] = [
     "source_delta_log_reader",
     "mutation_manifest_delta_export",
     # oldest-evidence re-confirmation: last green in r1
-    "doc_stats_by_lang_source",
     "events_click_purchase_correlation",
     "events_dedup_by_key",
     "events_enriched_by_segment",
@@ -189,7 +188,6 @@ DRIVER_WINDOW: list[str] = [
     "events_retention_cohorts",
     "events_sliding_window",
     "events_tumbling_window",
-    "multimodal_binary_meta",
     "multimodal_decode_stub",
     "multimodal_resize_stub",
     "text_bigram_frequencies",
@@ -224,6 +222,8 @@ DRIVER_WINDOW: list[str] = [
     "mutation_manifest_check_constraint",
     "udf_apply_in_arrow",
     "udtf_analyze_polymorphic",
+    "udf_arrow_scalar",
+    "mutation_manifest_generated_column",
 ]
 
 

@@ -1029,3 +1029,62 @@ def mutation_manifest_check_constraint(
         ],
         "fact string, n bigint",
     ).orderBy("fact")
+
+
+@query(
+    "mutation_manifest_generated_column",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50) AS INT) AS value_band,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT -1, CAST(1 AS BIGINT)
+    ORDER BY value_band
+    """,
+)
+def mutation_manifest_generated_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED ALWAYS AS columns (Delta generated-column semantics):
+    the table declares value_band = FLOOR(value/50) at creation; both
+    the initial overwrite and a later append OMIT the column and get it
+    computed server-side, while an append carrying a WRONG value_band is
+    REFUSED (validated against the expression, not trusted). The final
+    per-band rollup equals computing the expression over all events
+    directly — which is exactly what the oracle does; the sentinel
+    (-1, 1) row encodes the refusal outcome."""
+    import shutil as _sh
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    path = "/root/repo/.tmp/mvt_generated_col"
+    _sh.rmtree(path, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = ManifestVersionedTable(spark, path, key="event_id", n_buckets=4)
+    table.overwrite(
+        events.where(F.col("event_id") % 2 == 0),
+        generated={"value_band": "CAST(FLOOR(value / 50) AS INT)"},
+    )
+    table.append(events.where(F.col("event_id") % 2 == 1))
+    wrong = (
+        events.where(F.col("event_id") % 2 == 1)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+        .withColumn("value_band", F.lit(999))
+    )
+    try:
+        table.append(wrong)
+        refused = 0
+    except ValueError:
+        refused = 1
+    rollup = table.read().groupBy("value_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, refused)], "value_band int, n_events bigint"
+    )
+    return rollup.unionByName(sentinel).orderBy("value_band")

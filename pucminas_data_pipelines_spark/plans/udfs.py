@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Iterator, Tuple
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf
@@ -439,3 +440,32 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle=ORACLES["udf_pandas_scalar"],
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ARROW UDF (Spark 4 @arrow_udf): the same net-price contract
+    as udf_pandas_scalar computed directly on pyarrow Arrays with Arrow
+    compute kernels — no pandas Series conversion on either side of the
+    exchange, the lowest-overhead Python-UDF tier. pc.multiply/subtract
+    are IEEE doubles, so it reuses the pandas twin's oracle verbatim."""
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("double")
+    def _net_price(ext: pa.Array, disc: pa.Array) -> pa.Array:
+        return pc.multiply(
+            ext, pc.subtract(pa.scalar(1.0, pa.float64()), disc)
+        )
+
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_net_price(F.col("l_extendedprice"), F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber")

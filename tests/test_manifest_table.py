@@ -821,3 +821,32 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         t.read(timestamp_as_of=before)
     with pytest.raises(ValueError, match="not both"):
         t.read(version_as_of=0, timestamp_as_of=mid)
+
+
+# --------------------------------------------------- generated columns --
+
+
+def test_generated_column_computed_validated_and_enforced(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(
+        _rows(spark, BASE), generated={"score_band": "CAST(score / 20 AS INT)"}
+    )
+    got = {r["id"]: r["score_band"] for r in t.read().collect()}
+    assert got == {i: int(s / 20) for i, _, s in BASE}
+    # append WITHOUT the column: computed
+    t.append(_rows(spark, [(7, "gui", 70.0)]))
+    assert {r["score_band"] for r in t.read().where(F.col("id") == 7).collect()} == {3}
+    # append WITH a wrong value: refused
+    wrong = spark.createDataFrame(
+        [(8, "hugo", 80.0, 99)],
+        "id bigint, name string, score double, score_band int",
+    )
+    with pytest.raises(ValueError, match="generated column 'score_band'"):
+        t.append(wrong)
+    # merge source without the column: computed, matches facade semantics
+    t.merge(_rows(spark, [(1, "ana2", 95.0)]))
+    row = t.read().where(F.col("id") == 1).collect()[0]
+    assert (row["name"], row["score_band"]) == ("ana2", 4)
+    # declarations survive a plain overwrite
+    t.overwrite(_rows(spark, BASE))
+    assert {r["score_band"] for r in t.read().where(F.col("id") == 5).collect()} == {2}
