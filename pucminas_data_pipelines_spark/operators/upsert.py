@@ -910,17 +910,32 @@ class ManifestVersionedTable:
         source: DataFrame,
         key: str | None = None,
         broadcast_source: bool = True,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """O11: whenMatchedUpdateAll + whenNotMatchedInsertAll, rewriting
         ONLY the buckets the source touches (same full-outer-join +
         sentinel-presence semantics as ParquetVersionedTable.merge —
-        differential-tested against it)."""
+        differential-tested against it). ``txn_app``/``txn_version`` is
+        the same idempotent-writer handshake as append's (Delta's
+        txnAppId/txnVersion works on ANY write): a replayed epoch whose
+        version was already committed is a no-op — what makes a
+        foreachBatch MERGE sink exactly-once, e.g. incremental silver-
+        table maintenance where re-applying a delta would double it."""
         if key is not None and key != self.key:
             raise ValueError(
                 f"table is bucketed on {self.key!r}; cannot merge on {key!r}"
             )
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version must be given together")
         version = self.latest_version()
         manifest = self._manifest(version)
+        txns = dict(manifest.get("txns", {}))
+        if txn_app is not None:
+            last = txns.get(txn_app)
+            if last is not None and txn_version <= last:
+                return version  # replayed epoch: already committed
+            txns[txn_app] = txn_version
         cols = manifest["columns"]
         source = self._apply_generated(source, manifest, "merge source")
         source = self._align_columns(source, manifest)
@@ -953,7 +968,8 @@ class ManifestVersionedTable:
         new_buckets = dict(prev_buckets)
         new_buckets.update(written)  # untouched buckets keep prior files
         self._commit_with_stats(
-            manifest, new_buckets, version + 1, operation="MERGE"
+            dict(manifest, txns=txns), new_buckets, version + 1,
+            operation="MERGE",
         )
         return version + 1
 

@@ -628,3 +628,100 @@ def streaming_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("matched")
     )
+
+
+@query(
+    "streaming_medallion_pipeline_live",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                AS DOUBLE) / 100.0 AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_medallion_pipeline_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end medallion pipeline, every layer LIVE: a bronze manifest
+    table receives two APPEND commits while a stream is tailing it
+    through the manifest-stream source (offsets = commit versions), and
+    each micro-batch's per-type delta is ADDITIVELY merged into a silver
+    manifest table under the idempotent-writer handshake — with every
+    epoch deliberately applied twice (the at-least-once replay). The
+    silver rollup converges to the plain batch aggregate over ALL
+    events; a doubled delta (broken txn no-op), a missed commit (broken
+    source offsets), or cross-batch leakage would each break the counts.
+    Exact arithmetic end to end: counts and value-cents are BIGINT in
+    silver; the one float division happens at read-out.
+
+    Scale: bronze append is O(new data); each batch plans O(manifest
+    diff); the silver merge rewrites only the buckets the delta touches.
+    This is the standard streaming-lakehouse bronze→silver topology."""
+    import shutil
+    import uuid  # noqa: F401  (parallels the sibling live queries)
+
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+    from pucminas_data_pipelines_spark.sources.manifest_stream import (
+        ManifestStreamDataSource,
+    )
+    from pucminas_data_pipelines_spark.streaming import jobs
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    base = "/root/repo/.tmp/stream_medallion"
+    shutil.rmtree(base, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    total = events.count()
+    bronze = ManifestVersionedTable(
+        spark, f"{base}/bronze", key="event_id", n_buckets=4
+    )
+    bronze.overwrite(events.where(F.col("event_id") % 3 == 0))
+    silver = ManifestVersionedTable(
+        spark, f"{base}/silver", key="event_type", n_buckets=2
+    )
+    silver.overwrite(
+        spark.createDataFrame(
+            [], "event_type string, n_events bigint, cents bigint"
+        )
+    )
+    try:
+        spark.dataSource.register(ManifestStreamDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("manifest_stream")
+        .option("path", f"{base}/bronze")
+        .load()
+    )
+
+    def _poll() -> int:
+        return (
+            silver.read().agg(F.coalesce(F.sum("n_events"), F.lit(0))).collect()[0][0]
+        )
+
+    def _run():
+        jobs.run_foreachbatch_silver_rollup(
+            stream, silver, _poll, total, state_partitions=8
+        )
+
+    import threading
+
+    t = threading.Thread(target=_run)
+    t.start()
+    # the tail: two more APPEND commits land while the stream runs
+    bronze.append(events.where(F.col("event_id") % 3 == 1))
+    bronze.append(events.where(F.col("event_id") % 3 == 2))
+    t.join(timeout=150)
+    return silver.read().select(
+        "event_type",
+        "n_events",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+    ).orderBy("event_type")

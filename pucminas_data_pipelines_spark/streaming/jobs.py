@@ -549,3 +549,80 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def run_foreachbatch_silver_rollup(
+    stream_df: DataFrame,
+    silver,
+    poll_total: callable,
+    expected_total: int,
+    state_partitions: int | None = 8,
+    timeout_s: int = 120,
+) -> None:
+    """Medallion silver-layer maintenance: every micro-batch's per-type
+    delta is ADDED into the silver manifest table through a full-outer
+    merge, committed under the idempotent-writer handshake
+    (txn_app/txn_version=batch_id) — and every epoch is deliberately
+    APPLIED TWICE, the at-least-once replay a crash between data-write
+    and checkpoint-advance produces. Because the delta is ADDITIVE
+    (unlike the raw-append ingest), a replayed epoch that actually
+    re-merged would DOUBLE the counts — the txn no-op is what keeps the
+    rollup exact. Empty batches (no new bronze commits between polls)
+    are skipped entirely.
+
+    Runs the stream on a processingTime trigger and polls
+    ``poll_total()`` until ``expected_total`` is reached (Python stream
+    sources fall back to single-batch under AvailableNow)."""
+    import time
+
+    spark = stream_df.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("d_n"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("d_cents"),
+        )
+        cur = silver.read().select(
+            "event_type",
+            F.col("n_events").alias("c_n"),
+            F.col("cents").alias("c_cents"),
+        )
+        merged = (
+            cur.join(delta, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (F.coalesce("c_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+                .cast("bigint")
+                .alias("n_events"),
+                (
+                    F.coalesce("c_cents", F.lit(0))
+                    + F.coalesce("d_cents", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        merged = merged.localCheckpoint()  # pin: both merges apply the SAME delta
+        silver.merge(merged, txn_app="medallion", txn_version=batch_id)
+        # deliberate second delivery: must no-op under the txn handshake
+        silver.merge(merged, txn_app="medallion", txn_version=batch_id)
+
+    with _pinned_shuffle_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.foreachBatch(apply_batch)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                if poll_total() == expected_total:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(30)

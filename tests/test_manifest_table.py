@@ -850,3 +850,22 @@ def test_generated_column_computed_validated_and_enforced(spark, tmp_path):
     # declarations survive a plain overwrite
     t.overwrite(_rows(spark, BASE))
     assert {r["score_band"] for r in t.read().where(F.col("id") == 5).collect()} == {2}
+
+
+def test_merge_txn_replay_is_noop(spark, tmp_path):
+    """merge under the idempotent-writer handshake: a replayed epoch
+    (same app, version <= remembered) returns the current version and
+    changes nothing — additive deltas applied through a replayed merge
+    would otherwise double."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    up = _rows(spark, [(1, "ana", 11.0)])
+    v1 = t.merge(up, txn_app="job", txn_version=0)
+    assert t.merge(up, txn_app="job", txn_version=0) == v1  # replay: no-op
+    assert t.latest_version() == v1
+    v2 = t.merge(_rows(spark, [(1, "ana", 12.0)]), txn_app="job", txn_version=1)
+    assert v2 == v1 + 1
+    with pytest.raises(ValueError, match="together"):
+        t.merge(up, txn_app="job")
+    # append and merge share one txn book per app
+    assert t.append(up, txn_app="job", txn_version=1) == v2
