@@ -1267,6 +1267,11 @@ def curation_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("cnt"),
         )
     )
+    # docb feeds four consumers (raw model, target model, totals, doc
+    # weights): persist it so the corpus-side gram explode runs ONCE —
+    # at 100 TB docb is bucket-bounded per doc (<=512 rows/doc, far
+    # smaller than the token stream), the cheap thing to keep.
+    docb.persist()
     raw_b = docb.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("cr"))
     tgt_b = (
         docb.where(F.col("lang") == _DSIR_TARGET)
