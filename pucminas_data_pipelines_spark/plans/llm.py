@@ -3617,11 +3617,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer division, identical on both engines.
 
     Scale: gram extraction is row-local (transform over the token
-    array, no per-token explode before hashing); the doc-frequency
-    table aggregates narrow (hash, doc_id) pairs — the same inverted-
-    index shape as the exact-substring dedup — and the scoring join
-    shuffles on the 8-byte hash key once, then re-aggregates per doc.
-    Two keyed shuffles total, no window, no Python."""
+    array, no per-token explode before hashing); occurrences collapse
+    to (hash, doc) counts in one keyed shuffle, doc-frequency comes
+    from a window PARTITIONED by the 8-byte hash (no join back, no
+    second corpus scan — each hash's partition is the handful of docs
+    sharing that gram), and a final per-doc aggregate re-keys once.
+    ONE corpus scan, three keyed shuffles, no Python."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
@@ -3635,25 +3638,31 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))"
         )
     )
-    grams = toks.select(
-        "doc_id", F.explode(gram_arr).alias("gram")
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h"),
+    gdoc = (
+        toks.select("doc_id", F.explode(gram_arr).alias("gram"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    df = grams.groupBy("h").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("docfreq")
+    docfreq = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    scored = gdoc.select(
+        "doc_id", "cnt", (docfreq == 1).alias("is_novel")
     )
-    novel = F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0)).cast("bigint")
+    n_grams = F.sum("cnt").cast("bigint")
+    novel = F.sum(F.when(F.col("is_novel"), F.col("cnt")).otherwise(0)).cast(
+        "bigint"
+    )
     return (
-        grams.join(df, "h")
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            n_grams.alias("n_grams"),
             novel.alias("n_novel"),
-            (novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
+            (novel.cast("double") / n_grams).alias("novelty_ratio"),
         )
         .orderBy("doc_id")
     )
