@@ -1990,6 +1990,10 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     )
+    # hour-grain (dimension-bounded) and consumed by four subtrees
+    # (bounds, points, bucket count, centroids): persist it so the
+    # event-grain scan+aggregate runs ONCE regardless of series length.
+    series.persist()
     bounds = series.agg(F.min("h").alias("min_h"))
     pts = series.crossJoin(F.broadcast(bounds)).select(
         "h",
