@@ -188,7 +188,6 @@ DRIVER_WINDOW: list[str] = [
     "events_retention_cohorts",
     "events_sliding_window",
     "events_tumbling_window",
-    "multimodal_resize_stub",
     "text_bigram_frequencies",
     "text_fingerprint",
     "text_fuzzy_entity_match",
@@ -224,6 +223,7 @@ DRIVER_WINDOW: list[str] = [
     "udf_arrow_scalar",
     "mutation_manifest_generated_column",
     "streaming_medallion_pipeline_live",
+    "sql_scripting_procedural",
 ]
 
 

@@ -1059,3 +1059,67 @@ def join_spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "sql_scripting_procedural",
+    oracle="""
+    WITH RECURSIVE cuts(k, cutoff) AS (
+      SELECT 0, CAST(600000 AS BIGINT)
+      UNION ALL SELECT k + 1, cutoff * 9 // 10 FROM cuts WHERE k < 60
+    ),
+    tgt AS (SELECT CAST(COUNT(*) * 2 // 10 AS BIGINT) AS want FROM orders),
+    counted AS (
+      SELECT k, cutoff,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_totalprice > cutoff) AS n
+      FROM cuts
+    )
+    SELECT CAST(k AS INT) AS iterations, cutoff, n AS n_above
+    FROM counted CROSS JOIN tgt
+    WHERE n >= want OR k = 60
+    ORDER BY k LIMIT 1
+    """,
+)
+def sql_scripting_procedural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 BEGIN/END blocks, SQL/PSM): a procedural
+    threshold hunt — DECLARE a cutoff, WHILE fewer than 20% of orders
+    price above it, decay it by an EXACT integer step (x*9 DIV 10, so
+    the loop state is engine-reproducible; a float decay would drift) —
+    the control-flow tier the reference delegates to Airflow, here
+    running INSIDE the SQL engine with each iteration's count a real
+    distributed job. The oracle replays the identical recurrence as a
+    DuckDB recursive CTE and picks the first qualifying step.
+
+    Scale: loop state lives on the driver (two scalars); each iteration
+    is one pushed-down count over the table — O(iterations) scans, the
+    honest cost of any procedural fixpoint; the iteration count is
+    data-adaptive (target is a fraction of rows) so it stays ~5 at
+    every SF."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_script_orders"
+    )
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE cutoff BIGINT = 600000;
+              DECLARE i INT = 0;
+              WHILE (SELECT COUNT(*) FROM _script_orders
+                     WHERE o_totalprice > cutoff)
+                    < (SELECT COUNT(*) * 2 DIV 10 FROM _script_orders)
+                    AND i < 60 DO
+                SET cutoff = cutoff * 9 DIV 10;
+                SET i = i + 1;
+              END WHILE;
+              SELECT CAST(i AS INT) AS iterations, cutoff,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM _script_orders
+                      WHERE o_totalprice > cutoff) AS n_above;
+            END
+            """
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
