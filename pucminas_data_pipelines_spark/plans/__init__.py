@@ -179,7 +179,6 @@ DRIVER_WINDOW: list[str] = [
     "source_delta_log_reader",
     "mutation_manifest_delta_export",
     # oldest-evidence re-confirmation: last green in r1
-    "events_click_purchase_correlation",
     "events_dedup_by_key",
     "events_enriched_by_segment",
     "events_funnel_conversion",
@@ -224,6 +223,7 @@ DRIVER_WINDOW: list[str] = [
     "mutation_manifest_generated_column",
     "streaming_medallion_pipeline_live",
     "sql_scripting_procedural",
+    "pii_pseudonymize_consistent",
 ]
 
 
