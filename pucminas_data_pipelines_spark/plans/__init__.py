@@ -179,8 +179,6 @@ DRIVER_WINDOW: list[str] = [
     "source_delta_log_reader",
     "mutation_manifest_delta_export",
     # oldest-evidence re-confirmation: last green in r1
-    "events_dedup_by_key",
-    "events_enriched_by_segment",
     "events_funnel_conversion",
     "events_hypertable_rollup",
     "events_rate_per_user",
@@ -224,6 +222,8 @@ DRIVER_WINDOW: list[str] = [
     "streaming_medallion_pipeline_live",
     "sql_scripting_procedural",
     "pii_pseudonymize_consistent",
+    "mutation_tpch_refresh",
+    "events_ewma_daily",
 ]
 
 

@@ -2048,3 +2048,110 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+
+_EWMA_ALPHA = 0.4
+
+
+@query(
+    "events_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS t
+      FROM daily
+    ),
+    terms AS (
+      SELECT a.event_type, a.day, a.t, a.x AS x_t,
+             CAST(b.x AS DECIMAL(12, 0))
+             * CAST(ROUND(
+                 CASE WHEN b.t = 1 THEN POWER({1 - _EWMA_ALPHA}, a.t - 1)
+                      ELSE {_EWMA_ALPHA} * POWER({1 - _EWMA_ALPHA}, a.t - b.t)
+                 END, 9) AS DECIMAL(12, 9)) AS wx
+      FROM idx a
+      JOIN idx b ON a.event_type = b.event_type AND b.t <= a.t
+    )
+    SELECT event_type, day, x_t AS n_events,
+           CAST(CAST(FLOOR(SUM(wx) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS ewma
+    FROM terms
+    GROUP BY event_type, day, x_t
+    ORDER BY event_type, day
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event counts
+    (alpha = 0.4, s_1 = x_1) in CLOSED FORM: s_t = (1-a)^(t-1) x_1 +
+    sum_k a (1-a)^(t-k) x_k — each day's smoothed value is a weighted
+    sum over the window's history, expressed as a bounded self-join on
+    the per-type day index instead of a sequential scan. The trade is
+    explicit: O(T^2) weight terms per key for a calendar-bounded T
+    (30 days here), zero sequential state — for unbounded streams the
+    recurrence runs in applyInPandasWithState instead (the
+    streaming_stateful_totals_live machinery).
+
+    Determinism: each weight is quantized to DECIMAL(12,9) before the
+    exact decimal sum (POWER's 1-ulp libm drift cannot survive the
+    1e-9 round); the final value converts through the integer-micros
+    floor shift — the registry's engine-portable float discipline.
+
+    Scale: the daily aggregate is the only data-grain shuffle; the
+    index and self-join run on (types x days) rows, dimension-bounded."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    daily.persist()  # dimension-bounded; feeds both join sides
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "day", "x", F.row_number().over(w).cast("bigint").alias("t")
+    )
+    a = idx.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("day"),
+        F.col("x").alias("x_t"),
+        F.col("t").alias("t"),
+    )
+    b = idx.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("x_k"),
+        F.col("t").alias("k"),
+    )
+    alpha = _EWMA_ALPHA
+    weight = F.when(
+        F.col("k") == 1, F.pow(F.lit(1 - alpha), F.col("t") - 1)
+    ).otherwise(F.lit(alpha) * F.pow(F.lit(1 - alpha), F.col("t") - F.col("k")))
+    terms = a.join(
+        b, (F.col("et") == F.col("et_b")) & (F.col("k") <= F.col("t"))
+    ).select(
+        "et",
+        "day",
+        "x_t",
+        (
+            F.col("x_k").cast("decimal(12,0)")
+            * F.round(weight, 9).cast("decimal(12,9)")
+        ).alias("wx"),
+    )
+    ewma = (
+        F.floor(F.sum("wx") * F.lit(1000000) + F.lit(0.5))
+        .cast("bigint")
+        .cast("double")
+        / F.lit(1000000.0)
+    )
+    return (
+        terms.groupBy(F.col("et").alias("event_type"), "day", F.col("x_t"))
+        .agg(ewma.alias("ewma"))
+        .select(
+            "event_type", "day", F.col("x_t").alias("n_events"), "ewma"
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1088,3 +1088,62 @@ def mutation_manifest_generated_column(
         [(-1, refused)], "value_band int, n_events bigint"
     )
     return rollup.unionByName(sentinel).orderBy("value_band")
+
+
+@query(
+    "mutation_tpch_refresh",
+    oracle="""
+    WITH after AS (
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey >= 1500
+      UNION ALL
+      SELECT 'R1', o_totalprice FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM after GROUP BY 1 ORDER BY 1
+    """,
+)
+def mutation_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh functions against the manifest table: RF1 appends a
+    10% batch of new orders (re-keyed, status 'R1' — O(new data), the
+    add-files commit) and RF2 deletes the oldest 10% key range (one
+    scan finds affected buckets, only those rewrite) — the
+    insert/delete maintenance stream the TPC-H spec pairs with its
+    query set, here exercising the versioned table's two asymmetric
+    write paths back to back. The post-refresh per-status rollup equals
+    the oracle's direct reconstruction from the base table.
+
+    Scale: RF1 never reads existing data; RF2's cost is the affected
+    buckets only; history keeps all three states time-travelable."""
+    import shutil as _sh
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    path = "/root/repo/.tmp/mvt_tpch_refresh"
+    _sh.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    table = ManifestVersionedTable(spark, path, key="o_orderkey", n_buckets=8)
+    table.overwrite(orders)
+    rf1 = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1_000_000))
+        .withColumn("o_orderstatus", F.lit("R1"))
+    )
+    table.append(rf1)
+    table.delete_where(F.col("o_orderkey") < 1500)
+    return (
+        table.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -730,3 +730,21 @@ def test_udtf_analyze_resolves_schema_per_arity(spark):
             "SELECT t.* FROM VALUES ('a b') AS v(txt), "
             "LATERAL ngrams_udtf(v.txt, 0) t"
         ).collect()
+
+
+def test_ewma_satisfies_recurrence(spark):
+    """The closed-form EWMA must satisfy the defining recurrence
+    s_t = a*x_t + (1-a)*s_{t-1} (s_1 = x_1) up to the 1e-9 weight
+    quantization accumulated over the window."""
+    rows = QUERIES["events_ewma_daily"](spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert len(by_type) >= 3
+    for et, series in by_type.items():
+        series.sort(key=lambda r: r.day)
+        assert abs(series[0].ewma - series[0].n_events) < 1e-5
+        s = float(series[0].n_events)
+        for r in series[1:]:
+            s = 0.4 * r.n_events + 0.6 * s
+            assert abs(r.ewma - s) < 1e-4, (et, r.day)
