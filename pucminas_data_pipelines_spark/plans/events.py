@@ -2155,3 +2155,161 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             (CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) + 4)
+               % 7 AS dow
+      FROM events GROUP BY 1, 2, 4
+    ),
+    tr AS (
+      SELECT event_type, day, x, dow,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(SUM(x) OVER w AS DOUBLE) / 7.0 END AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT *, CAST(FLOOR((x - trend) * 1000000 + 0.5) AS BIGINT) AS det_u
+      FROM tr
+    ),
+    season AS (
+      SELECT event_type, dow,
+             CAST(SUM(det_u) AS DOUBLE)
+               / (COUNT(det_u) * 1000000.0) AS s_raw
+      FROM det WHERE det_u IS NOT NULL GROUP BY 1, 2
+    ),
+    season_u AS (
+      SELECT event_type, dow,
+             CAST(FLOOR(s_raw * 1000000 + 0.5) AS BIGINT) AS s_u
+      FROM season
+    ),
+    season_c AS (
+      SELECT event_type, dow,
+             CAST(s_u - CAST(FLOOR(
+                 CAST(SUM(s_u) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY event_type) + 0.5
+               ) AS BIGINT) AS DOUBLE) / 1000000.0 AS seasonal
+      FROM season_u
+    )
+    SELECT d.event_type, d.day, d.x AS n_events,
+           d.trend,
+           s.seasonal,
+           CASE WHEN d.trend IS NOT NULL
+                THEN CAST(FLOOR((d.x - d.trend - s.seasonal) * 1000000 + 0.5)
+                     AS BIGINT) / 1000000.0 END AS residual
+    FROM det d JOIN season_c s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+    ORDER BY d.event_type, d.day
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the per-type daily series
+    (STL-lite): trend = centered 7-row moving average (NULL at the
+    edges, where the window is short), seasonal = the per-day-of-week
+    mean of the detrended series re-centered to sum ~0, residual =
+    observed - trend - seasonal — the anomaly-detection preprocessing
+    step (alerts fire on residuals, not raw counts, so weekend dips
+    stop paging anyone).
+
+    Determinism: day-of-week comes from integer epoch-day arithmetic
+    ((days+4)%7 — engine-portable, no locale/calendar involvement);
+    every value that feeds an UNORDERED float SUM is first quantized to
+    integer micros (float addition is non-associative; integer addition
+    is), and each division is a single correctly-rounded IEEE op over
+    exact integers — so trend/seasonal/residual are bit-identical
+    across engines.
+
+    Scale: one data-grain shuffle (the daily aggregate); the MA window
+    is partitioned per type; seasonal factors are (type x 7) rows,
+    broadcast back by the join."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = (
+        e.groupBy(
+            "event_type",
+            day.alias("day"),
+            (
+                (F.floor(F.unix_timestamp(day) / 86400).cast("bigint") + 4) % 7
+            ).alias("dow"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "x",
+        "dow",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("x").over(w).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+    )
+    det = tr.withColumn(
+        "det_u",
+        F.floor((F.col("x") - F.col("trend")) * 1000000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    season = (
+        det.where(F.col("det_u").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            (
+                F.sum("det_u").cast("double")
+                / (F.count("det_u") * F.lit(1000000.0))
+            ).alias("s_raw")
+        )
+    )
+    season_u = season.select(
+        "event_type",
+        "dow",
+        F.floor(F.col("s_raw") * 1000000 + F.lit(0.5)).cast("bigint").alias("s_u"),
+    )
+    wt = Window.partitionBy("event_type")
+    season_c = season_u.select(
+        "event_type",
+        "dow",
+        (
+            (
+                F.col("s_u")
+                - F.floor(
+                    F.sum("s_u").over(wt).cast("double")
+                    / F.count(F.lit(1)).over(wt)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("seasonal"),
+    )
+    return (
+        det.join(F.broadcast(season_c), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            F.col("x").alias("n_events"),
+            "trend",
+            "seasonal",
+            F.when(
+                F.col("trend").isNotNull(),
+                F.floor(
+                    (F.col("x") - F.col("trend") - F.col("seasonal")) * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / F.lit(1000000.0),
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -748,3 +748,25 @@ def test_ewma_satisfies_recurrence(spark):
         for r in series[1:]:
             s = 0.4 * r.n_events + 0.6 * s
             assert abs(r.ewma - s) < 1e-4, (et, r.day)
+
+
+def test_seasonal_decompose_identity_and_centering(spark):
+    """Decomposition identity: x = trend + seasonal + residual wherever
+    the trend window is full (to micro quantization); the seasonal
+    factors re-center to ~0 per type; edge rows carry NULL trend."""
+    rows = QUERIES["events_seasonal_decompose"](spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, series in by_type.items():
+        series.sort(key=lambda r: r.day)
+        for r in series[:3] + series[-3:]:
+            assert r.trend is None and r.residual is None
+        full = [r for r in series if r.trend is not None]
+        assert full
+        for r in full:
+            assert abs(r.n_events - (r.trend + r.seasonal + r.residual)) < 2e-6
+        dows = {}
+        for r in full:
+            dows[r.day.weekday()] = r.seasonal
+        assert abs(sum(dows.values())) < len(dows) * 2e-6 + 1e-3
