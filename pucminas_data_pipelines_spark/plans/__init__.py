@@ -179,7 +179,6 @@ DRIVER_WINDOW: list[str] = [
     "source_delta_log_reader",
     "mutation_manifest_delta_export",
     # oldest-evidence re-confirmation: last green in r1
-    "events_hypertable_rollup",
     "events_rate_per_user",
     "events_retention_cohorts",
     "events_sliding_window",
@@ -224,6 +223,7 @@ DRIVER_WINDOW: list[str] = [
     "mutation_tpch_refresh",
     "events_ewma_daily",
     "events_seasonal_decompose",
+    "multimodal_pair_curation",
 ]
 
 

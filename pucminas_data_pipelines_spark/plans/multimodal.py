@@ -457,3 +457,131 @@ def multimodal_aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("bucket")
     )
+
+
+_PAIR_CLIP_MIN = 0.3
+_PAIR_TOK_MIN, _PAIR_TOK_MAX = 5, 512
+
+
+@query(
+    "multimodal_pair_curation",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+    ),
+    assets AS (
+      SELECT doc_id, text AS caption,
+             md5(text) AS checksum,
+             CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
+      FROM planted
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY checksum
+                                     ORDER BY doc_id) AS rn
+        FROM assets
+      ) WHERE rn = 1
+    ),
+    clip_gated AS (
+      SELECT * FROM deduped
+      WHERE ((('0x' || substring(md5(checksum || caption), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0) >= {_PAIR_CLIP_MIN}
+    ),
+    cap_gated AS (
+      SELECT *,
+             CAST(byte_len % 640 + 1 AS INTEGER) AS width,
+             CAST(byte_len % 480 + 1 AS INTEGER) AS height
+      FROM clip_gated
+      WHERE len(string_split(TRIM(caption), ' '))
+              BETWEEN {_PAIR_TOK_MIN} AND {_PAIR_TOK_MAX}
+    ),
+    bucketed AS (
+      SELECT CASE WHEN CAST(width AS DOUBLE) / height < 0.9 THEN 'portrait'
+                  WHEN CAST(width AS DOUBLE) / height <= 1.1 THEN 'square'
+                  ELSE 'landscape' END AS bucket
+      FROM cap_gated
+    )
+    SELECT 'stage:planted' AS stage, CAST(COUNT(*) AS BIGINT) AS n
+    FROM planted
+    UNION ALL SELECT 'stage:payload_deduped', COUNT(*) FROM deduped
+    UNION ALL SELECT 'stage:clip_gated', COUNT(*) FROM clip_gated
+    UNION ALL SELECT 'stage:caption_gated', COUNT(*) FROM cap_gated
+    UNION ALL
+    SELECT 'bucket:' || bucket, COUNT(*) FROM bucketed GROUP BY bucket
+    ORDER BY stage
+    """,
+)
+def multimodal_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text PAIR curation, the LAION-style funnel, end to end:
+    payload-checksum dedup (20 duplicate pairs are PLANTED so the stage
+    provably removes something), a stub CLIP-score gate (deterministic
+    md5-coin of (payload checksum, caption) standing in for the model —
+    production swaps the scorer UDF, the funnel is unchanged), caption
+    token-count gates, and aspect-ratio bucketing from the stub decode
+    geometry — reported as a funnel (survivors per stage) plus the final
+    per-bucket distribution a training loader would consume.
+
+    Scale: every stage is a Catalyst expression or a keyed
+    window/groupBy — dedup shuffles on the 16-byte checksum, the gates
+    are map-side filters, the funnel counts are map-side-combined
+    aggregates; payloads themselves never shuffle (metadata-only
+    pipeline until a real codec needs bytes)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    assets = planted.select(
+        "doc_id",
+        F.col("text").alias("caption"),
+        F.md5(F.col("text").cast("binary")).alias("checksum"),
+        F.length(F.col("text").cast("binary")).cast("int").alias("byte_len"),
+    )
+    w = Window.partitionBy("checksum").orderBy("doc_id")
+    deduped = (
+        assets.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.concat(F.col("checksum"), F.col("caption"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    clip_gated = deduped.where(
+        (coin + F.lit(0.5)) / F.lit(4294967296.0) >= _PAIR_CLIP_MIN
+    )
+    n_tokens = F.size(F.split(F.trim(F.col("caption")), " "))
+    cap_gated = clip_gated.where(
+        n_tokens.between(_PAIR_TOK_MIN, _PAIR_TOK_MAX)
+    ).select(
+        "*",
+        (F.col("byte_len") % 640 + 1).cast("int").alias("width"),
+        (F.col("byte_len") % 480 + 1).cast("int").alias("height"),
+    )
+    ratio = F.col("width").cast("double") / F.col("height")
+    bucketed = cap_gated.select(
+        F.when(ratio < 0.9, "portrait")
+        .when(ratio <= 1.1, "square")
+        .otherwise("landscape")
+        .alias("bucket")
+    )
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    funnel = (
+        _stage(planted, "stage:planted")
+        .unionByName(_stage(deduped, "stage:payload_deduped"))
+        .unionByName(_stage(clip_gated, "stage:clip_gated"))
+        .unionByName(_stage(cap_gated, "stage:caption_gated"))
+    )
+    buckets = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.concat(F.lit("bucket:"), F.col("bucket")).alias("stage"), "n")
+    return funnel.unionByName(buckets).orderBy("stage")
