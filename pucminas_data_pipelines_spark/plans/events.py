@@ -2313,3 +2313,105 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+from pucminas_data_pipelines_spark.plans.registry import ORACLES as _OR
+
+_ANOMALY_ORACLE = f"""
+    WITH dec AS ({_OR["events_seasonal_decompose"]}),
+    res AS (
+      SELECT event_type, day,
+             CAST(FLOOR(residual * 1000000 + 0.5) AS BIGINT) AS r_u
+      FROM dec WHERE residual IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(r_u, 0.5) AS med_u
+      FROM res GROUP BY event_type
+    ),
+    dev AS (
+      SELECT r.event_type, r.r_u, m.med_u, ABS(r.r_u - m.med_u) AS adev_u
+      FROM res r JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ANY_VALUE(med_u) AS med_u,
+             quantile_cont(adev_u, 0.5) AS mad_u
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           ANY_VALUE(m.med_u) / 1000000.0 AS residual_median,
+           ANY_VALUE(m.mad_u) / 1000000.0 AS residual_mad,
+           CAST(SUM(CASE WHEN ABS(d.r_u - d.med_u) > 3 * m.mad_u
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """
+
+
+@query(
+    "events_residual_anomaly_gate",
+    oracle=_ANOMALY_ORACLE,
+)
+def events_residual_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alerting rule on top of events_seasonal_decompose: per type,
+    score every fully-windowed day's residual against the robust
+    3-sigma-equivalent gate |r - median(r)| > 3 * MAD(r) — the
+    volume-anomaly detector that ignores weekly seasonality and trend
+    by construction (it fires on residuals, not raw counts). Reported
+    per type: days scored, residual median and MAD (micros-exact), and
+    the anomaly count.
+
+    Determinism: residuals are bit-identical across engines (see the
+    decompose query); they are shifted to integer micros BEFORE the
+    percentile aggregates, and both engines use the same interpolated
+    median (the agg_percentile_interpolated precedent), so the gate
+    compares identical doubles.
+
+    Scale: one pass over the (type x day) decomposition — everything
+    downstream of the daily aggregate is dimension-bounded."""
+    dec = events_seasonal_decompose(spark, sf_dir)
+    res = dec.where(F.col("residual").isNotNull()).select(
+        "event_type",
+        "day",
+        F.floor(F.col("residual") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("r_u"),
+    )
+    med = res.groupBy("event_type").agg(
+        F.percentile(F.col("r_u"), F.lit(0.5)).alias("med_u")
+    )
+    dev = res.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "r_u",
+        "med_u",
+        F.abs(F.col("r_u") - F.col("med_u")).alias("adev_u"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med_u").alias("med_u"),
+        F.percentile(F.col("adev_u"), F.lit(0.5)).alias("mad_u"),
+    )
+    gated = dev.join(
+        F.broadcast(mad.select("event_type", F.col("mad_u").alias("mad_u2"))),
+        "event_type",
+    )
+    counts = gated.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum(
+            F.when(
+                F.abs(F.col("r_u") - F.col("med_u")) > 3 * F.col("mad_u2"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalies"),
+    )
+    return (
+        counts.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "n_scored",
+            (F.col("med_u") / F.lit(1000000.0)).alias("residual_median"),
+            (F.col("mad_u") / F.lit(1000000.0)).alias("residual_mad"),
+            "n_anomalies",
+        )
+        .orderBy("event_type")
+    )
