@@ -165,6 +165,56 @@ def hop_distances(
     return dist
 
 
+def all_pairs_hop_distances(
+    edges: DataFrame,
+    roots: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 4,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """Per-root hop distances — hop_distances keyed by (root, node), so
+    every root's BFS runs in the same relaxation rounds instead of one
+    driver loop per root. Returns (root, node, dist int) for reached
+    pairs within the cap; dist 0 is the root itself.
+
+    Scale: state is O(roots x reached) rows — the roots set is meant to
+    be a SAMPLE (centrality estimators sample seeds; HyperBall-style
+    sketches replace exact state when roots ~ |V|); each round is one
+    join on the node key + a (root, node) min-groupBy, with the same
+    per-round localCheckpoint and frontier-only relaxation discipline
+    as hop_distances."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
+    dist = roots.select(
+        F.col(node).alias("root"),
+        F.col(node).alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for k in range(1, max_hops + 1):
+        prev_dist = dist
+        d = F.broadcast(frontier) if broadcast_state else frontier
+        relaxed = e.join(d, e["_src"] == d["node"]).select(
+            "root",
+            F.col("_dst").alias("node"),
+            F.lit(k).cast("int").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("root", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = dist.where(F.col("dist") == k)
+        empty = not frontier.take(1)
+        free_local_checkpoint(prev_dist)
+        if empty:
+            break
+    e.unpersist()
+    return dist
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

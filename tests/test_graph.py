@@ -177,3 +177,34 @@ def test_iterative_loops_release_consumed_checkpoints(spark):
             f"{tag}: {leaked} checkpoint RDDs persisted after the run "
             "(expected <=2: final state + seed)"
         )
+
+
+def test_all_pairs_hop_distances_on_directed_path(spark):
+    """On the directed path 0->1->2->3, per-root distances are exactly
+    the forward offsets within the hop cap, and harmonic centrality
+    falls monotonically along the path (1 + 1/2 + 1/3 for root 0)."""
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.operators.graph import (
+        all_pairs_hop_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src int, dst int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node int")
+    dist = all_pairs_hop_distances(edges, nodes, max_hops=4)
+    got = {(r.root, r.node): r.dist for r in dist.collect()}
+    want = {
+        (r, n): n - r for r in range(4) for n in range(r, 4)
+    }
+    assert got == want
+    harm = (
+        dist.where(F.col("dist") > 0)
+        .groupBy("root")
+        .agg(F.sum(1.0 / F.col("dist")).alias("h"))
+        .collect()
+    )
+    h = {r.root: r.h for r in harm}
+    assert abs(h[0] - (1 + 0.5 + 1 / 3)) < 1e-9
+    assert h[0] > h[1] > h[2] and 3 not in h  # sink reaches nobody
