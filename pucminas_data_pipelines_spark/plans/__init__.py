@@ -180,7 +180,6 @@ DRIVER_WINDOW: list[str] = [
     "mutation_manifest_delta_export",
     # oldest-evidence re-confirmation: last green in r1
     "events_rate_per_user",
-    "events_tumbling_window",
     "text_bigram_frequencies",
     "text_fingerprint",
     "text_fuzzy_entity_match",
@@ -224,6 +223,7 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_pair_curation",
     "events_residual_anomaly_gate",
     "graph_harmonic_centrality",
+    "stats_bh_fdr_correction",
 ]
 
 

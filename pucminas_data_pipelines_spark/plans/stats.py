@@ -3268,3 +3268,131 @@ def stats_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm(0.05).alias("n_per_arm_mde_5pct"),
         n_arm(0.01).alias("n_per_arm_mde_1pct"),
     ).orderBy("event_type")
+
+
+_BH_Q = 0.1  # target false-discovery rate
+
+
+@query(
+    "stats_bh_fdr_correction",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey % 5 AS nat_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM cells
+    ),
+    scored AS (
+      SELECT c.c_mktsegment, c.nat_bucket, c.n, t.m,
+             (c.n - CAST(t.total AS DOUBLE) / t.m)
+               / sqrt(CAST(t.total AS DOUBLE) / t.m) AS z
+      FROM cells c CROSS JOIN tot t
+    ),
+    pvals AS (
+      SELECT c_mktsegment, nat_bucket, n, m,
+             ROUND(z, 6) AS z,
+             CAST(ROUND(2.0 / (1.0 + exp(1.702 * ABS(z))), 9)
+               AS DECIMAL(12, 9)) AS p
+      FROM scored
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               ORDER BY p, c_mktsegment, nat_bucket) AS BIGINT) AS k
+      FROM pvals
+    ),
+    cut AS (
+      SELECT COALESCE(MAX(k), 0) AS k_max FROM ranked
+      WHERE p * m <= k * CAST(0.1 AS DECIMAL(2, 1))
+    )
+    SELECT r.c_mktsegment, r.nat_bucket, r.n, r.z,
+           CAST(CAST(CAST(r.p AS DECIMAL(28, 9)) * 1000000000 AS BIGINT)
+                AS DOUBLE) / 1000000000.0
+             AS p_value,
+           r.k AS p_rank,
+           r.k <= c.k_max AS rejected
+    FROM ranked r CROSS JOIN cut c
+    ORDER BY r.k
+    """,
+)
+def stats_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a family of m = 25
+    uniformity tests (customer count per segment x nation-bucket cell
+    against the uniform expectation): per-cell z from EXACT integer
+    counts, two-sided p via the logistic approximation to the normal
+    CDF (Bowling et al. 2009: Phi(z) ~ 1/(1+exp(-1.702 z)) — a
+    deterministic stand-in; swap in an erf-backed CDF where available),
+    then the step-up procedure: reject the k smallest p-values where
+    p_(k) <= (k/m) q at q = 0.1. This is the multiple-testing guard
+    every segment-sweep dashboard needs — 25 simultaneous tests at
+    alpha = 0.05 expect ~1 false positive; BH caps the EXPECTED false
+    discovery fraction instead.
+
+    Determinism: z is a function of exact integers (identical IEEE ops
+    both engines); p is quantized to DECIMAL(12,9) after a 1e-9 round
+    (libm exp's 1-ulp drift cannot survive it); ranks break ties by
+    cell id; the step-up comparison multiplies the quantized p back out
+    in identical double arithmetic.
+
+    Scale: cells are a map-side-combined aggregate; everything after is
+    m-grain. The rank window runs over m = 25 rows (broadcast scalar
+    domain), not data grain."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        "c_mktsegment", (F.col("c_nationkey") % 5).alias("nat_bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells.persist()  # m-grain; feeds the totals and the scoring pass
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    expected = F.col("total").cast("double") / F.col("m")
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "nat_bucket",
+        "n",
+        "m",
+        ((F.col("n") - expected) / F.sqrt(expected)).alias("z"),
+    )
+    pvals = scored.select(
+        "c_mktsegment",
+        "nat_bucket",
+        "n",
+        "m",
+        F.round(F.col("z"), 6).alias("z"),
+        F.round(
+            F.lit(2.0) / (F.lit(1.0) + F.exp(F.lit(1.702) * F.abs(F.col("z")))),
+            9,
+        )
+        .cast("decimal(12,9)")
+        .alias("p"),
+    )
+    w = Window.orderBy("p", "c_mktsegment", "nat_bucket")
+    ranked = pvals.withColumn("k", F.row_number().over(w).cast("bigint"))
+    # the step-up comparison stays in EXACT decimal on both engines —
+    # a p-as-double 1-ulp drift could flip <= at a boundary
+    cut = ranked.where(
+        F.col("p") * F.col("m")
+        <= F.col("k") * F.expr("CAST(0.1 AS DECIMAL(2,1))")
+    ).agg(F.coalesce(F.max("k"), F.lit(0)).alias("k_max"))
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "c_mktsegment",
+            "nat_bucket",
+            "n",
+            "z",
+            (
+                (F.col("p") * F.lit(1000000000)).cast("bigint").cast("double")
+                / F.lit(1000000000.0)
+            ).alias("p_value"),
+            F.col("k").alias("p_rank"),
+            (F.col("k") <= F.col("k_max")).alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )

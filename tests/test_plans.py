@@ -770,3 +770,22 @@ def test_seasonal_decompose_identity_and_centering(spark):
         for r in full:
             dows[r.day.weekday()] = r.seasonal
         assert abs(sum(dows.values())) < len(dows) * 2e-6 + 1e-3
+
+
+def test_bh_fdr_rejections_form_a_rank_prefix(spark):
+    """BH step-up invariants: rejections are exactly ranks 1..k_max;
+    every rejected p <= (k_max/m)*q; every accepted p beyond k_max
+    violates its own threshold or a later one (step-up, not step-down);
+    ranks are a dense permutation."""
+    rows = QUERIES["stats_bh_fdr_correction"](spark, SF_SMOKE).collect()
+    m = len(rows)
+    assert sorted(r.p_rank for r in rows) == list(range(1, m + 1))
+    rejected = [r for r in rows if r.rejected]
+    k_max = max((r.p_rank for r in rejected), default=0)
+    assert all(r.p_rank <= k_max for r in rejected)
+    assert len(rejected) == k_max
+    for r in rows:
+        if r.p_rank <= k_max:
+            assert r.rejected and r.p_value <= (k_max / m) * 0.1 + 1e-12
+        else:
+            assert not r.rejected
