@@ -40,6 +40,10 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     "curation_token_budget_fill",  # source-grain (tens of rows)
     "curation_temperature_mixture",  # source-grain share normalization
     "curation_epoch_repeat_plan",  # source-grain plan math
+    # hypothesis-family grain: the BH rank window orders the m = 25
+    # (segment x nation-bucket) p-values — a test-design constant, not
+    # data grain (plans/stats.py stats_bh_fdr_correction docstring)
+    "stats_bh_fdr_correction",
 }
 
 
