@@ -1444,10 +1444,19 @@ class ManifestVersionedTable:
                 "buckets": abs_buckets,
                 "stats": stats,
                 "file_stats": file_stats,
-                "deletion_vectors": [
-                    os.path.realpath(self._abs(p))
-                    for p in m.get("deletion_vectors", [])
-                ],
+                "deletion_vectors": self._clone_dvs(
+                    clone, m.get("deletion_vectors", [])
+                ),
+                # Delta CLONE copies table metadata along with the file
+                # references: CHECK constraints and generated-column
+                # expressions stay enforced on the clone. Idempotent-txn
+                # watermarks ('txns') are deliberately NOT carried —
+                # Delta's CLONE likewise drops SetTransaction/stream
+                # metadata, because those watermarks belong to the
+                # SOURCE's writers and a clone-side writer reusing the
+                # same app id would silently skip its first batch.
+                "constraints": dict(m.get("constraints", {})),
+                "generated": dict(m.get("generated", {})),
                 "commit_info": {
                     "operation": "CLONE",
                     "source": self.path,
@@ -1457,6 +1466,53 @@ class ManifestVersionedTable:
             0,
         )
         return clone
+
+    def _clone_dvs(
+        self, clone: "ManifestVersionedTable", dv_rels: list[str]
+    ) -> list[str]:
+        """Rewrite outstanding deletion-vector sidecars for a shallow
+        clone. DV ``__dv_file`` keys are stored SOURCE-root-relative
+        (_rel_file_expr strips self.path), but the clone's scan computes
+        keys relative to the CLONE's root — and since the cloned bucket
+        dirs are source-absolute realpaths, nothing strips, so the
+        clone-side key is the absolute realpath spelling. Copying the
+        source sidecars verbatim would therefore never match: the
+        anti-join filters nothing and deleted rows silently reappear in
+        the clone. Fix: rewrite each key to exactly the spelling the
+        clone's scan will produce (realpath of the containing dir, the
+        same call abs_buckets uses, + basename) and store the rewritten
+        sidecars under the CLONE's root so source vacuum can't reclaim
+        them."""
+        if not dv_rels:
+            return []
+        import pyarrow as _pa
+        import pyarrow.dataset as _pds
+        import pyarrow.parquet as _pq
+
+        def _remap(key: str) -> str:
+            return os.path.join(
+                os.path.realpath(self._abs(os.path.dirname(key))),
+                os.path.basename(key),
+            )
+
+        out_rels: list[str] = []
+        for i, p in enumerate(dv_rels):
+            tbl = _pds.dataset(self._abs(p), format="parquet").to_table()
+            idx = tbl.schema.get_field_index("__dv_file")
+            tbl = tbl.set_column(
+                idx,
+                "__dv_file",
+                _pa.array(
+                    [_remap(k) for k in tbl.column(idx).to_pylist()],
+                    type=_pa.string(),
+                ),
+            )
+            rel = f"_dvs/clone_v0_{i}"
+            out_dir = os.path.join(clone.path, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            _pq.write_table(tbl, os.path.join(out_dir, "part-0.parquet"))
+            out_rels.append(rel)
+        return out_rels
 
     def export_delta_log(self) -> str:
         """Write the CURRENT version as a ``_delta_log`` in the public

@@ -1123,3 +1123,7 @@ def sql_scripting_procedural(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+        else:
+            # restore "unset", not "true": leaving the flag on would leak
+            # scripting mode into every later query on the shared session
+            spark.conf.unset("spark.sql.scripting.enabled")

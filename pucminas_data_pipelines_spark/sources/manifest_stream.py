@@ -90,6 +90,18 @@ class ManifestStreamReader(DataSourceStreamReader):
         batch); append-only guard for tailed commits."""
         end_m = _manifest(self.path, end_v)
         if start_v < 0:
+            # Initial-snapshot batch: read() scans raw parquet per added
+            # dir, so it cannot apply merge-on-read deletes — refuse DVs
+            # here just like the tail guard below, instead of silently
+            # emitting logically deleted rows (batch read() anti-joins
+            # the DV sidecars; this path has no such subtraction step).
+            if end_m.get("deletion_vectors"):
+                raise ValueError(
+                    f"version {end_v} carries deletion vectors; the "
+                    "initial snapshot cannot subtract merge-on-read "
+                    "deletes (run optimize()/rewrite to materialize the "
+                    "deletes, then start the stream)"
+                )
             return _dirs(end_m), end_m["columns"]
         start_m = _manifest(self.path, start_v)
         if start_m["columns"] != end_m["columns"]:

@@ -148,3 +148,15 @@ def test_restart_resumes_from_checkpointed_offsets(spark, table, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()  # no dup, no gap
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_initial_snapshot_with_deletion_vectors_is_refused(table, spark):
+    """ADVICE r10: the snapshot batch scans raw parquet per added dir and
+    cannot subtract merge-on-read deletes — starting a stream on a table
+    with outstanding DVs must refuse loudly (like the tail guard), not
+    silently emit logically deleted rows."""
+    t, _ = table
+    t.delete_where(F.col("event_type") == "click", mode="merge_on_read")
+    r = _reader()
+    with pytest.raises(ValueError, match="deletion vectors"):
+        r._added_dirs(-1, t.latest_version())

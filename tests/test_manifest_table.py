@@ -760,6 +760,63 @@ def test_source_vacuum_breaks_clone_but_optimize_localizes(spark, tmp_path):
         broken.read().collect()
 
 
+def test_shallow_clone_applies_deletion_vectors(spark, tmp_path):
+    """ADVICE r10: DV keys are source-root-relative, but the clone's scan
+    spells keys as absolute realpaths (cloned dirs are source-absolute,
+    so nothing strips) — verbatim-copied sidecars would match nothing and
+    deleted rows would silently reappear. shallow_clone must rewrite the
+    keys to the clone-scan spelling, store the sidecars under the CLONE's
+    root, and keep the clone independently mutable afterwards."""
+    src = ManifestVersionedTable(spark, str(tmp_path / "s"), key="id", n_buckets=4)
+    src.overwrite(_rows(spark, BASE))
+    src.delete_where(F.col("id").isin(2, 5), mode="merge_on_read")
+    clone = src.shallow_clone(str(tmp_path / "c"))
+    want = [r for r in BASE if r[0] not in (2, 5)]
+    assert _sorted(clone.read()) == _sorted(_rows(spark, want))
+    # the rewritten sidecars live under the clone's root (source vacuum
+    # of the DV sidecar cannot blind the clone's anti-join)
+    m = clone._manifest(0)
+    assert m["deletion_vectors"], "clone must carry rewritten DV refs"
+    assert all(not os.path.isabs(p) for p in m["deletion_vectors"])
+    # clone stays a live table: a further clone-side DV delete composes
+    clone.delete_where(F.col("id") == 1, mode="merge_on_read")
+    assert _sorted(clone.read()) == _sorted(
+        _rows(spark, [r for r in want if r[0] != 1])
+    )
+    # and the source is untouched by any of it
+    assert _sorted(src.read()) == _sorted(_rows(spark, want))
+
+
+def test_shallow_clone_carries_constraints_and_generated(spark, tmp_path):
+    """ADVICE r10: Delta CLONE copies table metadata with the file refs —
+    a clone of a constrained table keeps CHECK enforcement and
+    generated-column expressions; idempotent-txn watermarks are
+    deliberately NOT carried (they belong to the source's writers)."""
+    src = ManifestVersionedTable(spark, str(tmp_path / "s"), key="id", n_buckets=2)
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0, 20.0)], "id bigint, score double, dscore double"
+        ),
+        generated={"dscore": "score * 2"},
+    )
+    src.add_constraint("pos_score", "score > 0")
+    src.append(
+        spark.createDataFrame([(9, 5.0)], "id bigint, score double"),
+        txn_app="ingest",
+        txn_version=3,
+    )
+    clone = src.shallow_clone(str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="pos_score"):
+        clone.append(
+            spark.createDataFrame([(2, -1.0)], "id bigint, score double")
+        )
+    clone.append(spark.createDataFrame([(3, 4.0)], "id bigint, score double"))
+    got = {r["id"]: r["dscore"] for r in clone.read().collect()}
+    assert got[3] == 8.0  # generated column computed on the clone
+    assert clone.last_txn_version("ingest") is None  # txns not cloned
+    assert src.last_txn_version("ingest") == 3
+
+
 # ----------------------------------------------------- CHECK constraints --
 
 

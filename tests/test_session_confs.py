@@ -87,3 +87,19 @@ def test_ts_normalization_per_physical_type(spark, tmp_path, variant):
     assert dict(df.dtypes)["ts"] == "timestamp"
     got = [r.ts for r in df.orderBy("event_id").collect()]
     assert got == _EXPECTED, variant
+
+
+def test_sql_scripting_conf_does_not_leak(spark):
+    """ADVICE r10: sql_scripting_procedural enables
+    spark.sql.scripting.enabled for its BEGIN/END block; when the conf
+    was previously UNSET it must be unset again afterwards (restoring
+    "true" for the rest of the shared session would leak scripting mode
+    into every later registry query)."""
+    from pucminas_data_pipelines_spark.plans.relational import (
+        sql_scripting_procedural,
+    )
+    from tests.conftest import SF_SMOKE
+
+    spark.conf.unset("spark.sql.scripting.enabled")
+    sql_scripting_procedural(spark, SF_SMOKE).collect()
+    assert spark.conf.get("spark.sql.scripting.enabled", None) is None
