@@ -874,31 +874,68 @@ class ManifestVersionedTable:
         ``merge_schema=True`` is Delta's mergeSchema append (see
         _evolve_schema): new source columns widen the table schema, old
         files serve NULL for them; without it the strict column-set gate
-        applies."""
+        applies.
+
+        Commits through the OCC retry/rebase path (commit_staged): losing
+        a commit race to a logically compatible winner re-applies this
+        append against the new snapshot instead of failing it."""
+        return self.commit_staged(
+            self.stage_append(
+                df,
+                txn_app=txn_app,
+                txn_version=txn_version,
+                merge_schema=merge_schema,
+            )
+        )
+
+    def stage_append(
+        self,
+        df: DataFrame,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+        merge_schema: bool = False,
+    ) -> dict:
+        """Phase 1 of an append transaction (Delta's
+        OptimisticTransaction): validate the batch against the current
+        snapshot and write its data files under a fresh uuid commit dir —
+        nothing is published. ``commit_staged`` publishes (and, on a lost
+        race, rebases) the staged file list. Staging is what makes
+        deterministic conflict tests (and real multi-writer retry)
+        possible: the data write and the manifest publish are separate
+        steps, exactly Delta's txn.commit() split."""
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version must be given together")
         version = self.latest_version()
         manifest = self._manifest(version)
-        txns = dict(manifest.get("txns", {}))
+        base_columns = manifest["columns"]
+        base_schema = manifest["schema"]
         if txn_app is not None:
-            last = txns.get(txn_app)
+            last = manifest.get("txns", {}).get(txn_app)
             if last is not None and txn_version <= last:
-                return version  # replayed epoch: already committed
-            txns[txn_app] = txn_version
+                # replayed epoch: already committed — no-op transaction
+                return {"kind": "noop", "base_version": version}
         if merge_schema:
             manifest, df = self._evolve_schema(manifest, df)
         df = self._apply_generated(df, manifest, "append source")
         df = self._align_columns(df, manifest)
         self._enforce_constraints(df, manifest, "append source")
-        written = self._write_buckets(df)
-        new_buckets = {b: list(ds) for b, ds in manifest["buckets"].items()}
-        for b, ds in written.items():
-            new_buckets.setdefault(b, []).extend(ds)
-        self._commit_with_stats(
-            dict(manifest, txns=txns), new_buckets, version + 1,
-            operation="APPEND",
-        )
-        return version + 1
+        return {
+            "kind": "append",
+            "operation": "APPEND",
+            "base_version": version,
+            # compat checks compare winners against the PRE-evolution
+            # schema (they committed against it); apply carries the
+            # evolved layout
+            "base_columns": base_columns,
+            "base_schema": base_schema,
+            "out_columns": manifest["columns"],
+            "out_schema": manifest["schema"],
+            "base_constraints": manifest.get("constraints", {}),
+            "base_generated": manifest.get("generated", {}),
+            "written": self._write_buckets(df),
+            "txn_app": txn_app,
+            "txn_version": txn_version,
+        }
 
     def last_txn_version(self, txn_app: str) -> int | None:
         """Highest txn_version committed for an app (None if never) — the
@@ -921,7 +958,38 @@ class ManifestVersionedTable:
         txnAppId/txnVersion works on ANY write): a replayed epoch whose
         version was already committed is a no-op — what makes a
         foreachBatch MERGE sink exactly-once, e.g. incremental silver-
-        table maintenance where re-applying a delta would double it."""
+        table maintenance where re-applying a delta would double it.
+
+        Commits through the OCC retry/rebase path (commit_staged): a
+        lost race against a winner that touched DISJOINT buckets (an
+        append elsewhere, another merge on other keys) rebases this
+        merge's rewritten buckets onto the new snapshot; a winner that
+        touched the SAME buckets (or changed schema/constraints/DVs)
+        still refuses with ConcurrentWriteError."""
+        return self.commit_staged(
+            self.stage_merge(
+                source,
+                key=key,
+                broadcast_source=broadcast_source,
+                txn_app=txn_app,
+                txn_version=txn_version,
+            )
+        )
+
+    def stage_merge(
+        self,
+        source: DataFrame,
+        key: str | None = None,
+        broadcast_source: bool = True,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> dict:
+        """Phase 1 of a MERGE transaction: read the affected buckets of
+        the current snapshot, compute and write the merged replacement
+        dirs (unpublished), and record the transaction's READ SET — the
+        affected bucket ids plus the snapshot's deletion-vector list —
+        which commit_staged's conflict check compares against every
+        intervening winner commit."""
         if key is not None and key != self.key:
             raise ValueError(
                 f"table is bucketed on {self.key!r}; cannot merge on {key!r}"
@@ -930,12 +998,10 @@ class ManifestVersionedTable:
             raise ValueError("txn_app and txn_version must be given together")
         version = self.latest_version()
         manifest = self._manifest(version)
-        txns = dict(manifest.get("txns", {}))
         if txn_app is not None:
-            last = txns.get(txn_app)
+            last = manifest.get("txns", {}).get(txn_app)
             if last is not None and txn_version <= last:
-                return version  # replayed epoch: already committed
-            txns[txn_app] = txn_version
+                return {"kind": "noop", "base_version": version}
         cols = manifest["columns"]
         source = self._apply_generated(source, manifest, "merge source")
         source = self._align_columns(source, manifest)
@@ -946,9 +1012,8 @@ class ManifestVersionedTable:
             str(r["b"])
             for r in source.select(self._bucket_expr().alias("b")).distinct().collect()
         )
-        prev_buckets: dict[str, list[str]] = dict(manifest["buckets"])
         target = self._read_dirs(
-            manifest, self._bucket_dirs(prev_buckets, affected)
+            manifest, self._bucket_dirs(dict(manifest["buckets"]), affected)
         )
 
         src = F.broadcast(source) if broadcast_source else source
@@ -964,14 +1029,22 @@ class ManifestVersionedTable:
                 for c in cols
             ]
         )
-        written = self._write_buckets(merged)
-        new_buckets = dict(prev_buckets)
-        new_buckets.update(written)  # untouched buckets keep prior files
-        self._commit_with_stats(
-            dict(manifest, txns=txns), new_buckets, version + 1,
-            operation="MERGE",
-        )
-        return version + 1
+        return {
+            "kind": "rewrite",
+            "operation": "MERGE",
+            "base_version": version,
+            "base_columns": cols,
+            "base_schema": manifest["schema"],
+            "out_columns": cols,
+            "out_schema": manifest["schema"],
+            "base_constraints": manifest.get("constraints", {}),
+            "base_generated": manifest.get("generated", {}),
+            "base_dvs": list(manifest.get("deletion_vectors", [])),
+            "affected": affected,
+            "written": self._write_buckets(merged),
+            "txn_app": txn_app,
+            "txn_version": txn_version,
+        }
 
     def delete_where(self, condition, mode: str = "copy_on_write") -> int:
         """DELETE: one scan finds the buckets containing matches; only
@@ -992,14 +1065,46 @@ class ManifestVersionedTable:
         buckets but drop it from any bucket that also held a TRUE match —
         bucket-hash-dependent data loss. (The DV path inherits this for
         free: ``where(condition)`` marks TRUE rows only.)"""
+        return self.commit_staged(self.stage_delete_where(condition, mode))
+
+    def stage_delete_where(self, condition, mode: str = "copy_on_write") -> dict:
+        """Phase 1 of a DELETE transaction (either mode): compute and
+        write the replacement dirs (copy-on-write) or the DV sidecar
+        (merge-on-read) against the current snapshot, unpublished, with
+        the read set commit_staged needs for conflict checking."""
+        version = self.latest_version()
+        manifest = self._manifest(version)
         if mode == "merge_on_read":
-            return self._delete_with_vector(condition)
+            # append the matched rows' (file, row_index) keys to a
+            # parquet deletion-vector sidecar — zero data files
+            # rewritten. Stale DV entries for files a later rewrite
+            # drops are harmless (their file ids never reappear: every
+            # commit dir is a fresh uuid).
+            import uuid as _uuid
+
+            scan = self._scan_with_meta(
+                manifest,
+                [self._abs(d) for d in self._bucket_dirs(manifest["buckets"])],
+            )
+            matches = scan.where(condition).select("__dv_file", "__dv_row")
+            rel = f"_dvs/{_uuid.uuid4().hex[:12]}"
+            matches.write.parquet(os.path.join(self.path, rel))
+            return {
+                "kind": "dv_append",
+                "operation": "DELETE (merge-on-read)",
+                "base_version": version,
+                "base_columns": manifest["columns"],
+                "base_schema": manifest["schema"],
+                "base_constraints": manifest.get("constraints", {}),
+                "base_generated": manifest.get("generated", {}),
+                "dv_rel": rel,
+                "txn_app": None,
+                "txn_version": None,
+            }
         if mode != "copy_on_write":
             raise ValueError(
                 f"mode={mode!r} (expected 'copy_on_write' or 'merge_on_read')"
             )
-        version = self.latest_version()
-        manifest = self._manifest(version)
         prev_buckets: dict[str, list[str]] = dict(manifest["buckets"])
         affected = sorted(
             str(r["b"])
@@ -1009,47 +1114,202 @@ class ManifestVersionedTable:
             .distinct()
             .collect()
         )
-        new_buckets = dict(prev_buckets)
+        written: dict[str, list[str]] = {}
         if affected:
             kept = self._read_dirs(
                 manifest, self._bucket_dirs(prev_buckets, affected)
             ).where(~condition.eqNullSafe(F.lit(True)))
             written = self._write_buckets(kept)
-            for b in affected:
-                new_buckets.pop(b, None)  # empty-after-delete buckets vanish
-            new_buckets.update(written)
-        self._commit_with_stats(
-            manifest, new_buckets, version + 1, operation="DELETE"
-        )
-        return version + 1
+        return {
+            "kind": "rewrite",
+            "operation": "DELETE",
+            "base_version": version,
+            "base_columns": manifest["columns"],
+            "base_schema": manifest["schema"],
+            "out_columns": manifest["columns"],
+            "out_schema": manifest["schema"],
+            "base_constraints": manifest.get("constraints", {}),
+            "base_generated": manifest.get("generated", {}),
+            "base_dvs": list(manifest.get("deletion_vectors", [])),
+            "affected": affected,  # empty-after-delete buckets vanish
+            "written": written,
+            "txn_app": None,
+            "txn_version": None,
+        }
 
-    def _delete_with_vector(self, condition) -> int:
-        """Merge-on-read DELETE: append the matched rows' (file,
-        row_index) keys to a parquet deletion-vector sidecar and commit a
-        manifest that references it — zero data files rewritten. Stale DV
-        entries for files a later rewrite drops are harmless (their file
-        ids never reappear: every commit dir is a fresh uuid)."""
-        import uuid as _uuid
+    # -- OCC conflict resolution (Delta's commit retry/rebase) ----------
+    def commit_staged(self, txn: dict, max_attempts: int = 10) -> int:
+        """Phase 2: publish a staged transaction, RESOLVING commit races
+        instead of just detecting them — Delta's conflict checker. A
+        put-if-absent loss re-reads the winners committed since the
+        transaction's base snapshot and, when every winner is logically
+        compatible, REBASES the staged file-list diff onto the new
+        snapshot and retries; only a real logical conflict surfaces as
+        ConcurrentWriteError. What's compatible (WriteSerializable,
+        Delta's default isolation):
 
-        version = self.latest_version()
-        manifest = self._manifest(version)
-        scan = self._scan_with_meta(
-            manifest,
-            [self._abs(d) for d in self._bucket_dirs(manifest["buckets"])],
+        - a blind APPEND rebases over anything that kept the table's
+          schema, CHECK constraints and generated columns intact
+          (append-vs-append always merges; appends survive concurrent
+          merges, deletes, compactions and overwrites — they read
+          nothing, Delta's AddFile-only rule);
+        - a MERGE/DELETE rewrite rebases over winners that touched only
+          DISJOINT buckets and left the deletion-vector list unchanged
+          (its read set is the affected buckets + the DV list); a winner
+          that modified any read bucket — a concurrent append into it, a
+          merge on the same keys, a compaction — refuses, matching
+          Delta's ConcurrentAppendException/ConcurrentDeleteException;
+        - a merge-on-read DELETE (DV append) rebases over winners that
+          only EXTENDED the table (appends, other DV deletes — two
+          concurrent DV deletes commute to the union of their marks); a
+          winner that rewrote any bucket refuses (the staged DV keys
+          reference the old files, and the delete's matches inside the
+          rewritten buckets would silently survive).
+
+        Idempotent-txn watermarks reconcile during rebase: if a winner
+        already committed this (txn_app, txn_version) epoch — two
+        instances of the same streaming writer racing — the staged
+        commit degrades to the exactly-once no-op instead of
+        double-appending.
+
+        Why it matters at scale: streaming ingest (appends every minute)
+        plus a periodic compaction/merge job is the STANDARD lakehouse
+        topology; with detection-only OCC one of them dies on every
+        overlap, with resolution both land whenever they are logically
+        disjoint. Cost per retry is O(manifest) — the staged data files
+        are never rewritten, only the published file list moves."""
+        if txn["kind"] == "noop":
+            return txn["base_version"]
+        checked_v = txn["base_version"]
+        for _ in range(max_attempts):
+            latest_v = max(
+                self.latest_version(),
+                max(self.history(), default=-1),
+                checked_v,
+            )
+            if latest_v > checked_v:
+                self._check_staged_compat(txn, checked_v, latest_v)
+                checked_v = latest_v
+            latest_m = self._manifest(checked_v)
+            app = txn.get("txn_app")
+            if app is not None:
+                last = latest_m.get("txns", {}).get(app)
+                if last is not None and txn["txn_version"] <= last:
+                    return checked_v  # epoch landed via a racing twin
+            try:
+                if txn["kind"] == "dv_append":
+                    dvs = list(latest_m.get("deletion_vectors", []))
+                    self._commit_manifest(
+                        dict(
+                            latest_m,
+                            deletion_vectors=dvs + [txn["dv_rel"]],
+                            commit_info={"operation": txn["operation"]},
+                        ),
+                        checked_v + 1,
+                    )
+                else:
+                    manifest, buckets = self._apply_staged(txn, latest_m)
+                    self._commit_with_stats(
+                        manifest, buckets, checked_v + 1,
+                        operation=txn["operation"],
+                    )
+                return checked_v + 1
+            except ConcurrentWriteError:
+                # a winner landed checked_v+1 between our read and our
+                # link; its manifest file exists (that is what made the
+                # link fail), so the next iteration reads and checks it
+                continue
+        raise ConcurrentWriteError(
+            f"gave up publishing staged {txn['operation']} on {self.path} "
+            f"after {max_attempts} rebase attempts (hot commit contention)"
         )
-        matches = scan.where(condition).select("__dv_file", "__dv_row")
-        rel = f"_dvs/{_uuid.uuid4().hex[:12]}"
-        matches.write.parquet(os.path.join(self.path, rel))
-        dvs = list(manifest.get("deletion_vectors", [])) + [rel]
-        self._commit_manifest(
-            dict(
-                manifest,
-                deletion_vectors=dvs,
-                commit_info={"operation": "DELETE (merge-on-read)"},
-            ),
-            version + 1,
+
+    def _check_staged_compat(self, txn: dict, from_v: int, to_v: int) -> None:
+        """Walk winner commits (from_v, to_v] and refuse (raise
+        ConcurrentWriteError) on the first logical conflict with the
+        staged transaction's read set; see commit_staged for the
+        compatibility matrix. O(winners × manifest size), no data
+        reads."""
+        m_prev = self._manifest(from_v)
+        for v in range(from_v + 1, to_v + 1):
+            m_v = self._manifest(v)
+            op = m_v.get("commit_info", {}).get("operation", "UNKNOWN")
+
+            def conflict(why: str, _op=op, _v=v):
+                raise ConcurrentWriteError(
+                    f"cannot rebase staged {txn['operation']} (base "
+                    f"v{txn['base_version']}) over concurrent {_op} "
+                    f"commit v{_v} of {self.path}: {why}"
+                )
+
+            if (
+                m_v["columns"] != txn["base_columns"]
+                or m_v["schema"] != txn["base_schema"]
+            ):
+                conflict("table schema changed")
+            if m_v.get("constraints", {}) != txn["base_constraints"]:
+                conflict(
+                    "CHECK constraints changed (staged rows were "
+                    "validated against the old set)"
+                )
+            if m_v.get("generated", {}) != txn["base_generated"]:
+                conflict("generated-column expressions changed")
+            if txn["kind"] == "rewrite":
+                if m_v.get("deletion_vectors", []) != txn["base_dvs"]:
+                    conflict(
+                        "deletion-vector list changed (may mark rows "
+                        "this rewrite already read)"
+                    )
+                changed = {
+                    b
+                    for b in set(m_prev["buckets"]) | set(m_v["buckets"])
+                    if m_prev["buckets"].get(b) != m_v["buckets"].get(b)
+                }
+                overlap = changed & set(txn["affected"])
+                if overlap:
+                    conflict(
+                        f"buckets {sorted(overlap)} in this transaction's "
+                        "read set were modified concurrently"
+                    )
+            elif txn["kind"] == "dv_append":
+                for b, old in m_prev["buckets"].items():
+                    if m_v["buckets"].get(b, [])[: len(old)] != old:
+                        conflict(
+                            f"bucket {b} was rewritten (the staged DV "
+                            "keys reference its replaced files, and "
+                            "matches inside it would silently survive)"
+                        )
+                old_dvs = m_prev.get("deletion_vectors", [])
+                if m_v.get("deletion_vectors", [])[: len(old_dvs)] != old_dvs:
+                    conflict("deletion-vector list was rewritten")
+            m_prev = m_v
+
+    def _apply_staged(self, txn: dict, latest_m: dict) -> tuple[dict, dict]:
+        """Replay the staged file-list diff against an arbitrary (compat-
+        checked) snapshot: appends extend bucket lists, rewrites replace
+        their affected buckets (emptied ones vanish); the winner
+        snapshot's stats/DVs/txns ride along, with this transaction's
+        idempotence watermark folded in."""
+        txns = dict(latest_m.get("txns", {}))
+        if txn.get("txn_app") is not None:
+            txns[txn["txn_app"]] = txn["txn_version"]
+        manifest = dict(
+            latest_m,
+            columns=txn["out_columns"],
+            schema=txn["out_schema"],
+            txns=txns,
         )
-        return version + 1
+        buckets = {b: list(ds) for b, ds in latest_m["buckets"].items()}
+        if txn["kind"] == "append":
+            for b, ds in txn["written"].items():
+                buckets.setdefault(b, []).extend(ds)
+        else:  # rewrite
+            for b in txn["affected"]:
+                buckets.pop(b, None)
+            buckets.update(
+                {b: list(ds) for b, ds in txn["written"].items()}
+            )
+        return manifest, buckets
 
     def history(self) -> list[int]:
         try:

@@ -744,7 +744,7 @@ def mutation_manifest_deletion_vectors(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors (Delta DVs,
-    operators/upsert.py _delete_with_vector): DELETE WHERE survived=0 on
+    operators/upsert.py stage_delete_where merge_on_read): DELETE WHERE survived=0 on
     the merged state commits a parquet sidecar of (file, row_index) keys
     and rewrites NO data files — the manifest's bucket lists are
     byte-identical to the previous version's (asserted in
@@ -834,6 +834,58 @@ def mutation_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("total").cast("double").alias("total_balance"),
     ).orderBy("c_mktsegment")
+
+
+# Row appended by the RACING writer in the concurrent-writers scenario.
+# Key 895 hashes to a bucket (n_buckets=4) disjoint from the merge
+# source's buckets {0, 2} ({1, 5, 892, 893} under pmod(xxhash64, 4)) —
+# the precondition that lets the staged merge REBASE over the winning
+# append instead of refusing; the query asserts the disjointness.
+_RACER_ROW = (895, 0, 3, "Livre, Sr. Caio", "male", 28.0, 0, 0, None, 9.5, None, "S")
+
+
+@query(
+    "mutation_manifest_concurrent_writers",
+    oracle=_TYPED_SELECT.format(rows=_values(_expected_merged() + [_RACER_ROW])),
+)
+def mutation_manifest_concurrent_writers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OCC conflict RESOLUTION (operators/upsert.py commit_staged,
+    Delta's commit retry/rebase under WriteSerializable): two writers
+    race from the same v0 snapshot — a MERGE (the reference scenario's
+    source: keys 1,5 updated + rows 892,893 inserted) is STAGED, then an
+    ingest APPEND (row 895, disjoint bucket) wins version 1, then the
+    staged merge publishes. Detection-only OCC would kill the merge with
+    ConcurrentWriteError; the resolver sees the winner touched only
+    disjoint buckets and rebases the merge's rewritten buckets onto the
+    new snapshot, so BOTH commits land and the final state equals the
+    serial schedule (merge result + appended row — the oracle). This is
+    the streaming-ingest + maintenance-job topology every lakehouse
+    runs; the full rebase-vs-refuse matrix is pinned in
+    tests/test_occ_resolution.py."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    path = "/root/repo/.tmp/titanic_mvt_occ"
+    shutil.rmtree(path, ignore_errors=True)
+    base = from_rows(spark, TITANIC_BASE_ROWS, TITANIC_DDL)
+    table = ManifestVersionedTable(spark, path, key="PassengerId", n_buckets=4)
+    table.overwrite(base)  # v0
+    changed = base.where(F.col("PassengerId").isin(1, 5)).withColumn(
+        "Survived", F.lit(1)
+    )
+    newrows = from_rows(spark, TITANIC_NEW_ROWS, TITANIC_DDL)
+    staged = table.stage_merge(changed.union(newrows))  # reads v0
+    table.append(from_rows(spark, [_RACER_ROW], TITANIC_DDL))  # wins v1
+    v = table.commit_staged(staged)  # rebases onto v1 → v2
+    ops = [h["operation"] for h in table.describe_history()]
+    if v != 2 or ops != ["MERGE", "APPEND", "OVERWRITE"]:
+        raise AssertionError(
+            f"concurrent-writers scenario mis-staged: v={v}, ops={ops}"
+        )
+    return _lowered(table.read())
 
 
 @query(

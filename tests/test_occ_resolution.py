@@ -1,0 +1,255 @@
+"""OCC conflict RESOLUTION on the manifest table (Delta's commit
+retry/rebase, WriteSerializable): logically compatible racing commits
+both land via rebase; real logical conflicts still refuse loudly.
+
+The stage_*/commit_staged split makes interleavings deterministic: stage
+both writers against the SAME base snapshot, publish the first (it wins
+the version), then publish the second — which must rebase or refuse per
+the compatibility matrix pinned here (see
+operators/upsert.py commit_staged for the matrix and its Delta
+exception analogues)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators.upsert import (
+    ConcurrentWriteError,
+    ManifestVersionedTable,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "id bigint, name string, score double")
+
+
+BASE = [
+    (1, "ana", 10.0),
+    (2, "bia", 20.0),
+    (3, "caio", 30.0),
+    (4, "dina", 40.0),
+    (5, "edu", 50.0),
+    (6, "fabi", 60.0),
+]
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()), key=lambda t: (t[0] is None, t[0]))
+
+
+def _table(spark, tmp_path, n_buckets=8):
+    t = ManifestVersionedTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=n_buckets
+    )
+    t.overwrite(_rows(spark, BASE))
+    return t
+
+
+def _bucket_of(t, key_value):
+    """The bucket a key hashes to (driving disjoint/overlapping picks)."""
+    row = (
+        t.spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit(str(key_value))), F.lit(t.n_buckets)
+            ).cast("int").alias("b")
+        )
+        .collect()[0]
+    )
+    return str(row["b"])
+
+
+def _key_in_other_bucket(t, avoid_key):
+    """A fresh key hashing to a different bucket than avoid_key."""
+    avoid = _bucket_of(t, avoid_key)
+    k = 100
+    while _bucket_of(t, k) == avoid:
+        k += 1
+    return k
+
+
+def _key_in_same_bucket(t, target_key, start=100):
+    want = _bucket_of(t, target_key)
+    k = start
+    while _bucket_of(t, k) != want:
+        k += 1
+    return k
+
+
+# --------------------------------------------------------- rebases land --
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s1 = t.stage_append(_rows(spark, [(7, "gui", 70.0)]))
+    s2 = t.stage_append(_rows(spark, [(8, "hugo", 80.0)]))
+    assert t.commit_staged(s1) == 1
+    assert t.commit_staged(s2) == 2  # rebased, not refused
+    assert _sorted(t.read()) == _sorted(
+        _rows(spark, BASE + [(7, "gui", 70.0), (8, "hugo", 80.0)])
+    )
+    ops = [h["operation"] for h in t.describe_history()]
+    assert ops[:2] == ["APPEND", "APPEND"]
+
+
+def test_append_rebases_over_concurrent_merge(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s_app = t.stage_append(_rows(spark, [(7, "gui", 70.0)]))
+    t.merge(_rows(spark, [(2, "bia2", 21.0)]))  # wins v1
+    assert t.commit_staged(s_app) == 2
+    want = [(1, "ana", 10.0), (2, "bia2", 21.0)] + BASE[2:] + [(7, "gui", 70.0)]
+    assert _sorted(t.read()) == _sorted(_rows(spark, want))
+
+
+def test_append_rebases_over_compaction_and_overwrite(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s_app = t.stage_append(_rows(spark, [(7, "gui", 70.0)]))
+    t.optimize()  # v1: every bucket rewritten — blind append still lands
+    assert t.commit_staged(s_app) == 2
+    assert _sorted(t.read()) == _sorted(_rows(spark, BASE + [(7, "gui", 70.0)]))
+    s_app2 = t.stage_append(_rows(spark, [(8, "hugo", 80.0)]))
+    t.overwrite(_rows(spark, BASE))  # v3: schema-preserving replace
+    assert t.commit_staged(s_app2) == 4
+    assert _sorted(t.read()) == _sorted(_rows(spark, BASE + [(8, "hugo", 80.0)]))
+
+
+def test_merge_rebases_over_append_to_disjoint_bucket(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s_merge = t.stage_merge(_rows(spark, [(2, "bia2", 21.0)]))
+    other = _key_in_other_bucket(t, 2)
+    t.append(_rows(spark, [(other, "new", 1.0)]))  # wins v1, disjoint bucket
+    assert t.commit_staged(s_merge) == 2
+    want = (
+        [(1, "ana", 10.0), (2, "bia2", 21.0)]
+        + BASE[2:]
+        + [(other, "new", 1.0)]
+    )
+    assert _sorted(t.read()) == _sorted(_rows(spark, want))
+
+
+def test_two_merges_on_disjoint_buckets_both_land(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    k2 = _key_in_other_bucket(t, 2)
+    s1 = t.stage_merge(_rows(spark, [(2, "bia2", 21.0)]))
+    s2 = t.stage_merge(_rows(spark, [(k2, "kiko", 90.0)]))
+    assert t.commit_staged(s1) == 1
+    assert t.commit_staged(s2) == 2
+    want = [(1, "ana", 10.0), (2, "bia2", 21.0)] + BASE[2:] + [
+        (k2, "kiko", 90.0)
+    ]
+    assert _sorted(t.read()) == _sorted(_rows(spark, want))
+
+
+def test_dv_delete_rebases_over_append_and_dv_delete(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s_dv = t.stage_delete_where(F.col("id") == 2, mode="merge_on_read")
+    t.append(_rows(spark, [(7, "gui", 70.0)]))  # v1
+    t.delete_where(F.col("id") == 5, mode="merge_on_read")  # v2
+    assert t.commit_staged(s_dv) == 3  # union of both deletes
+    want = [r for r in BASE if r[0] not in (2, 5)] + [(7, "gui", 70.0)]
+    assert _sorted(t.read()) == _sorted(_rows(spark, want))
+
+
+def test_racing_idempotent_twins_degrade_to_noop(spark, tmp_path):
+    """Two instances of the same exactly-once writer racing on one epoch:
+    the loser's rebase must see the winner's txn watermark and no-op
+    instead of double-appending the batch."""
+    t = _table(spark, tmp_path)
+    batch = _rows(spark, [(7, "gui", 70.0)])
+    s1 = t.stage_append(batch, txn_app="ingest", txn_version=5)
+    s2 = t.stage_append(batch, txn_app="ingest", txn_version=5)
+    assert t.commit_staged(s1) == 1
+    assert t.commit_staged(s2) == 1  # no new version: epoch already landed
+    assert t.latest_version() == 1
+    assert _sorted(t.read()) == _sorted(_rows(spark, BASE + [(7, "gui", 70.0)]))
+
+
+# ------------------------------------------------------ conflicts refuse --
+
+
+def test_merge_refuses_concurrent_append_into_read_bucket(spark, tmp_path):
+    """Delta's ConcurrentAppendException: a winner appended rows into a
+    bucket this merge read — rebasing would clobber them."""
+    t = _table(spark, tmp_path)
+    s_merge = t.stage_merge(_rows(spark, [(2, "bia2", 21.0)]))
+    same = _key_in_same_bucket(t, 2)
+    t.append(_rows(spark, [(same, "clash", 1.0)]))
+    with pytest.raises(ConcurrentWriteError, match="read set"):
+        t.commit_staged(s_merge)
+
+
+def test_two_merges_on_same_bucket_refuse(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    same = _key_in_same_bucket(t, 2)
+    s1 = t.stage_merge(_rows(spark, [(2, "bia2", 21.0)]))
+    s2 = t.stage_merge(_rows(spark, [(same, "kiko", 90.0)]))
+    assert t.commit_staged(s1) == 1
+    with pytest.raises(ConcurrentWriteError, match="read set"):
+        t.commit_staged(s2)
+
+
+def test_rewrite_refuses_concurrent_dv_delete(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s_merge = t.stage_merge(_rows(spark, [(2, "bia2", 21.0)]))
+    t.delete_where(F.col("id") == 5, mode="merge_on_read")
+    with pytest.raises(ConcurrentWriteError, match="deletion-vector"):
+        t.commit_staged(s_merge)
+
+
+def test_dv_delete_refuses_concurrent_bucket_rewrite(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s_dv = t.stage_delete_where(F.col("score") > 15.0, mode="merge_on_read")
+    t.merge(_rows(spark, [(2, "bia2", 21.0)]))  # rewrites bucket of key 2
+    with pytest.raises(ConcurrentWriteError, match="rewritten"):
+        t.commit_staged(s_dv)
+
+
+def test_append_refuses_concurrent_metadata_change(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s_app = t.stage_append(_rows(spark, [(7, "gui", -1.0)]))
+    t.add_constraint("pos_score", "score > 0")  # staged row would violate
+    with pytest.raises(ConcurrentWriteError, match="constraints"):
+        t.commit_staged(s_app)
+
+
+def test_append_refuses_concurrent_schema_evolution(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s_app = t.stage_append(_rows(spark, [(7, "gui", 70.0)]))
+    t.append(
+        spark.createDataFrame(
+            [(8, "hugo", 80.0, "BR")],
+            "id bigint, name string, score double, country string",
+        ),
+        merge_schema=True,
+    )
+    with pytest.raises(ConcurrentWriteError, match="schema"):
+        t.commit_staged(s_app)
+
+
+# ------------------------------------------------- end-to-end topology --
+
+
+def test_streaming_ingest_plus_compaction_topology(spark, tmp_path):
+    """The lakehouse topology the resolution exists for: an ingest
+    writer appends while a maintenance merge commits in between — with
+    detection-only OCC the ingest dies; with resolution both land and
+    the final state equals the serial schedule."""
+    t = _table(spark, tmp_path)
+    staged = [
+        t.stage_append(
+            _rows(spark, [(100 + i, f"u{i}", float(i))]),
+            txn_app="ingest",
+            txn_version=i,
+        )
+        for i in range(3)
+    ]  # all staged against v0
+    t.merge(_rows(spark, [(1, "ana2", 11.0)]))  # maintenance job wins v1
+    for s in staged:
+        t.commit_staged(s)
+    assert t.latest_version() == 4
+    want = [(1, "ana2", 11.0)] + BASE[1:] + [
+        (100, "u0", 0.0), (101, "u1", 1.0), (102, "u2", 2.0)
+    ]
+    assert _sorted(t.read()) == _sorted(_rows(spark, want))
+    assert t.last_txn_version("ingest") == 2
