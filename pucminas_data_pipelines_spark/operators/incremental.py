@@ -96,3 +96,149 @@ def apply_rollup_delta(
         F.when(n_vals > 0, raw_total).alias("total"),
     )
     return merged.where(F.col("n") > 0)
+
+
+def rollup_minmax_from_scratch(
+    base: DataFrame, group_cols: list[str], val_col: str
+) -> DataFrame:
+    """Batch definition of the MIN/MAX-maintained view: per-group row
+    count, non-NULL value count, and the value extrema (min/max ignore
+    NULLs, SQL semantics)."""
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(val_col)).alias("n_vals"),
+        F.min(val_col).alias("vmin"),
+        F.max(val_col).alias("vmax"),
+    )
+
+
+def apply_rollup_minmax_delta(
+    rollup: DataFrame,
+    diff: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    rescan,
+):
+    """MIN/MAX incremental maintenance with TARGETED group rescan — the
+    standard escape for the one aggregate family that is not
+    self-maintainable under deletes (a retracted extremum says nothing
+    about the runner-up). Maintenance is optimistic:
+
+    - inserts only: new_max = greatest(old_max, inserted_max) — O(1)
+      per group, never touches the base;
+    - a retraction at or beyond the stored extremum that no same-batch
+      insert covers makes the group's extremum UNKNOWN → the group is
+      marked for rescan;
+    - ONLY marked groups are re-read through ``rescan(groups)`` — a
+      caller-supplied callable from the affected group-key tuples to
+      their CURRENT base rows. On a ManifestVersionedTable the caller
+      backs it with the stats-pruned ``read_where`` over a
+      group-clustered layout (or ``read_keys`` when the table is keyed
+      on the group), so a delete-the-maximum refresh costs the affected
+      groups' FILES, never a base-table scan. The change set itself
+      comes from version_diff's manifest fast path (changed buckets
+      only), so the whole refresh is O(changes + affected groups'
+      bytes).
+
+    Returns ``(refreshed, affected_groups)``: the maintained rollup
+    (bit-equal to rollup_minmax_from_scratch on the post-change base —
+    min/max move exact values, no float accumulation) and the list of
+    group tuples that required a rescan, so callers can assert the
+    rescan stayed targeted."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    ins_val = F.when(sign > 0, F.col(val_col))
+    ret_val = F.when(sign < 0, F.col(val_col))
+    delta = diff.groupBy(*group_cols).agg(
+        F.sum(sign).alias("_dn"),
+        F.sum(
+            F.when(F.col(val_col).isNotNull(), sign).otherwise(F.lit(0))
+        ).alias("_dnv"),
+        F.max(ins_val).alias("_ins_max"),
+        F.min(ins_val).alias("_ins_min"),
+        F.max(ret_val).alias("_ret_max"),
+        F.min(ret_val).alias("_ret_min"),
+    )
+    r = rollup.alias("r")
+    d = delta.alias("d")
+    cond = None
+    for c in group_cols:
+        eq = F.col(f"r.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    n_vals = F.coalesce(F.col("r.n_vals"), F.lit(0)) + F.coalesce(
+        F.col("d._dnv"), F.lit(0)
+    )
+    # optimistic extremum + rescan flag, max side (min mirrors it):
+    #   no stored max (new group / all-NULL so far) -> inserted max;
+    #   inserted max >= stored max -> inserted max covers any retraction;
+    #   retraction at the stored max, uncovered -> UNKNOWN (rescan);
+    #   otherwise the stored extremum stands.
+    opt_max = (
+        F.when(F.col("r.vmax").isNull(), F.col("d._ins_max"))
+        .when(
+            F.col("d._ins_max") >= F.col("r.vmax"), F.col("d._ins_max")
+        )
+        .otherwise(F.col("r.vmax"))
+    )
+    opt_min = (
+        F.when(F.col("r.vmin").isNull(), F.col("d._ins_min"))
+        .when(
+            F.col("d._ins_min") <= F.col("r.vmin"), F.col("d._ins_min")
+        )
+        .otherwise(F.col("r.vmin"))
+    )
+    stale_max = (
+        F.col("r.vmax").isNotNull()
+        & (F.col("d._ret_max") >= F.col("r.vmax"))
+        & ~F.coalesce(F.col("d._ins_max") >= F.col("r.vmax"), F.lit(False))
+    )
+    stale_min = (
+        F.col("r.vmin").isNotNull()
+        & (F.col("d._ret_min") <= F.col("r.vmin"))
+        & ~F.coalesce(F.col("d._ins_min") <= F.col("r.vmin"), F.lit(False))
+    )
+    needs = (
+        F.coalesce(stale_max | stale_min, F.lit(False)) & (n_vals > 0)
+    ).alias("_rescan")
+    merged = r.join(d, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"r.{c}"), F.col(f"d.{c}")).alias(c)
+            for c in group_cols
+        ],
+        (
+            F.coalesce(F.col("r.n"), F.lit(0))
+            + F.coalesce(F.col("d._dn"), F.lit(0))
+        ).alias("n"),
+        n_vals.alias("n_vals"),
+        F.when(n_vals > 0, opt_min).alias("vmin"),
+        F.when(n_vals > 0, opt_max).alias("vmax"),
+        needs,
+    ).where(F.col("n") > 0)
+    merged = merged.localCheckpoint(eager=True)  # group-sized view state
+    affected = [
+        tuple(row[c] for c in group_cols)
+        for row in merged.where("_rescan").select(*group_cols).collect()
+    ]
+    clean = merged.where(~F.col("_rescan")).drop("_rescan")
+    if not affected:
+        return clean, affected
+    fixed = (
+        rescan(affected)
+        .groupBy(*group_cols)
+        .agg(F.min(val_col).alias("_fmin"), F.max(val_col).alias("_fmax"))
+    )
+    m = merged.where("_rescan").alias("m")
+    fx = fixed.alias("fx")
+    fcond = None
+    for c in group_cols:
+        eq = F.col(f"m.{c}").eqNullSafe(F.col(f"fx.{c}"))
+        fcond = eq if fcond is None else (fcond & eq)
+    repaired = m.join(F.broadcast(fx), fcond, "left").select(
+        *[F.col(f"m.{c}").alias(c) for c in group_cols],
+        F.col("m.n").alias("n"),
+        F.col("m.n_vals").alias("n_vals"),
+        F.col("fx._fmin").alias("vmin"),
+        F.col("fx._fmax").alias("vmax"),
+    )
+    return clean.unionByName(repaired), affected

@@ -836,6 +836,110 @@ def mutation_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment")
 
 
+@query(
+    "mutation_incremental_rollup_minmax",
+    oracle="""
+    WITH post AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal >=
+                 (SELECT MAX(c_acctbal) FROM customer
+                  WHERE c_mktsegment = 'BUILDING'))
+      UNION ALL SELECT -1, CAST(9999.99 AS DOUBLE), 'MACHINERY'
+      UNION ALL SELECT -2, CAST(111.11 AS DOUBLE), 'NEWSEG'
+      UNION ALL SELECT -3, CAST(222.22 AS DOUBLE), 'NEWSEG'
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(c_acctbal) AS min_balance,
+           MAX(c_acctbal) AS max_balance
+    FROM post GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def mutation_incremental_rollup_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX incremental view maintenance with TARGETED group rescan
+    (operators/incremental.py apply_rollup_minmax_delta): extrema are
+    not self-maintainable under deletes, so the maintained per-segment
+    min/max is kept optimistically and a DELETE of a segment's current
+    maximum marks ONLY that segment for rescan — re-read here through
+    the stats-pruned read_where over a segment-CLUSTERED layout
+    (optimize(cluster_by=...)), so the repair reads the affected
+    segment's files, never the base table. The scenario deletes
+    BUILDING's maximum-balance rows (forced rescan, asserted to be
+    exactly [BUILDING]) and inserts a new MACHINERY high plus a NEWSEG
+    group (optimistic path, no rescan); the oracle recomputes the
+    post-state extrema from scratch — min/max move exact values, so the
+    two are bit-identical.
+
+    Scale: refresh cost is O(changed buckets [the CDC] + rollup +
+    affected segments' files); the full recompute the oracle performs is
+    what this avoids at 100 TB."""
+    from pucminas_data_pipelines_spark.operators.incremental import (
+        apply_rollup_minmax_delta,
+        rollup_minmax_from_scratch,
+    )
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    path = "/root/repo/.tmp/customer_mvt_minmax"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    t = ManifestVersionedTable(spark, path, key="c_custkey", n_buckets=16)
+    t.overwrite(cust)  # v0
+    t.optimize(cluster_by=["c_mktsegment"])  # v1: segment-clustered files
+    rollup = rollup_minmax_from_scratch(
+        t.read(), ["c_mktsegment"], "c_acctbal"
+    ).localCheckpoint(eager=True)
+    bmax = (
+        t.read()
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .agg(F.max("c_acctbal").alias("m"))
+        .collect()[0]["m"]
+    )
+    t.delete_where(
+        (F.col("c_mktsegment") == "BUILDING")
+        & (F.col("c_acctbal") >= bmax)
+    )  # v2: retract the stored maximum
+    t.merge(
+        spark.createDataFrame(
+            [
+                (-1, 9999.99, "MACHINERY"),
+                (-2, 111.11, "NEWSEG"),
+                (-3, 222.22, "NEWSEG"),
+            ],
+            "c_custkey bigint, c_acctbal double, c_mktsegment string",
+        )
+    )  # v3: optimistic inserts
+    diff = version_diff(t, key="c_custkey", from_version=1, to_version=3)
+
+    def rescan(groups):
+        dfs = [
+            t.read_where([("c_mktsegment", g, g)]) for (g,) in groups
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    refreshed, affected = apply_rollup_minmax_delta(
+        rollup, diff, ["c_mktsegment"], "c_acctbal", rescan
+    )
+    if affected != [("BUILDING",)]:
+        raise AssertionError(
+            f"rescan was not targeted: affected={affected}"
+        )
+    return refreshed.select(
+        "c_mktsegment",
+        "n",
+        F.col("vmin").alias("min_balance"),
+        F.col("vmax").alias("max_balance"),
+    ).orderBy("c_mktsegment")
+
+
 # Row appended by the RACING writer in the concurrent-writers scenario.
 # Key 895 hashes to a bucket (n_buckets=4) disjoint from the merge
 # source's buckets {0, 2} ({1, 5, 892, 893} under pmod(xxhash64, 4)) —

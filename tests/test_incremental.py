@@ -114,3 +114,106 @@ def test_version_diff_falls_back_when_dvs_differ(spark, tmp_path):
     out = version_diff(t, "id", 0, 1)
     kinds = [r["_change_type"] for r in out.collect()]
     assert sorted(kinds) == ["delete", "delete"]
+
+
+# ------------------------------------------------- MIN/MAX maintenance --
+
+
+def _canon_mm(df):
+    rows = df.select("seg", "n", "n_vals", "vmin", "vmax").collect()
+    return sorted(
+        (tuple(r) for r in rows), key=lambda t: (t[0] is None, t[0])
+    )
+
+
+def _mm_rescan(t):
+    """Differential-test rescan: current rows of the requested groups
+    (the production path backs this with stats-pruned read_where over a
+    group-clustered layout; semantics are identical)."""
+    def rescan(groups):
+        segs = [g[0] for g in groups]
+        df = t.read()
+        cond = F.col("seg").isin([s for s in segs if s is not None])
+        if any(s is None for s in segs):
+            cond = cond | F.col("seg").isNull()
+        return df.where(cond)
+    return rescan
+
+
+def test_minmax_refresh_equals_recompute(spark, tmp_path):
+    from pucminas_data_pipelines_spark.operators.incremental import (
+        apply_rollup_minmax_delta,
+        rollup_minmax_from_scratch,
+    )
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.overwrite(_rows(spark, BASE))
+    rollup = rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
+
+    # batch 1: pure INSERTS (one raising A's max, one dropping B's min,
+    # one opening a group) — optimistic path, NO rescan may trigger
+    t.merge(_rows(spark, [
+        (10, "A", 25.0),   # new max for A (was 20)
+        (7, "B", 5.0),     # new min for B (was 30)
+        (8, "D", 70.0),    # new group
+        (11, "C", 40.0),   # second C value (so batch 3's covered
+                           # max-retraction leaves the min untouched)
+    ]))
+    diff1 = version_diff(t, "id", 0, 1)
+    rollup, affected = apply_rollup_minmax_delta(
+        rollup, diff1, ["seg"], "amount", _mm_rescan(t)
+    )
+    assert affected == [], "insert-only batch must not rescan"
+    assert _canon_mm(rollup) == _canon_mm(
+        rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
+    )
+
+    # batch 2: DELETE the current maximum of A (25) and the current
+    # minimum of B (5) — exactly the non-self-maintainable retractions;
+    # only those two groups may rescan
+    t.delete_where(F.col("id").isin(10, 7))
+    diff2 = version_diff(t, "id", 1, 2)
+    rollup, affected = apply_rollup_minmax_delta(
+        rollup, diff2, ["seg"], "amount", _mm_rescan(t)
+    )
+    assert sorted(affected) == [("A",), ("B",)]
+    assert _canon_mm(rollup) == _canon_mm(
+        rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
+    )
+
+    # batch 3: retraction of C's max (60) COVERED by a same-batch insert
+    # at or above it (update 6: 60 -> 65, min 40 untouched) — no rescan;
+    # plus group emptied by delete vanishes; plus NULL-measure churn in
+    # the NULL-key group
+    t.merge(_rows(spark, [(6, "C", 65.0), (9, None, None)]))
+    t.delete_where(F.col("seg") == "D")
+    diff3 = version_diff(t, "id", 2, 4)
+    rollup, affected = apply_rollup_minmax_delta(
+        rollup, diff3, ["seg"], "amount", _mm_rescan(t)
+    )
+    assert affected == []
+    assert _canon_mm(rollup) == _canon_mm(
+        rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
+    )
+
+
+def test_minmax_rescan_handles_all_null_and_emptied_groups(spark, tmp_path):
+    from pucminas_data_pipelines_spark.operators.incremental import (
+        apply_rollup_minmax_delta,
+        rollup_minmax_from_scratch,
+    )
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, [(1, "A", 1.0), (2, "A", 2.0), (3, "B", 3.0)]))
+    rollup = rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
+    # retract EVERY non-NULL value of A (extrema collapse to NULL without
+    # rescan: n_vals hits 0) and replace them with a NULL measure
+    t.merge(_rows(spark, [(1, "A", None), (2, "A", None)]))
+    diff = version_diff(t, "id", 0, 1)
+    rollup, affected = apply_rollup_minmax_delta(
+        rollup, diff, ["seg"], "amount", _mm_rescan(t)
+    )
+    assert affected == []  # n_vals==0 needs no rescan: extrema are NULL
+    assert _canon_mm(rollup) == _canon_mm(
+        rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
+    )
