@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} — sized to fit the archiver's
+~2000-char tail window whole (test_bench_contract pins the budget).
+Per-query attribution detail (steal deltas, probes, slowest-10
+breakdowns, full noise ratios, full sweep timings) is written to
+BENCH_DETAIL.json next to this script.
 
 Each query is fully executed (collect of the already-small result, or a
 count for large results) so the timing covers scan→shuffle→agg, not just
@@ -283,25 +287,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # FIELD ORDER CONTRACT (VERDICT r8 #2): the driver archives only the
-    # TAIL of this single JSON line, and r7/r8 tail truncation swallowed
-    # the per-query headline timings because `queries` was emitted first,
-    # ahead of the (growing) attribution fields. The longitudinal signal
-    # — noise_ratio_per_query, queries, value — is therefore emitted
-    # LAST, with `queries` and `value` at the very end so any truncation
-    # window that keeps a tail keeps them. Keys are append-only
-    # (test_bench_contract pins both the key set and this ordering).
-    print(
-        json.dumps(
+    # RECORD SPLIT CONTRACT (VERDICT r10 #2): the driver archives only
+    # the LAST ~2000 characters of stdout and tries to parse the final
+    # JSON line whole — BENCH_r01..r10 all recorded `parsed: null`
+    # because the single line outgrew that window and only its tail
+    # survived. The record is therefore SPLIT: the primary line keeps
+    # the longitudinal essentials (per-query headline timings, total,
+    # sweep summary, host-noise verdict + per-query noise flags) and
+    # MUST stay under the window (test_bench_contract pins a size
+    # budget); every per-query attribution map (steal deltas, probe
+    # arrays, slowest-10 breakdowns, full noise ratios, full sweep
+    # timings) moves to BENCH_DETAIL.json next to this script.
+    # Longitudinal fields still close the line (queries, value last) so
+    # even a truncated tail keeps them.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
-                "metric": "headline_queries_total",
-                "unit": "sec",
+                "metric": "headline_queries_detail",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calibration_sec": round(calibration_sec, 3),
-                "calibration_ratio": calibration_ratio,
-                "calibration_ratio_end": calibration_ratio_end,
-                "noisy_host": noisy_host,
-                "registry_sweep_sec": sweep_sec,
                 "registry_sweep_slowest": slowest,
                 "registry_sweep_slowest_offsets": slowest_offsets,
                 "registry_sweep_slowest_steal_sec": slowest_steal,
@@ -309,13 +316,42 @@ def main() -> None:
                 "registry_sweep_probes": sweep_probes,
                 "headline_steal_sec": headline_steal,
                 "headline_steal_min_attempt_sec": headline_steal_min,
+                "noise_ratio_per_query": noise,
+                "registry_sweep_times": {
+                    n: round(t, 2) for n, t in sweep_times.items()
+                },
+                "registry_sweep_offsets": sweep_offsets,
+                "registry_sweep_steal_sec": {
+                    n: round(v, 1) for n, v in sweep_steal.items() if v >= 0.5
+                },
+            },
+            fh,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "detail": "BENCH_DETAIL.json",
+                "calibration_ratio": calibration_ratio,
+                "calibration_ratio_end": calibration_ratio_end,
+                "noisy_host": noisy_host,
                 "total_steal_sec": round(_steal_sec() - run_steal0, 1),
+                "registry_sweep_sec": sweep_sec,
                 "registry_sweep_queries": len(QUERIES),
                 "registry_sweep_failed": sweep_failed,
-                "noise_ratio_per_query": noise,
+                # noise flags, not the full map: only queries whose 3
+                # attempts spread >= 1.5x (the full per-query ratios are
+                # in the detail file)
+                "noise_flagged": {
+                    n: r for n, r in noise.items() if r >= 1.5
+                },
                 "queries": timings,
                 "value": total,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -30,49 +30,13 @@ def test_every_registered_query_documented_in_coverage():
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
 
 
-def test_bench_emits_attribution_fields():
-    """The r8 noise-attribution fields must survive refactors: the
-    longitudinal BENCH keys are append-only, and the steal/offset/probe
-    fields are how a reader separates a host steal burst from a real
-    regression without a round-later bisect."""
+def _record_dicts():
+    """The string-keyed dict literals of bench.main, by metric name."""
     import ast
     import inspect
 
-    src = inspect.getsource(bench.main)
-    emitted = {
-        k.value
-        for node in ast.walk(ast.parse(src))
-        if isinstance(node, ast.Dict)
-        for k in node.keys
-        if isinstance(k, ast.Constant) and isinstance(k.value, str)
-    }
-    required = {
-        "metric", "value", "unit", "queries", "sf",
-        "noise_ratio_per_query", "calibration_sec", "calibration_ratio",
-        "calibration_ratio_end", "noisy_host",
-        "registry_sweep_sec", "registry_sweep_slowest",
-        "registry_sweep_slowest_offsets", "registry_sweep_slowest_steal_sec",
-        "registry_sweep_probes", "headline_steal_sec",
-        "headline_steal_min_attempt_sec", "registry_sweep_slowest_cold",
-        "total_steal_sec",
-        "registry_sweep_queries", "registry_sweep_failed",
-    }
-    missing = required - emitted
-    assert not missing, f"bench JSON lost fields: {sorted(missing)}"
-
-
-def test_bench_emits_longitudinal_fields_last():
-    """The driver archives only the TAIL of bench's single JSON line
-    (r7/r8 both truncated); the longitudinal fields must be the final
-    keys of the record dict — noise_ratio_per_query, then queries, then
-    value — so a tail-truncated archive still carries the per-query
-    headline timings and the headline total."""
-    import ast
-    import inspect
-
-    src = inspect.getsource(bench.main)
-    record = None
-    for node in ast.walk(ast.parse(src)):
+    out = {}
+    for node in ast.walk(ast.parse(inspect.getsource(bench.main))):
         if isinstance(node, ast.Dict):
             keys = [
                 k.value
@@ -80,10 +44,84 @@ def test_bench_emits_longitudinal_fields_last():
                 if isinstance(k, ast.Constant) and isinstance(k.value, str)
             ]
             if "metric" in keys:
-                record = keys
-    assert record is not None
-    assert record[-3:] == ["noise_ratio_per_query", "queries", "value"], (
-        f"longitudinal fields must close the record; got tail {record[-3:]}"
+                for k, v in zip(node.keys, node.values):
+                    if (
+                        isinstance(k, ast.Constant)
+                        and k.value == "metric"
+                        and isinstance(v, ast.Constant)
+                    ):
+                        out[v.value] = keys
+    return out
+
+
+def test_bench_record_split_keeps_all_attribution_fields():
+    """The r8-r10 noise-attribution fields must survive the r11 record
+    split (VERDICT r10 #2): the primary line keeps the longitudinal
+    essentials; every per-query attribution map lives in
+    BENCH_DETAIL.json. Nothing may be silently dropped."""
+    records = _record_dicts()
+    primary = set(records["headline_queries_total"])
+    detail = set(records["headline_queries_detail"])
+    required_primary = {
+        "metric", "value", "unit", "queries", "sf", "detail",
+        "calibration_ratio", "calibration_ratio_end", "noisy_host",
+        "total_steal_sec", "registry_sweep_sec",
+        "registry_sweep_queries", "registry_sweep_failed",
+        "noise_flagged",
+    }
+    required_detail = {
+        "calibration_sec", "noise_ratio_per_query",
+        "registry_sweep_slowest", "registry_sweep_slowest_offsets",
+        "registry_sweep_slowest_steal_sec", "registry_sweep_slowest_cold",
+        "registry_sweep_probes", "headline_steal_sec",
+        "headline_steal_min_attempt_sec", "registry_sweep_times",
+    }
+    assert not required_primary - primary, sorted(required_primary - primary)
+    assert not required_detail - detail, sorted(required_detail - detail)
+
+
+def test_bench_emits_longitudinal_fields_last():
+    """The driver archives only the TAIL of bench's single JSON line
+    (r7/r8 both truncated); the longitudinal fields must be the final
+    keys of the primary record — queries, then value — so even a
+    truncated tail still carries the per-query headline timings and the
+    headline total."""
+    record = _record_dicts()["headline_queries_total"]
+    assert record[-2:] == ["queries", "value"], (
+        f"longitudinal fields must close the record; got tail {record[-2:]}"
+    )
+
+
+def test_bench_primary_line_fits_driver_window():
+    """The driver keeps the last ~2000 chars of stdout and parses the
+    final JSON line whole; BENCH_r01-r10 all recorded parsed=null
+    because the line outgrew that window. Build the primary record with
+    worst-case representative values for the CURRENT headline list and
+    assert the serialized line leaves headroom."""
+    import json
+
+    queries = {n: 123.4567 for n in bench.HEADLINE}
+    record = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "sf": 0.1,
+        "detail": "BENCH_DETAIL.json",
+        "calibration_ratio": 12.34,
+        "calibration_ratio_end": 12.34,
+        "noisy_host": True,
+        "total_steal_sec": 1234.5,
+        "registry_sweep_sec": 12345.6,
+        "registry_sweep_queries": 999,
+        "registry_sweep_failed": [],
+        "noise_flagged": {n: 12.34 for n in list(bench.HEADLINE)[:5]},
+        "queries": queries,
+        "value": 12345.6789,
+    }
+    line = json.dumps(record, separators=(",", ":"))
+    assert len(line) < 1800, (
+        f"primary bench line is {len(line)} chars; trim fields or move "
+        "more maps to BENCH_DETAIL.json before the driver window "
+        "truncates it again"
     )
 
 
