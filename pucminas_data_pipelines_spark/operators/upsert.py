@@ -1358,7 +1358,9 @@ class ManifestVersionedTable:
         )
         return current + 1
 
-    def vacuum(self, retain_last: int = 2) -> list[int]:
+    def vacuum(
+        self, retain_last: int = 2, min_age_seconds: float = 0.0
+    ) -> list[int]:
         """Snapshot expiry with file-level reference counting: expired
         manifests are dropped, then every bucket directory not referenced
         by a SURVIVING manifest is removed — shared files survive as long
@@ -1367,8 +1369,23 @@ class ManifestVersionedTable:
         realpath`` so a handle opened through a different path spelling
         (relative vs absolute, symlinked root) can never mistake live
         directories for garbage; manifests store root-relative dirs for
-        the same reason."""
+        the same reason.
+
+        ``min_age_seconds`` is the concurrent-reader grace period
+        (Delta's retention-hours floor): an unreferenced directory
+        younger than it is SKIPPED this pass and reclaimed by a later
+        vacuum. A long-running read planned against a recent snapshot
+        holds absolute file paths, not manifests — deleting its files
+        mid-scan fails the job — so production retention should cover
+        the longest expected query (Delta defaults to 7 days and makes
+        you opt in to less). The default 0 keeps vacuum deterministic
+        for tests/scenarios; the mid-scan hazard and the grace escape
+        are both pinned in tests/test_manifest_table.py. Age is the
+        directory's commit mtime: every commit writes a FRESH uuid dir,
+        so mtime is the commit instant — unreferenced dirs never get
+        newer."""
         import shutil as _sh
+        import time as _time
 
         if retain_last < 1:
             # Delta never vacuums the live snapshot: retain_last=0 would
@@ -1395,6 +1412,16 @@ class ManifestVersionedTable:
             if v not in keep:
                 os.remove(self._manifest_path(v))
                 removed.append(v)
+        now = _time.time()
+
+        def _too_young(d: str) -> bool:
+            if min_age_seconds <= 0:
+                return False
+            try:
+                return now - os.path.getmtime(d) < min_age_seconds
+            except OSError:
+                return True  # can't date it -> keep it (safe side)
+
         data_root = os.path.join(self.path, "data")
         for commit in os.listdir(data_root) if os.path.isdir(data_root) else []:
             commit_dir = os.path.join(data_root, commit)
@@ -1403,6 +1430,7 @@ class ManifestVersionedTable:
                 if (
                     name.startswith("mvt_bucket=")
                     and os.path.realpath(d) not in referenced
+                    and not _too_young(d)
                 ):
                     _sh.rmtree(d, ignore_errors=True)
             if not os.listdir(commit_dir):
@@ -1411,7 +1439,7 @@ class ManifestVersionedTable:
         dv_root = os.path.join(self.path, "_dvs")
         for name in os.listdir(dv_root) if os.path.isdir(dv_root) else []:
             d = os.path.join(dv_root, name)
-            if os.path.realpath(d) not in dv_referenced:
+            if os.path.realpath(d) not in dv_referenced and not _too_young(d):
                 _sh.rmtree(d, ignore_errors=True)
         return removed
 

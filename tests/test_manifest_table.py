@@ -926,3 +926,38 @@ def test_merge_txn_replay_is_noop(spark, tmp_path):
         t.merge(up, txn_app="job")
     # append and merge share one txn book per app
     assert t.append(up, txn_app="job", txn_version=1) == v2
+
+
+def test_vacuum_grace_period_protects_inflight_readers(spark, tmp_path):
+    """VERDICT r10 #6: vacuum(min_age_seconds=N) must SKIP unreferenced
+    directories younger than the grace period — the concurrent-reader
+    hazard is a long-running scan planned against a just-expired
+    snapshot (its plan holds file paths, not manifests); Delta solves
+    it with a retention-hours floor. A later vacuum with no grace
+    reclaims them."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    reader = t.read()  # planned against v0's files
+    t.merge(_rows(spark, [(i, n, s + 1) for i, n, s in BASE]))  # rewrite all
+    # graceful vacuum: v0's manifest expires but its young data survives
+    assert t.vacuum(retain_last=1, min_age_seconds=3600) == [0]
+    assert _sorted(reader) == _sorted(_rows(spark, BASE))  # still scannable
+    # ungraceful vacuum: the unreferenced dirs now go
+    t.vacuum(retain_last=1, min_age_seconds=0)
+    with pytest.raises(Exception):
+        t.read(version_as_of=0)  # manifest gone
+    assert _sorted(t.read()) == _sorted(
+        _rows(spark, [(i, n, s + 1) for i, n, s in BASE])
+    )
+
+
+def test_vacuum_grace_period_skips_young_dv_sidecars(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    t.delete_where(F.col("id") == 2, mode="merge_on_read")  # v1: DV sidecar
+    t.optimize()  # v2: materializes the delete; DV now unreferenced at r=1
+    t.vacuum(retain_last=1, min_age_seconds=3600)
+    dv_root = tmp_path / "t" / "_dvs"
+    assert dv_root.is_dir() and any(dv_root.iterdir())  # young sidecar kept
+    t.vacuum(retain_last=1, min_age_seconds=0)
+    assert not dv_root.is_dir() or not any(dv_root.iterdir())
