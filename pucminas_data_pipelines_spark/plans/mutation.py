@@ -940,6 +940,67 @@ def mutation_incremental_rollup_minmax(
     ).orderBy("c_mktsegment")
 
 
+@query(
+    "mutation_manifest_zorder_scan",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+      AND o_totalprice BETWEEN 50000 AND 100000
+    ORDER BY o_orderkey
+    """,
+)
+def mutation_manifest_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER compaction + 2-D stats-pruned scan (operators/upsert.py
+    optimize(zorder_by=...) + read_where): orders lands in a manifest
+    table, OPTIMIZE Z-orders the layout on (o_custkey, o_totalprice) via
+    the Morton interleave (functions/zorder.py), and a rectangle probe
+    on BOTH dimensions plans only the files whose footer-harvested
+    bounds overlap — Delta OPTIMIZE ZORDER + data skipping. The query
+    asserts both SINGLE-dimension probes prune (the Z-curve property a
+    lexicographic sort lacks: its trailing column prunes nothing —
+    differential receipt in tests/test_manifest_table.py), then returns
+    the rectangle's rows; the oracle is the plain filter.
+
+    Scale: a 2-D predicate on a 100 TB Z-ordered table reads
+    ~O(sqrt-of-selectivity) of the files per dimension instead of all
+    of them; pruning happens at PLAN time from manifest stats — zero
+    data reads for skipped files."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    path = "/root/repo/.tmp/orders_mvt_zorder"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ManifestVersionedTable(spark, path, key="o_orderkey", n_buckets=4)
+    t.overwrite(orders)
+    t.optimize(zorder_by=["o_custkey", "o_totalprice"], files_per_bucket=8)
+    m = t._manifest(t.latest_version())
+    total_files = sum(len(fs) for fs in m.get("file_stats", {}).values())
+
+    def planned_files(ranges):
+        got = t.read_where(ranges)
+        return (
+            got.select(F.input_file_name()).distinct().count()
+        )
+
+    nx = planned_files([("o_custkey", 100, 200)])
+    ny = planned_files([("o_totalprice", 50000.0, 100000.0)])
+    if not (nx < total_files and ny < total_files):
+        raise AssertionError(
+            f"z-order must prune on BOTH dims: x {nx}/{total_files}, "
+            f"y {ny}/{total_files}"
+        )
+    return t.read_where(
+        [("o_custkey", 100, 200), ("o_totalprice", 50000.0, 100000.0)]
+    ).select("o_orderkey", "o_custkey", "o_totalprice").orderBy("o_orderkey")
+
+
 # Row appended by the RACING writer in the concurrent-writers scenario.
 # Key 895 hashes to a bucket (n_buckets=4) disjoint from the merge
 # source's buckets {0, 2} ({1, 5, 892, 893} under pmod(xxhash64, 4)) —
