@@ -139,91 +139,73 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
 DRIVER_WINDOW: list[str] = [
-    # ROUND-10 ROTATION. Driver-green coverage completed in r9 (union of
-    # CORRECTNESS_r01..r09 green keys = 341/341 scorable; COVERAGE.md
-    # header). This window therefore carries (a) the 5 standing canaries,
-    # (b) FIRST evidence for the round-10 commit-layer work (12 = 10
-    # ManifestVersionedTable queries + the protocol-level Delta-log
-    # reader + the outbound _delta_log export round trip,
-    # incl. the exactly-once foreachBatch ingest with live epoch replay,
-    # the merge-on-read deletion-vector DELETE, and the incrementally
-    # maintained rollup fed by the manifest-fast-path CDC)
-    # (driver-level proof of the r9 bucket-manifest commit layer and of
-    # this round's ADVICE fixes: null-safe DELETE, portable manifests,
-    # schema enforcement), and (c) 40 RE-confirmation picks chosen
-    # oldest-evidence-first: every name whose only driver-green row dates
-    # to r1 (27) or r3 (6; dedup_simhash, dedup_semantic_recall,
-    # dedup_ngram_jaccard, dedup_embedding_cosine,
-    # dedup_cluster_collapse, agg_collect_set_sorted and
-    # corpus_curation_pipeline yielded their slots to first-evidence
-    # queries and stay parity-pinned) — the queries that have survived seven rounds
-    # of operator rewrites on parity tests alone get fresh driver rows.
+    # ROUND-11 ROTATION (VERDICT r10 #4: rotate to re-confirm the oldest
+    # evidence now that cumulative driver-green coverage is complete).
+    # Composition: (a) the 5 standing canaries, (b) FIRST evidence for
+    # the three round-11 operators (OCC conflict resolution /
+    # retry-rebase, MIN/MAX incremental maintenance with targeted group
+    # rescan, Z-order 2-D pruned scan), (c) 42 re-confirmation picks
+    # chosen strictly oldest-evidence-first from the cumulative
+    # CORRECTNESS_r01..r10 union: ALL 20 names whose last green row
+    # dates to r1 and the alphabetically-first 22 of the 42 r3-era
+    # names. Every rotated-out name stays pinned by
+    # tests/test_oracle_parity.py at two scale factors. The whole
+    # window was re-run through the vanilla-session preflight
+    # (.claude/skills/verify/preflight.py) after this rotation.
     # canaries (driver-green every round since r4)
     "q1_pricing_summary",
     "dedup_minhash_lsh",
     "join_asof",
     "mutation_merge_upsert",
     "events_session_window",
-    # round-10 manifest-table family (first evidence; timerange_scan
-    # exercises the stats-pruned read_range over per-window appends)
-    "mutation_manifest_merge_bucketed",
-    "mutation_manifest_delete_null_predicate",
-    "mutation_manifest_append_pointread",
-    "mutation_manifest_optimize_roundtrip",
-    "mutation_manifest_vacuum_lifecycle",
-    "mutation_manifest_timerange_scan",
-    "streaming_manifest_ingest_live",
-    "mutation_manifest_deletion_vectors",
-    "mutation_incremental_rollup",
-    "mutation_manifest_restore",
-    "source_delta_log_reader",
-    "mutation_manifest_delta_export",
-    # oldest-evidence re-confirmation: last green in r1
-    "events_rate_per_user",
-    "text_bigram_frequencies",
-    "text_fingerprint",
-    "text_fuzzy_entity_match",
-    "text_quality_scores",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    # oldest-evidence re-confirmation: last green in r3
-    "agg_approx_count_distinct",
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    # late-round-10 additions (first evidence): DSIR importance
-    # resampling, RRF hybrid retrieval, and the manifest-table streaming
-    # SOURCE (read-side twin of the exactly-once ingest). They take the
-    # slots of three r3 re-confirmations (agg_basic_stats,
-    # curation_boilerplate_prune, dedup_exact), which remain pinned by
-    # the two-SF parity suite like every rotated-out name.
-    "curation_dsir_selection",
-    "knn_hybrid_rrf",
-    "streaming_manifest_source_live",
-    # second late-round-10 batch (first evidence): watermark-evicting
-    # stream-stream outer join, zero-copy shallow clone, DP noisy
-    # release, n-gram novelty. They take four r1 re-confirmation slots
-    # (agg_count_distinct/_cube/_grouping_sets/_having — parity-pinned
-    # like every rotated-out name).
-    "streaming_outer_join_live",
-    "mutation_manifest_shallow_clone",
-    "pii_dp_noisy_release",
-    "text_ngram_novelty",
-    "events_lttb_downsample",
-    "mutation_manifest_check_constraint",
-    "udf_apply_in_arrow",
-    "udtf_analyze_polymorphic",
-    "udf_arrow_scalar",
-    "mutation_manifest_generated_column",
-    "streaming_medallion_pipeline_live",
-    "sql_scripting_procedural",
-    "pii_pseudonymize_consistent",
-    "mutation_tpch_refresh",
-    "events_ewma_daily",
-    "events_seasonal_decompose",
-    "multimodal_pair_curation",
-    "events_residual_anomaly_gate",
-    "graph_harmonic_centrality",
-    "stats_bh_fdr_correction",
+    # round-11 first evidence
+    "mutation_manifest_concurrent_writers",
+    "mutation_incremental_rollup_minmax",
+    "mutation_manifest_zorder_scan",
+    # oldest-evidence re-confirmation: last green in r1 (all 20)
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_scalar_subquery",
+    "dedup_exact_normalized",
+    "doc_stats_by_lang_source",
+    "events_click_purchase_correlation",
+    "events_dedup_by_key",
+    "events_enriched_by_segment",
+    "events_funnel_conversion",
+    "events_hypertable_rollup",
+    "events_retention_cohorts",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "multimodal_binary_meta",
+    "multimodal_decode_stub",
+    "multimodal_resize_stub",
+    # oldest-evidence re-confirmation: last green in r3 (first 22)
+    "agg_basic_stats",
+    "agg_collect_set_sorted",
+    "corpus_curation_pipeline",
+    "curation_boilerplate_prune",
+    "dedup_cluster_collapse",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_recall",
+    "dedup_simhash",
+    "embedding_quantize_int8",
+    "filter_isin",
+    "filter_sql_string_where",
+    "graph_pagerank_transitions",
+    "join_inner",
+    "join_left_anti",
+    "join_range",
+    "join_salted_skew",
+    "knn_cosine_topk",
+    "knn_cosine_topk_pandas",
+    "multimodal_frame_sample",
+    "mutation_delete_where",
 ]
 
 
