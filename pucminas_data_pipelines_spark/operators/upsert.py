@@ -1282,6 +1282,24 @@ class ManifestVersionedTable:
                 old_dvs = m_prev.get("deletion_vectors", [])
                 if m_v.get("deletion_vectors", [])[: len(old_dvs)] != old_dvs:
                     conflict("deletion-vector list was rewritten")
+            elif txn["kind"] == "compact":
+                # compaction tolerates ONLY blind appends: winner dirs
+                # must be pure extensions (they splice on top of the
+                # compacted layout); any rewrite/DV change conflicts
+                # (the compaction consumed the base's rows/DVs and
+                # cannot see the winner's edits)
+                for b, old in m_prev["buckets"].items():
+                    if m_v["buckets"].get(b, [])[: len(old)] != old:
+                        conflict(
+                            f"bucket {b} was rewritten (compaction read "
+                            "its pre-rewrite rows)"
+                        )
+                if m_v.get("deletion_vectors", []) != txn["base_dvs"]:
+                    conflict(
+                        "deletion-vector list changed (the compaction "
+                        "materialized the base's DVs and cannot apply "
+                        "the winner's)"
+                    )
             m_prev = m_v
 
     def _apply_staged(self, txn: dict, latest_m: dict) -> tuple[dict, dict]:
@@ -1303,6 +1321,19 @@ class ManifestVersionedTable:
         if txn["kind"] == "append":
             for b, ds in txn["written"].items():
                 buckets.setdefault(b, []).extend(ds)
+        elif txn["kind"] == "compact":
+            # compacted layout + the suffix dirs winners appended since
+            # the base (compat guaranteed extend-only); the rewrite
+            # consumed the base's DVs, so the result starts DV-free
+            base_b = txn["base_buckets"]
+            spliced: dict[str, list[str]] = {}
+            for b in set(buckets) | set(txn["written"]):
+                suffix = buckets.get(b, [])[len(base_b.get(b, [])):]
+                merged = list(txn["written"].get(b, [])) + suffix
+                if merged:
+                    spliced[b] = merged
+            buckets = spliced
+            manifest["deletion_vectors"] = []
         else:  # rewrite
             for b in txn["affected"]:
                 buckets.pop(b, None)
@@ -1619,7 +1650,32 @@ class ManifestVersionedTable:
         BOTH dimensions and a selective ``read_where`` on EITHER one
         prunes — lexicographic clustering gives the trailing column
         nothing. Column min/max for the ranking come from one aggregate
-        over the table being rewritten (which optimize scans anyway)."""
+        over the table being rewritten (which optimize scans anyway).
+
+        NON-BLOCKING: commits through the OCC retry/rebase path, so a
+        compaction that loses its commit race to concurrent APPENDs
+        still lands — the appended dirs simply ride on top of the
+        compacted layout (Delta's OPTIMIZE is likewise append-tolerant:
+        it only removes files it read). Maintenance never blocks
+        ingest; a concurrent merge/delete/DV commit still refuses."""
+        return self.commit_staged(
+            self.stage_optimize(
+                cluster_by=cluster_by,
+                zorder_by=zorder_by,
+                files_per_bucket=files_per_bucket,
+            )
+        )
+
+    def stage_optimize(
+        self,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        files_per_bucket: int = 8,
+    ) -> dict:
+        """Phase 1 of a compaction transaction: rewrite the CURRENT rows
+        into a fresh full layout (unpublished), remembering the base
+        bucket lists so commit_staged can splice dirs appended by
+        concurrent winners on top of the compacted buckets."""
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by or zorder_by, not both")
         version = self.latest_version()
@@ -1652,17 +1708,28 @@ class ManifestVersionedTable:
         # the rewrite reads THROUGH outstanding deletion vectors, so the
         # compacted files have the deletes applied physically — the new
         # manifest starts DV-free (Delta's PURGE side effect of OPTIMIZE)
-        self._commit_with_stats(
-            dict(manifest, deletion_vectors=[]),
-            self._write_buckets(
+        return {
+            "kind": "compact",
+            "operation": op,
+            "base_version": version,
+            "base_columns": manifest["columns"],
+            "base_schema": manifest["schema"],
+            "out_columns": manifest["columns"],
+            "out_schema": manifest["schema"],
+            "base_constraints": manifest.get("constraints", {}),
+            "base_generated": manifest.get("generated", {}),
+            "base_dvs": list(manifest.get("deletion_vectors", [])),
+            "base_buckets": {
+                b: list(ds) for b, ds in manifest["buckets"].items()
+            },
+            "written": self._write_buckets(
                 current,
                 cluster_by=cluster,
                 files_per_bucket=files_per_bucket,
             ),
-            version + 1,
-            operation=op,
-        )
-        return version + 1
+            "txn_app": None,
+            "txn_version": None,
+        }
 
     def generate_manifest(self) -> str:
         """O16: symlink-format manifest — the latest version's parquet

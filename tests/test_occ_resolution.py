@@ -253,3 +253,85 @@ def test_streaming_ingest_plus_compaction_topology(spark, tmp_path):
     ]
     assert _sorted(t.read()) == _sorted(_rows(spark, want))
     assert t.last_txn_version("ingest") == 2
+
+
+# --------------------------------------------- non-blocking compaction --
+
+
+def test_optimize_rebases_over_concurrent_appends(spark, tmp_path):
+    """Maintenance must not block ingest: a compaction staged against v0
+    that loses to two appends still lands, with the appended dirs
+    spliced on top of the compacted layout."""
+    t = _table(spark, tmp_path)
+    s_opt = t.stage_optimize()
+    t.append(_rows(spark, [(7, "gui", 70.0)]))   # v1
+    t.append(_rows(spark, [(8, "hugo", 80.0)]))  # v2
+    assert t.commit_staged(s_opt) == 3
+    want = BASE + [(7, "gui", 70.0), (8, "hugo", 80.0)]
+    assert _sorted(t.read()) == _sorted(_rows(spark, want))
+    ops = [h["operation"] for h in t.describe_history()]
+    assert ops[0] == "OPTIMIZE"
+
+
+def test_optimize_refuses_concurrent_rewrite_and_dv(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s_opt = t.stage_optimize()
+    t.merge(_rows(spark, [(2, "bia2", 21.0)]))
+    with pytest.raises(ConcurrentWriteError, match="rewritten"):
+        t.commit_staged(s_opt)
+    t2 = ManifestVersionedTable(
+        spark, str(tmp_path / "t2"), key="id", n_buckets=8
+    )
+    t2.overwrite(_rows(spark, BASE))
+    s_opt2 = t2.stage_optimize()
+    t2.delete_where(F.col("id") == 2, mode="merge_on_read")
+    with pytest.raises(ConcurrentWriteError, match="deletion-vector"):
+        t2.commit_staged(s_opt2)
+
+
+def test_optimize_purges_base_dvs_even_after_rebase(spark, tmp_path):
+    """A compaction staged on a snapshot WITH outstanding DVs applies
+    them physically; rebasing over a concurrent append must still purge
+    the DV list (the appended rows carry no DV marks)."""
+    t = _table(spark, tmp_path)
+    t.delete_where(F.col("id") == 2, mode="merge_on_read")  # v1: DV
+    s_opt = t.stage_optimize()
+    t.append(_rows(spark, [(7, "gui", 70.0)]))  # v2: DV list unchanged
+    v = t.commit_staged(s_opt)
+    m = t._manifest(v)
+    assert m.get("deletion_vectors", []) == []
+    want = [r for r in BASE if r[0] != 2] + [(7, "gui", 70.0)]
+    assert _sorted(t.read()) == _sorted(_rows(spark, want))
+
+
+def test_threaded_append_storm_all_land(spark, tmp_path):
+    """Real races (not staged interleavings): N threads each stage and
+    publish appends against whatever snapshot they observe; the commit
+    loop's put-if-absent retry path must land every one exactly once."""
+    import threading
+
+    t = _table(spark, tmp_path)
+    n_threads, per_thread = 4, 3
+    errors: list[Exception] = []
+
+    def writer(tid: int):
+        try:
+            for j in range(per_thread):
+                k = 1000 + tid * 100 + j
+                s = t.stage_append(_rows(spark, [(k, f"w{tid}_{j}", float(k))]))
+                t.commit_staged(s, max_attempts=100)
+        except Exception as ex:  # surface, don't swallow
+            errors.append(ex)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.latest_version() == n_threads * per_thread
+    got = _sorted(t.read())
+    assert len(got) == len(BASE) + n_threads * per_thread
+    assert len({r[0] for r in got}) == len(got)  # no duplicates
