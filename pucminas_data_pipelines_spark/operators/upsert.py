@@ -1933,7 +1933,158 @@ class ManifestVersionedTable:
         with open(commit, "w") as fh:
             for a in actions:
                 fh.write(_json.dumps(a) + "\n")
+        with open(os.path.join(log_dir, "_mvt_export_state"), "w") as fh:
+            _json.dump(
+                {"manifest_version": self.latest_version(), "log_version": 0},
+                fh,
+            )
         return commit
+
+    # -- incremental (tailable) Delta-log export ------------------------
+    def _delta_actions_for_diff(
+        self, m_prev: dict | None, m_v: dict
+    ) -> list[dict]:
+        """Public-format Delta actions turning snapshot m_prev into m_v:
+        remove for every file of a dropped dir, add for every file of a
+        new dir (file grain, like Delta), a metaData action when the
+        schema changed, and txn actions for idempotent-writer watermark
+        movements. O(changed dirs' file listings), no data reads."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        actions: list[dict] = []
+        prev_dirs = set(self._bucket_dirs(m_prev["buckets"])) if m_prev else set()
+        cur_dirs = set(self._bucket_dirs(m_v["buckets"]))
+        if m_prev is None or m_prev["schema"] != m_v["schema"]:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": f"mvt-{os.path.basename(self.path)}",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(
+                            StructType.fromJson(m_v["schema"]).jsonValue()
+                        ),
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+        prev_txns = (m_prev or {}).get("txns", {})
+        for app, ver in sorted(m_v.get("txns", {}).items()):
+            if prev_txns.get(app) != ver:
+                actions.append({"txn": {"appId": app, "version": ver}})
+        now_ms = None
+        for rel in sorted(prev_dirs - cur_dirs):
+            d = self._abs(rel)
+            try:
+                names = sorted(os.listdir(d))
+            except FileNotFoundError:
+                names = []  # vacuumed dir: the remove is still correct
+            for fname in names:
+                if fname.endswith(".parquet"):
+                    if now_ms is None:
+                        import time as _time
+
+                        now_ms = int(_time.time() * 1000)
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": os.path.join(rel, fname),
+                                "deletionTimestamp": now_ms,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+        for rel in sorted(cur_dirs - prev_dirs):
+            d = self._abs(rel)
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(d, fname)
+                actions.append(
+                    {
+                        "add": {
+                            "path": os.path.join(rel, fname),
+                            "partitionValues": {},
+                            "size": os.path.getsize(full),
+                            "modificationTime": int(
+                                os.path.getmtime(full) * 1000
+                            ),
+                            "dataChange": True,
+                        }
+                    }
+                )
+        return actions
+
+    def export_delta_log_tail(self) -> list[str]:
+        """Incremental, TAILABLE Delta-log export: mirror the manifest
+        commit history into the public ``_delta_log`` format one JSON
+        commit per version — the first call exports the full available
+        history (protocol + metaData + adds at the base, then file-level
+        add/remove diffs per commit, with metaData re-emitted on schema
+        evolution and txn actions carrying idempotent-writer
+        watermarks); every later call exports ONLY the versions
+        committed since, so an external Delta engine (or
+        operators/deltalog.DeltaLogReader — round-trip-tested, including
+        per-version time travel) can tail this table across repeated
+        exports, exactly Delta's one-json-per-commit contract. Composes
+        with ``export_delta_log()``: a snapshot export becomes log
+        version 0 (a checkpoint-like compressed base) and the tail
+        continues from it. Versions carrying outstanding deletion
+        vectors refuse — exported file lists alone would resurrect
+        their deleted rows; optimize() first.
+
+        Scale: each export call is O(new commits' changed-dir file
+        listings) driver-side; no data is copied or read."""
+        import json as _json
+
+        log_dir = os.path.join(self.path, "_delta_log")
+        state_path = os.path.join(log_dir, "_mvt_export_state")
+        latest = self.latest_version()
+        if os.path.isdir(log_dir):
+            try:
+                with open(state_path) as fh:
+                    state = _json.load(fh)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"{log_dir} exists without export state (a pre-r11 "
+                    "snapshot export?); remove it and re-export"
+                ) from None
+            from_mv = state["manifest_version"]
+            next_log = state["log_version"] + 1
+            m_prev = self._manifest(from_mv)
+        else:
+            os.makedirs(log_dir)
+            from_mv = -1
+            next_log = 0
+            m_prev = None
+        written: list[str] = []
+        for v in range(from_mv + 1, latest + 1):
+            m_v = self._manifest(v)
+            if m_v.get("deletion_vectors"):
+                raise ValueError(
+                    f"version {v} carries deletion vectors; optimize() "
+                    "first so exported files carry the deletes physically"
+                )
+            actions: list[dict] = []
+            if m_prev is None:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+            actions.extend(self._delta_actions_for_diff(m_prev, m_v))
+            commit = os.path.join(log_dir, f"{next_log:020d}.json")
+            with open(commit, "w") as fh:
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+            written.append(commit)
+            with open(state_path, "w") as fh:
+                _json.dump(
+                    {"manifest_version": v, "log_version": next_log}, fh
+                )
+            m_prev = m_v
+            next_log += 1
+        return written
 
 
 class DeltaVersionedTable:

@@ -1096,6 +1096,37 @@ def mutation_manifest_delta_export(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "mutation_manifest_delta_tail",
+    oracle=_TYPED_SELECT.format(rows=_values(_expected_merged())),
+)
+def mutation_manifest_delta_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAILABLE Delta-log export (operators/upsert.py
+    export_delta_log_tail, r11): the manifest commit HISTORY — not just
+    the snapshot — is mirrored into the public format one JSON per
+    commit (base adds, then file-level add/remove diffs), and the
+    protocol reader replays it: versionAsOf=0 must equal the
+    pre-merge base and the latest must equal the post-MERGE state (the
+    oracle). Re-export after new commits appends only the new log
+    entries — the contract that lets an external Delta engine tail
+    this table; per-version parity, snapshot+tail composition and DV
+    refusal are pinned in tests/test_deltalog.py."""
+    from pucminas_data_pipelines_spark.operators.deltalog import DeltaLogReader
+
+    table = _run_manifest_scenario(
+        spark, "/root/repo/.tmp/titanic_mvt_tail"
+    )
+    written = table.export_delta_log_tail()
+    reader = DeltaLogReader(spark, table.path)
+    base_n = reader.read(version_as_of=0).count()
+    if len(written) != 2 or base_n != len(TITANIC_BASE_ROWS):
+        raise AssertionError(
+            f"tail export mis-shaped: {len(written)} commits, "
+            f"v0 rows {base_n}"
+        )
+    return _lowered(reader.read())
+
+
+@query(
     "mutation_manifest_shallow_clone",
     oracle="""
     WITH src AS (

@@ -231,3 +231,84 @@ def test_manifest_table_exports_readable_delta_log(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == expect
     assert (3, "z") in expect and all(r[0] != 7 for r in expect)
     assert [f.name for f in got.schema.fields] == ["k", "name"]
+
+
+def test_tail_export_mirrors_history_and_time_travels(spark, tmp_path):
+    """export_delta_log_tail: one public-format JSON commit per manifest
+    version; the protocol reader must reproduce EVERY version via
+    versionAsOf, and a re-export after more commits appends only the
+    new log entries (the tailing contract)."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+
+    def rows(data):
+        return spark.createDataFrame(data, SCHEMA)
+
+    t.overwrite(rows([(1, "ana"), (2, "bia"), (3, "caio")]))  # v0
+    t.append(rows([(4, "dina")]))                             # v1
+    t.merge(rows([(2, "bia2"), (5, "edu")]))                  # v2
+    written = t.export_delta_log_tail()
+    assert [os.path.basename(p) for p in written] == [
+        f"{v:020d}.json" for v in range(3)
+    ]
+    r = DeltaLogReader(spark, str(tmp_path / "t"))
+    for v in range(3):
+        got = sorted(map(tuple, r.read(version_as_of=v).collect()))
+        want = sorted(map(tuple, t.read(version_as_of=v).collect()))
+        assert got == want, f"log version {v}"
+    # tail: only the new commit is exported on the second call
+    from pyspark.sql import functions as F
+
+    t.delete_where(F.col("k") == 1)
+    written2 = t.export_delta_log_tail()
+    assert [os.path.basename(p) for p in written2] == [f"{3:020d}.json"]
+    got = sorted(map(tuple, r.read().collect()))
+    assert got == sorted(map(tuple, t.read().collect()))
+
+
+def test_tail_export_composes_with_snapshot_export(spark, tmp_path):
+    """A snapshot export (compressed base, like a checkpoint) followed
+    by tail exports: the tail continues the log from the snapshot's
+    state, and the reader serves the latest table."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+
+    def rows(data):
+        return spark.createDataFrame(data, SCHEMA)
+
+    t.overwrite(rows([(1, "ana"), (2, "bia")]))   # v0
+    t.merge(rows([(2, "bia2")]))                  # v1
+    t.export_delta_log()                          # snapshot of v1 -> log 0
+    t.append(rows([(3, "caio")]))                 # v2
+    written = t.export_delta_log_tail()           # diff v1->v2 -> log 1
+    assert [os.path.basename(p) for p in written] == [f"{1:020d}.json"]
+    r = DeltaLogReader(spark, str(tmp_path / "t"))
+    assert sorted(map(tuple, r.read().collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+
+
+def test_tail_export_refuses_dv_versions_and_statless_logs(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "ana"), (2, "bia")], SCHEMA))
+    t.delete_where(F.col("k") == 1, mode="merge_on_read")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.export_delta_log_tail()
+    # a _delta_log without export state (foreign/pre-r11) refuses loudly
+    t2 = ManifestVersionedTable(spark, str(tmp_path / "t2"), key="k", n_buckets=2)
+    t2.overwrite(spark.createDataFrame([(1, "ana")], SCHEMA))
+    os.makedirs(os.path.join(str(tmp_path / "t2"), "_delta_log"))
+    with pytest.raises(ValueError, match="export state"):
+        t2.export_delta_log_tail()
