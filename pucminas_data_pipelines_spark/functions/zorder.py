@@ -37,9 +37,31 @@ def interleave2(a: Column, b: Column) -> Column:
     """Morton-interleave two BITS-bit ranks: bit i of ``a`` lands at
     position 2i, bit i of ``b`` at 2i+1. 2*BITS terms of shift/and/or —
     constant-folded into one codegen expression."""
+    return interleave_n([a, b])
+
+
+def interleave_n(ranks: list[Column]) -> Column:
+    """Morton-interleave k ranks (k*per_dim_bits ≤ 62 so the z-value
+    stays a positive bigint): bit i of rank j lands at position
+    k*i + j — the general Z-curve, so a selective filter on ANY of the
+    k clustered dimensions prunes files. Per-dimension resolution
+    shrinks as k grows (62//k bits, e.g. 4 dims → 15 bits ≈ 32k cells
+    per dim), which is the standard Z-order trade: more clustered
+    columns, coarser clustering per column — the reason Delta
+    recommends Z-ordering on few columns. All shift/and/add terms stay
+    inside whole-stage codegen."""
+    k = len(ranks)
+    if k < 2:
+        raise ValueError(f"interleave_n needs >= 2 ranks, got {k}")
+    per_dim = min(BITS, 62 // k)
     z = F.lit(0).cast("bigint")
-    for i in range(BITS):
-        bit_a = F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1).cast("bigint"))
-        bit_b = F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1).cast("bigint"))
-        z = z + F.shiftleft(bit_a, 2 * i) + F.shiftleft(bit_b, 2 * i + 1)
+    for i in range(per_dim):
+        for j, r in enumerate(ranks):
+            # drop rank bits above per_dim by sampling the TOP per_dim
+            # bits (ranks are BITS-bit; shifting keeps the significant
+            # end so coarser grids stay order-preserving)
+            bit = F.shiftrightunsigned(
+                r, i + (BITS - per_dim)
+            ).bitwiseAND(F.lit(1).cast("bigint"))
+            z = z + F.shiftleft(bit, k * i + j)
     return z

@@ -1685,21 +1685,30 @@ class ManifestVersionedTable:
         op = "OPTIMIZE"
         if zorder_by:
             from pucminas_data_pipelines_spark.functions.zorder import (
-                interleave2,
+                interleave_n,
                 to_rank,
             )
 
-            if len(zorder_by) != 2:
+            if len(zorder_by) < 2:
                 raise ValueError(
-                    f"zorder_by takes exactly 2 columns, got {zorder_by}"
+                    f"zorder_by takes >= 2 columns, got {zorder_by}"
                 )
-            a, b = zorder_by
             bounds = current.agg(
-                F.min(a), F.max(a), F.min(b), F.max(b)
+                *[
+                    f
+                    for c in zorder_by
+                    for f in (F.min(c), F.max(c))
+                ]
             ).collect()[0]
-            z = interleave2(
-                to_rank(F.col(a), F.lit(bounds[0]), F.lit(bounds[1])),
-                to_rank(F.col(b), F.lit(bounds[2]), F.lit(bounds[3])),
+            z = interleave_n(
+                [
+                    to_rank(
+                        F.col(c),
+                        F.lit(bounds[2 * i]),
+                        F.lit(bounds[2 * i + 1]),
+                    )
+                    for i, c in enumerate(zorder_by)
+                ]
             )
             cluster = [z]
             op = f"OPTIMIZE (zorder_by={zorder_by})"

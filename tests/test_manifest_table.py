@@ -700,10 +700,49 @@ def test_zorder_optimize_prunes_on_both_dimensions(spark, tmp_path):
         f"{ny_lex}/{lex_total}"
     )
 
-    with pytest.raises(ValueError, match="exactly 2"):
+    with pytest.raises(ValueError, match=">= 2"):
         z.optimize(zorder_by=["x"])
     with pytest.raises(ValueError, match="not both"):
         z.optimize(cluster_by=["x"], zorder_by=["x", "y"])
+
+
+def test_zorder_three_dimensions_prune_independently(spark, tmp_path):
+    """interleave_n generalizes the Morton curve to k columns (62//k
+    bits per dim): after OPTIMIZE ZORDER on (x, y, w), a selective
+    read_where on EACH single dimension must plan fewer files than the
+    total — the property that makes 3-D probes prunable at all (a
+    lexicographic sort gives the two trailing columns nothing)."""
+    rows = [
+        (i, float(i % 16), float((i // 16) % 16), float(i // 256))
+        for i in range(4096)
+    ]
+    t = ManifestVersionedTable(spark, str(tmp_path / "z3"), key="id", n_buckets=2)
+    t.overwrite(
+        spark.createDataFrame(rows, "id bigint, x double, y double, w double")
+    )
+    t.optimize(zorder_by=["x", "y", "w"], files_per_bucket=16)
+    m = t._manifest(t.latest_version())
+    total = sum(len(fs) for fs in m["file_stats"].values())
+
+    def planned(ranges):
+        got = t.read_where(ranges)
+        return (
+            got.select(F.input_file_name()).distinct().count(),
+            got.count(),
+        )
+
+    for col, lo, hi, want in [
+        ("x", 2.0, 3.0, 2 * 16 * 16),
+        ("y", 2.0, 3.0, 2 * 16 * 16),
+        ("w", 2.0, 3.0, 2 * 256),
+    ]:
+        nfiles, nrows = planned([(col, lo, hi)])
+        assert nfiles < total, f"{col}: {nfiles}/{total} files"
+        assert nrows == want, (col, nrows)
+    # the 3-D box probe returns exactly the box: each (x, y, w) triple
+    # occurs once, so a 2x2x2 box holds 8 rows
+    _, nbox = planned([("x", 2.0, 3.0), ("y", 2.0, 3.0), ("w", 2.0, 3.0)])
+    assert nbox == 8
 
 
 # ------------------------------------------------------- shallow clone --
