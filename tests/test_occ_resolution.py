@@ -335,3 +335,50 @@ def test_threaded_append_storm_all_land(spark, tmp_path):
     got = _sorted(t.read())
     assert len(got) == len(BASE) + n_threads * per_thread
     assert len({r[0] for r in got}) == len(got)  # no duplicates
+
+
+def test_live_stream_ingest_survives_mid_epoch_compaction(spark, tmp_path):
+    """The motivating topology, run LIVE: a foreachBatch ingest stream
+    stages its append, a maintenance OPTIMIZE commits mid-epoch (winning
+    the version race), and the staged append still lands by rebasing —
+    ingest and compaction interleave with zero failed commits and an
+    exact final row count."""
+    from pucminas_data_pipelines_spark.streaming.jobs import (
+        read_events_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    target = ManifestVersionedTable(
+        spark, str(tmp_path / "t"), key="event_id", n_buckets=4
+    )
+    stream = read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "event_type", "value"
+    )
+    target.overwrite(spark.createDataFrame([], stream.schema))
+    raced: list[int] = []
+
+    def ingest(batch_df, batch_id: int) -> None:
+        staged = target.stage_append(
+            batch_df, txn_app="ingest", txn_version=batch_id
+        )
+        # maintenance job fires mid-epoch and WINS the next version
+        target.optimize()
+        v = target.commit_staged(staged)
+        raced.append(v)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert raced, "stream produced no epochs"
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    want = load_table(spark, SF_SMOKE, "events").count()
+    assert target.read().count() == want
+    ops = [h["operation"] for h in target.describe_history()]
+    assert "OPTIMIZE" in ops and "APPEND" in ops
+    assert target.last_txn_version("ingest") == len(raced) - 1
