@@ -80,6 +80,13 @@ HEADLINE = [
     # commit-layer costs longitudinally
     "mutation_manifest_timerange_scan",
     "mutation_incremental_rollup",
+    # appended r11: the Z-order compaction + 2-D pruned rectangle scan
+    # (ingest + OPTIMIZE ZORDER + three stats-pruned probes end-to-end)
+    # and the MIN/MAX incrementally-maintained rollup with its targeted
+    # delete-the-maximum group rescan — pin the r11 commit-layer and
+    # maintenance costs longitudinally
+    "mutation_manifest_zorder_scan",
+    "mutation_incremental_rollup_minmax",
 ]
 
 
