@@ -720,6 +720,83 @@ class ManifestVersionedTable:
         )
         return version + 1
 
+    def drop_column(self, name: str) -> int:
+        """Delta ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the
+        column leaves the manifest's schema/column list, so every read —
+        which projects exactly ``manifest['columns']`` through the
+        manifest-pinned reader schema — stops seeing it instantly; no
+        data file is rewritten (the bytes linger until an optimize()
+        rewrite, same as Delta, where the logical drop is also
+        metadata + a later REORG to purge).
+
+        Guards: the bucket key cannot be dropped (every merge/read_keys
+        depends on it), and a column referenced by a CHECK constraint or
+        a generated-column expression refuses (the stored expression
+        would break on the next write). The dropped name is REMEMBERED
+        (``manifest['dropped']``): re-adding it via merge_schema refuses,
+        because the by-name reader would resurrect the old files' values
+        for it — the hazard Delta's column-mapping ids exist to prevent;
+        use a new name."""
+        import re as _re
+
+        from pyspark.sql.types import StructType
+
+        version = self.latest_version()
+        manifest = self._manifest(version)
+        if name == self.key:
+            raise ValueError(f"cannot drop the bucket key {name!r}")
+        if name not in manifest["columns"]:
+            raise ValueError(f"column {name!r} not in {manifest['columns']}")
+        word = _re.compile(rf"\b{_re.escape(name)}\b")
+        for kind in ("constraints", "generated"):
+            for ref_name, expr in manifest.get(kind, {}).items():
+                if word.search(expr):
+                    raise ValueError(
+                        f"column {name!r} is referenced by {kind[:-1]} "
+                        f"{ref_name!r} ({expr}); drop that first"
+                    )
+        schema = StructType.fromJson(manifest["schema"])
+        new_schema = StructType([f for f in schema.fields if f.name != name])
+        self._commit_manifest(
+            dict(
+                manifest,
+                columns=[c for c in manifest["columns"] if c != name],
+                schema=new_schema.jsonValue(),
+                dropped=sorted(set(manifest.get("dropped", [])) | {name}),
+                commit_info={"operation": f"DROP COLUMN ({name})"},
+            ),
+            version + 1,
+        )
+        return version + 1
+
+    def rebucket(self, n_buckets: int) -> int:
+        """Bucket-count evolution (the Iceberg partition-evolution move
+        for a hash-bucketed layout): rewrite the CURRENT rows under a
+        new bucket count and commit it. A table created at 16 buckets
+        for 1 TB needs ~1024 at 100 TB or every merge rewrites 1/16th
+        of the table; without this commit the creation-time choice is
+        forever. Full rewrite by necessity — every row's bucket id
+        changes — so it shares optimize()'s cost profile and, like
+        overwrite, does NOT rebase over concurrent winners (a lost race
+        refuses loudly: no splice is possible when the bucket spelling
+        itself changed). Time travel still works: old manifests carry
+        their own n_buckets, and reopened handles always trust the
+        manifest. Outstanding deletion vectors are materialized by the
+        rewrite, like optimize()."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets={n_buckets} must be >= 1")
+        version = self.latest_version()
+        manifest = self._manifest(version)
+        current = self.read()
+        self.n_buckets = n_buckets  # _bucket_expr/_write_buckets use it
+        self._commit_with_stats(
+            dict(manifest, n_buckets=n_buckets, deletion_vectors=[]),
+            self._write_buckets(current),
+            version + 1,
+            operation=f"REBUCKET({n_buckets})",
+        )
+        return version + 1
+
     # -- reference operator surface ------------------------------------
     def overwrite(
         self, df: DataFrame, generated: dict[str, str] | None = None
@@ -833,6 +910,13 @@ class ManifestVersionedTable:
         for f in added:
             if f.name in ("mvt_bucket", "_s_present"):
                 raise ValueError(f"column name {f.name!r} is reserved")
+            if f.name in manifest.get("dropped", []):
+                raise ValueError(
+                    f"column {f.name!r} was previously dropped; re-adding "
+                    "it would resurrect the old files' values for it "
+                    "(the by-name reader has no column-mapping ids) — "
+                    "use a new name"
+                )
         evolved = StructType(list(stored.fields) + added)
         fill = [f for f in evolved.fields if f.name not in df.columns]
         if fill:
@@ -923,6 +1007,7 @@ class ManifestVersionedTable:
             "kind": "append",
             "operation": "APPEND",
             "base_version": version,
+            "base_n_buckets": manifest["n_buckets"],
             # compat checks compare winners against the PRE-evolution
             # schema (they committed against it); apply carries the
             # evolved layout
@@ -1033,6 +1118,7 @@ class ManifestVersionedTable:
             "kind": "rewrite",
             "operation": "MERGE",
             "base_version": version,
+            "base_n_buckets": manifest["n_buckets"],
             "base_columns": cols,
             "base_schema": manifest["schema"],
             "out_columns": cols,
@@ -1093,6 +1179,7 @@ class ManifestVersionedTable:
                 "kind": "dv_append",
                 "operation": "DELETE (merge-on-read)",
                 "base_version": version,
+                "base_n_buckets": manifest["n_buckets"],
                 "base_columns": manifest["columns"],
                 "base_schema": manifest["schema"],
                 "base_constraints": manifest.get("constraints", {}),
@@ -1124,6 +1211,7 @@ class ManifestVersionedTable:
             "kind": "rewrite",
             "operation": "DELETE",
             "base_version": version,
+            "base_n_buckets": manifest["n_buckets"],
             "base_columns": manifest["columns"],
             "base_schema": manifest["schema"],
             "out_columns": manifest["columns"],
@@ -1247,6 +1335,11 @@ class ManifestVersionedTable:
                 or m_v["schema"] != txn["base_schema"]
             ):
                 conflict("table schema changed")
+            if m_v["n_buckets"] != txn["base_n_buckets"]:
+                # a REBUCKET winner re-hashed every row; staged files
+                # were bucketed under the OLD count — splicing them in
+                # would scatter keys across wrong buckets
+                conflict("bucket count changed (REBUCKET)")
             if m_v.get("constraints", {}) != txn["base_constraints"]:
                 conflict(
                     "CHECK constraints changed (staged rows were "
@@ -1721,6 +1814,7 @@ class ManifestVersionedTable:
             "kind": "compact",
             "operation": op,
             "base_version": version,
+            "base_n_buckets": manifest["n_buckets"],
             "base_columns": manifest["columns"],
             "base_schema": manifest["schema"],
             "out_columns": manifest["columns"],

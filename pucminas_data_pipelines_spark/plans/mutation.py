@@ -1001,6 +1001,68 @@ def mutation_manifest_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("o_orderkey", "o_custkey", "o_totalprice").orderBy("o_orderkey")
 
 
+@query(
+    "mutation_manifest_drop_column",
+    oracle=f"""
+    SELECT CAST(passengerid AS INTEGER) AS passengerid,
+           CAST(survived AS INTEGER) AS survived,
+           CAST(fare AS DOUBLE) AS fare
+    FROM (VALUES {{rows}}) t(passengerid, survived, pclass, name, sex, age,
+                             sibsp, parch, ticket, fare, cabin, embarked)
+    ORDER BY passengerid
+    """.format(rows=_values(_expected_merged())),
+)
+def mutation_manifest_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ALTER TABLE DROP COLUMN (operators/upsert.py drop_column):
+    nine of the twelve titanic columns leave the table as METADATA-ONLY
+    commits — zero data files rewritten (the manifest's schema is
+    authoritative, so the manifest-pinned reader stops projecting them
+    instantly) — and the post-MERGE state reads back with exactly the
+    surviving three columns; time travel to the pre-drop version still
+    serves all twelve. Bucket-key protection, constraint/generated
+    reference guards, and the dropped-name re-add refusal (the hazard
+    Delta's column-mapping ids exist for) are pinned in
+    tests/test_manifest_table.py."""
+    table = _run_manifest_scenario(
+        spark, "/root/repo/.tmp/titanic_mvt_dropcol"
+    )
+    for col in [
+        "Pclass", "Name", "Sex", "Age", "SibSp",
+        "Parch", "Ticket", "Cabin", "Embarked",
+    ]:
+        table.drop_column(col)
+    if len(table.read(version_as_of=1).columns) != 12:
+        raise AssertionError("time travel lost the pre-drop layout")
+    return _lowered(table.read())
+
+
+@query(
+    "mutation_manifest_rebucket",
+    oracle=_TYPED_SELECT.format(rows=_values(_expected_merged())),
+)
+def mutation_manifest_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution (operators/upsert.py rebucket — the
+    Iceberg partition-evolution move): the merge scenario's 4-bucket
+    table is re-hashed to 16 buckets in one audited commit; content is
+    bit-identical (the oracle is the same post-MERGE state), point
+    reads prune against the NEW bucketing, and a write staged under the
+    old count refuses to splice (pinned in test_manifest_table.py).
+    At 100 TB this is what saves a table created small: without it the
+    creation-time bucket count makes every merge rewrite 1/16th of the
+    table forever."""
+    table = _run_manifest_scenario(
+        spark, "/root/repo/.tmp/titanic_mvt_rebucket"
+    )
+    v = table.rebucket(16)
+    m = table._manifest(v)
+    if m["n_buckets"] != 16:
+        raise AssertionError(f"rebucket did not land: {m['n_buckets']}")
+    probe = table.read_keys([1, 892])
+    if probe.count() != 2:
+        raise AssertionError("post-rebucket point read missed keys")
+    return _lowered(table.read())
+
+
 # Row appended by the RACING writer in the concurrent-writers scenario.
 # Key 895 hashes to a bucket (n_buckets=4) disjoint from the merge
 # source's buckets {0, 2} ({1, 5, 892, 893} under pmod(xxhash64, 4)) —

@@ -1000,3 +1000,72 @@ def test_vacuum_grace_period_skips_young_dv_sidecars(spark, tmp_path):
     assert dv_root.is_dir() and any(dv_root.iterdir())  # young sidecar kept
     t.vacuum(retain_last=1, min_age_seconds=0)
     assert not dv_root.is_dir() or not any(dv_root.iterdir())
+
+
+# ---------------------------------------------- schema/layout evolution --
+
+
+def test_drop_column_is_metadata_only_and_guarded(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    files_before = set(
+        ManifestVersionedTable._bucket_dirs(t._manifest(0)["buckets"])
+    )
+    v = t.drop_column("name")
+    # metadata-only: the new version shares every data dir
+    assert set(
+        ManifestVersionedTable._bucket_dirs(t._manifest(v)["buckets"])
+    ) == files_before
+    assert t.read().columns == ["id", "score"]
+    # time travel still serves the pre-drop layout
+    assert t.read(version_as_of=0).columns == ["id", "name", "score"]
+    # later writes work against the narrowed schema
+    t.append(spark.createDataFrame([(7, 70.0)], "id bigint, score double"))
+    assert t.read().count() == len(BASE) + 1
+    with pytest.raises(ValueError, match="cannot drop the bucket key"):
+        t.drop_column("id")
+    with pytest.raises(ValueError, match="not in"):
+        t.drop_column("nope")
+
+
+def test_drop_column_refuses_referenced_and_readded_names(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    t.add_constraint("pos", "score > 0")
+    with pytest.raises(ValueError, match="referenced by constraint"):
+        t.drop_column("score")
+    t.drop_constraint("pos")
+    t.drop_column("score")
+    # re-adding a dropped name would resurrect old file bytes — refused
+    with pytest.raises(ValueError, match="previously dropped"):
+        t.append(
+            spark.createDataFrame(
+                [(8, "x", 1.0)], "id bigint, name string, score double"
+            ),
+            merge_schema=True,
+        )
+
+
+def test_rebucket_rewrites_layout_and_blocks_stale_rebase(spark, tmp_path):
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(_rows(spark, BASE))
+    # a staged append under the OLD bucket count...
+    s_app = t.stage_append(_rows(spark, [(7, "gui", 70.0)]))
+    v = t.rebucket(16)
+    assert t._manifest(v)["n_buckets"] == 16
+    assert _sorted(t.read()) == _sorted(_rows(spark, BASE))
+    # ...must NOT splice into the re-hashed layout
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ConcurrentWriteError,
+    )
+
+    with pytest.raises(ConcurrentWriteError, match="bucket count"):
+        t.commit_staged(s_app)
+    # post-rebucket writes use the new bucketing and point reads prune
+    t.merge(_rows(spark, [(1, "ana2", 11.0)]))
+    got = {r["id"]: r["name"] for r in t.read_keys([1]).collect()}
+    assert got[1] == "ana2"
+    # a reopened handle trusts the manifest's new count
+    t2 = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id")
+    assert len(_sorted(t2.read())) == len(BASE)
+    assert t2.n_buckets == 16
