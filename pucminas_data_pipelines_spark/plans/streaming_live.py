@@ -725,3 +725,137 @@ def streaming_medallion_pipeline_live(
         "n_events",
         (F.col("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "streaming_manifest_cdf_live",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, value FROM events WHERE event_id % 3 = 0
+    ),
+    app AS (
+      SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 1
+    ),
+    upd AS (
+      SELECT value FROM base WHERE event_id % 30 = 0
+    ),
+    chg AS (
+      SELECT 'insert' AS _change_type, value FROM app
+      UNION ALL SELECT 'insert', CAST(7.0 AS DOUBLE)
+      UNION ALL SELECT 'insert', CAST(8.0 AS DOUBLE)
+      UNION ALL SELECT 'update_preimage', value FROM upd
+      UNION ALL SELECT 'update_postimage',
+                 CAST(CAST(value AS DECIMAL(12,2)) + 1 AS DOUBLE) FROM upd
+      UNION ALL SELECT 'delete', value FROM app WHERE event_type = 'click'
+    )
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM chg GROUP BY _change_type ORDER BY _change_type
+    """,
+)
+def streaming_manifest_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE change data feed (sources/manifest_cdf.py — the Delta
+    readChangeFeed analogue): while the stream tails the table, three
+    commits land — an APPEND (pure insert partitions, no pre-image
+    read), a MERGE (per-changed-bucket key-level diff: paired
+    update_preimage/update_postimage rows plus two inserts), and a
+    merge-on-read DELETE (the new DV sidecar's (file, row) keys fetched
+    positionally) — and the complete-mode rollup over the change rows
+    converges to the oracle's recomputation of every change class from
+    the raw events. Any missed commit, replayed offset, phantom change
+    from a compaction, or wrong pre/post pairing breaks the per-class
+    counts and DECIMAL-exact value sums. Per-commit equality with the
+    batch version_diff is pinned in tests/test_manifest_cdf.py.
+
+    Scale: each micro-batch plans O(manifest diff) and reads only
+    changed buckets / added dirs / marked rows — downstream subscribers
+    (incremental MVs, indexers) pay for the CHANGES, never the table."""
+    import shutil
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+    from pucminas_data_pipelines_spark.sources.manifest_cdf import (
+        ManifestCDFDataSource,
+    )
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    base = "/root/repo/.tmp/stream_manifest_cdf"
+    shutil.rmtree(base, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = ManifestVersionedTable(spark, base, key="event_id", n_buckets=4)
+    table.overwrite(events.where(F.col("event_id") % 3 == 0))  # v0
+    appended = events.where(F.col("event_id") % 3 == 1)
+    n_app = appended.count()
+    n_upd = events.where(
+        (F.col("event_id") % 3 == 0) & (F.col("event_id") % 30 == 0)
+    ).count()
+    n_del = appended.where(F.col("event_type") == "click").count()
+    expected_total = (n_app + 2) + 2 * n_upd + n_del
+    try:
+        spark.dataSource.register(ManifestCDFDataSource)
+    except Exception:
+        pass
+    src = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", base)
+        .option("startingVersion", 0)
+        .load()
+    )
+    agg = src.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+    sink = f"mvt_cdf_live_{uuid.uuid4().hex[:8]}"
+    with jobs._pinned_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            table.append(appended)  # v1: inserts
+            table.merge(
+                events.where(
+                    (F.col("event_id") % 3 == 0)
+                    & (F.col("event_id") % 30 == 0)
+                )
+                .withColumn(
+                    "value",
+                    (F.col("value").cast("decimal(12,2)") + 1).cast(
+                        "double"
+                    ),
+                )
+                .unionByName(
+                    spark.createDataFrame(
+                        [(-1, "click", 7.0), (-2, "purchase", 8.0)],
+                        "event_id bigint, event_type string, value double",
+                    )
+                )
+            )  # v2: updates + 2 inserts
+            table.delete_where(
+                (F.col("event_type") == "click")
+                & (F.col("event_id") % 3 == 1),
+                mode="merge_on_read",
+            )  # v3: DV deletes
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                seen = spark.table(sink).agg(F.sum("n")).collect()[0][0]
+                if seen == expected_total:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    return spark.table(sink).orderBy("_change_type")

@@ -1,0 +1,161 @@
+"""Change-data-feed streaming source (sources/manifest_cdf.py): per
+commit, the emitted row-level changes must equal the batch
+version_diff (its differential twin), appends must plan as pure insert
+partitions (no pre-image read), DV deletes must fetch exactly the
+marked rows, and non-replayable history (schema evolution, REBUCKET,
+DV rewrites, rewrites over outstanding DVs) must refuse loudly."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pucminas_data_pipelines_spark.operators.upsert import (
+    ManifestVersionedTable,
+    version_diff,
+)
+from pucminas_data_pipelines_spark.sources.manifest_cdf import (
+    ManifestCDFStreamReader,
+    _BucketDiffPartition,
+    _InsertDirPartition,
+)
+from pucminas_data_pipelines_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+BASE = "/root/repo/.tmp/test_manifest_cdf"
+
+
+@pytest.fixture()
+def table(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    t = ManifestVersionedTable(spark, BASE, key="event_id", n_buckets=4)
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t.overwrite(ev.where(F.col("event_id") % 3 == 0))
+    yield t, ev
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+def _reader(start=0) -> ManifestCDFStreamReader:
+    return ManifestCDFStreamReader({"path": BASE, "startingVersion": start})
+
+
+def _changes(reader, start_v, end_v):
+    rows = []
+    for p in reader.partitions({"version": start_v}, {"version": end_v}):
+        for batch in reader.read(p):
+            rows.extend(batch.to_pylist())
+    return rows
+
+
+def test_append_plans_insert_partitions_only(table):
+    t, ev = table
+    t.append(ev.where(F.col("event_id") % 3 == 1))
+    r = _reader()
+    parts = r.partitions({"version": 0}, {"version": 1})
+    assert parts and all(isinstance(p, _InsertDirPartition) for p in parts)
+    rows = _changes(r, 0, 1)
+    assert len(rows) == ev.where(F.col("event_id") % 3 == 1).count()
+    assert {row["_change_type"] for row in rows} == {"insert"}
+    assert {row["_commit_version"] for row in rows} == {1}
+
+
+def test_merge_changes_equal_batch_version_diff(table, spark):
+    t, ev = table
+    src = (
+        ev.where((F.col("event_id") % 30 == 0))
+        .withColumn("value", F.col("value") + F.lit(1.0))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "click", 7.0), (-2, "purchase", 8.0)],
+                "event_id bigint, event_type string, value double",
+            )
+        )
+    )
+    t.merge(src)
+    got = {
+        (row["event_id"], row["_change_type"])
+        for row in _changes(_reader(), 0, 1)
+    }
+    want = {
+        (row["event_id"], row["_change_type"])
+        for row in version_diff(t, "event_id", 0, 1).collect()
+    }
+    assert got == want and want  # non-empty and identical
+
+
+def test_dv_delete_emits_exactly_the_marked_rows(table, spark):
+    t, ev = table
+    t.delete_where(F.col("event_type") == "click", mode="merge_on_read")
+    rows = _changes(_reader(), 0, 1)
+    assert rows and {r["_change_type"] for r in rows} == {"delete"}
+    want = sorted(
+        r["event_id"]
+        for r in t.read(version_as_of=0)
+        .where(F.col("event_type") == "click")
+        .collect()
+    )
+    assert sorted(r["event_id"] for r in rows) == want
+
+
+def test_multi_commit_batch_covers_each_version(table, spark):
+    t, ev = table
+    t.append(ev.where(F.col("event_id") % 3 == 1))   # v1
+    t.merge(
+        spark.createDataFrame(
+            [(-5, "view", 1.0)],
+            "event_id bigint, event_type string, value double",
+        )
+    )                                                # v2
+    rows = _changes(_reader(), 0, 2)
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["_commit_version"], []).append(r)
+    assert set(by_v) == {1, 2}
+    assert {r["_change_type"] for r in by_v[1]} == {"insert"}
+    assert [
+        (r["event_id"], r["_change_type"]) for r in by_v[2]
+    ] == [(-5, "insert")]
+
+
+def test_non_replayable_history_refuses(table, spark):
+    t, ev = table
+    # schema evolution
+    t.append(
+        ev.where(F.col("event_id") % 3 == 1).withColumn(
+            "extra", F.lit(1)
+        ),
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="schema changed"):
+        _reader().partitions({"version": 0}, {"version": 1})
+    # bucket-count change
+    shutil.rmtree(BASE, ignore_errors=True)
+    t2 = ManifestVersionedTable(spark, BASE, key="event_id", n_buckets=4)
+    t2.overwrite(ev.where(F.col("event_id") % 3 == 0))
+    t2.rebucket(8)
+    with pytest.raises(ValueError, match="bucket count"):
+        _reader().partitions({"version": 0}, {"version": 1})
+    # rewrite over outstanding DVs
+    shutil.rmtree(BASE, ignore_errors=True)
+    t3 = ManifestVersionedTable(spark, BASE, key="event_id", n_buckets=4)
+    t3.overwrite(ev.where(F.col("event_id") % 3 == 0))
+    t3.delete_where(F.col("event_type") == "click", mode="merge_on_read")
+    t3.merge(
+        spark.createDataFrame(
+            [(0, "view", 9.0)],
+            "event_id bigint, event_type string, value double",
+        )
+    )
+    with pytest.raises(ValueError, match="outstanding"):
+        _reader().partitions({"version": 1}, {"version": 2})
+
+
+def test_empty_range_yields_one_empty_partition(table):
+    r = _reader()
+    parts = r.partitions({"version": 0}, {"version": 0})
+    assert len(parts) == 1
+    assert list(r.read(parts[0])) == []
