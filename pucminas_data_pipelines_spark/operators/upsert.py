@@ -1786,17 +1786,47 @@ class ManifestVersionedTable:
                 raise ValueError(
                     f"zorder_by takes >= 2 columns, got {zorder_by}"
                 )
+            dtypes = dict(current.dtypes)
+
+            def rank_source(c: str):
+                # STRING dimensions rank by their first-7-bytes value,
+                # left-aligned (hex right-padded to 14 digits) so byte
+                # order == numeric order — prefixes sort below their
+                # extensions, matching the lexicographic file stats the
+                # pruner compares against. Numeric dims pass through.
+                if dtypes.get(c) == "string":
+                    return F.conv(
+                        F.rpad(
+                            F.hex(
+                                F.substring(
+                                    F.encode(
+                                        F.coalesce(F.col(c), F.lit("")),
+                                        "UTF-8",
+                                    ),
+                                    1,
+                                    7,
+                                )
+                            ),
+                            14,
+                            "0",
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                return F.col(c)
+
+            srcs = {c: rank_source(c) for c in zorder_by}
             bounds = current.agg(
                 *[
                     f
                     for c in zorder_by
-                    for f in (F.min(c), F.max(c))
+                    for f in (F.min(srcs[c]), F.max(srcs[c]))
                 ]
             ).collect()[0]
             z = interleave_n(
                 [
                     to_rank(
-                        F.col(c),
+                        srcs[c],
                         F.lit(bounds[2 * i]),
                         F.lit(bounds[2 * i + 1]),
                     )
@@ -1832,6 +1862,89 @@ class ManifestVersionedTable:
             ),
             "txn_app": None,
             "txn_version": None,
+        }
+
+    def compact_buckets(self, max_files: int = 8) -> int | None:
+        """Targeted auto-compaction (Delta auto-compact / background
+        OPTIMIZE at bucket grain): rewrite ONLY the buckets whose
+        directory list outgrew ``max_files`` — the escape from full
+        optimize()'s O(table) rewrite for append-heavy tables, where
+        fragmentation concentrates in hot buckets. Cost is O(fragmented
+        buckets' bytes); content is identical; returns the committed
+        version, or None when nothing is fragmented (no empty commit).
+
+        Commits through the OCC rewrite path with the fragmented
+        buckets as the read set, so it REBASES over concurrent appends
+        into OTHER buckets (maintenance coexists with ingest) and
+        refuses only a genuine overlap — a concurrent append into a
+        bucket being compacted would otherwise be silently dropped.
+        Outstanding DV marks on the rewritten buckets' files are
+        materialized away by the rewrite (their stale entries are
+        harmless — rewritten file ids never reappear); marks on
+        untouched buckets stay live."""
+        version = self.latest_version()
+        manifest = self._manifest(version)
+        frag = sorted(
+            b
+            for b, ds in manifest["buckets"].items()
+            if len(ds) > max_files
+        )
+        if not frag:
+            return None
+        kept = self._read_dirs(
+            manifest, self._bucket_dirs(manifest["buckets"], frag)
+        )
+        txn = {
+            "kind": "rewrite",
+            "operation": f"COMPACT(buckets={len(frag)})",
+            "base_version": version,
+            "base_n_buckets": manifest["n_buckets"],
+            "base_columns": manifest["columns"],
+            "base_schema": manifest["schema"],
+            "out_columns": manifest["columns"],
+            "out_schema": manifest["schema"],
+            "base_constraints": manifest.get("constraints", {}),
+            "base_generated": manifest.get("generated", {}),
+            "base_dvs": list(manifest.get("deletion_vectors", [])),
+            "affected": frag,
+            "written": self._write_buckets(kept),
+            "txn_app": None,
+            "txn_version": None,
+        }
+        return self.commit_staged(txn)
+
+    def describe_detail(self) -> dict:
+        """Delta DESCRIBE DETAIL analogue: a one-row operational summary
+        of the CURRENT snapshot — version, bucket count, file/dir
+        counts, total bytes, outstanding DV sidecars, fragmentation
+        (max dirs per bucket — the compact_buckets trigger signal), and
+        table metadata. O(file listings), no data reads."""
+        version = self.latest_version()
+        m = self._manifest(version)
+        n_files = 0
+        n_bytes = 0
+        for rel in self._bucket_dirs(m["buckets"]):
+            d = self._abs(rel)
+            for name in os.listdir(d):
+                if name.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(d, name))
+        return {
+            "format": "parquet-manifest",
+            "location": self.path,
+            "version": version,
+            "key": m["key"],
+            "numBuckets": m["n_buckets"],
+            "numFiles": n_files,
+            "sizeInBytes": n_bytes,
+            "numDirs": len(self._bucket_dirs(m["buckets"])),
+            "maxDirsPerBucket": max(
+                (len(ds) for ds in m["buckets"].values()), default=0
+            ),
+            "numDeletionVectors": len(m.get("deletion_vectors", [])),
+            "constraints": dict(m.get("constraints", {})),
+            "generatedColumns": dict(m.get("generated", {})),
+            "operation": m.get("commit_info", {}).get("operation"),
         }
 
     def generate_manifest(self) -> str:

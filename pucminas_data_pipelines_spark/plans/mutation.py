@@ -1063,6 +1063,54 @@ def mutation_manifest_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lowered(table.read())
 
 
+_AUTOCOMPACT_APPENDS = [
+    (900 + i, 1, 3, f"Lote, Sr. N{i}", "male", 20.0 + i, 0, 0, None,
+     10.0 + i, None, "S")
+    for i in range(5)
+]
+
+
+@query(
+    "mutation_manifest_autocompact",
+    oracle=_TYPED_SELECT.format(
+        rows=_values(_expected_merged() + _AUTOCOMPACT_APPENDS)
+    ),
+)
+def mutation_manifest_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted auto-compaction (operators/upsert.py compact_buckets —
+    Delta auto-compact at bucket grain): five single-row appends
+    fragment the merge scenario's buckets, then compact_buckets
+    rewrites ONLY the buckets past the file threshold — the query
+    asserts at least one bucket compacted to a single dir, every
+    sub-threshold bucket kept its exact (shared) directories, and a
+    second call is a no-op (None, no empty commit). Content is the
+    merge state plus the appended rows (the oracle). Full optimize()
+    is O(table); this is O(fragmented buckets) — what keeps an
+    append-heavy 100 TB table healthy without ever rewriting it
+    whole. The rebase-over-concurrent-append behavior is pinned in
+    tests/test_manifest_table.py."""
+    table = _run_manifest_scenario(
+        spark, "/root/repo/.tmp/titanic_mvt_autocompact"
+    )
+    for row in _AUTOCOMPACT_APPENDS:
+        table.append(from_rows(spark, [row], TITANIC_DDL))
+    before = table._manifest(table.latest_version())["buckets"]
+    v = table.compact_buckets(max_files=2)
+    if v is None:
+        raise AssertionError("appends did not fragment past the threshold")
+    after = table._manifest(v)["buckets"]
+    frag = [b for b, ds in before.items() if len(ds) > 2]
+    if not all(len(after[b]) == 1 for b in frag):
+        raise AssertionError("fragmented buckets were not compacted")
+    if not all(
+        after.get(b) == before.get(b) for b in before if b not in frag
+    ):
+        raise AssertionError("sub-threshold buckets must share dirs")
+    if table.compact_buckets(max_files=2) is not None:
+        raise AssertionError("second compaction must be a no-op")
+    return _lowered(table.read())
+
+
 # Row appended by the RACING writer in the concurrent-writers scenario.
 # Key 895 hashes to a bucket (n_buckets=4) disjoint from the merge
 # source's buckets {0, 2} ({1, 5, 892, 893} under pmod(xxhash64, 4)) —

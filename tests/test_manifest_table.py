@@ -1069,3 +1069,117 @@ def test_rebucket_rewrites_layout_and_blocks_stale_rebase(spark, tmp_path):
     t2 = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id")
     assert len(_sorted(t2.read())) == len(BASE)
     assert t2.n_buckets == 16
+
+
+def test_compact_buckets_rewrites_only_fragmented_and_rebases(spark, tmp_path):
+    """Targeted auto-compaction: only buckets past the file threshold
+    rewrite; untouched buckets keep their exact dirs; a concurrent
+    append into a NON-compacted bucket rebases (maintenance coexists
+    with ingest); nothing-to-do returns None without a commit."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(_rows(spark, BASE))
+    # fragment ONE bucket: append single rows hashing to the same bucket
+    k0 = 100
+    while True:
+        b = (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(str(k0))), F.lit(2)).cast("int")
+            )
+            .collect()[0][0]
+        )
+        if b == 0:
+            break
+        k0 += 1
+    frag_keys = []
+    k = k0
+    while len(frag_keys) < 4:
+        b = (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(str(k))), F.lit(2)).cast("int")
+            )
+            .collect()[0][0]
+        )
+        if b == 0:
+            frag_keys.append(k)
+        k += 1
+    for fk in frag_keys:
+        t.append(_rows(spark, [(fk, f"x{fk}", 1.0)]))
+    m = t._manifest(t.latest_version())
+    assert len(m["buckets"]["0"]) > 3
+    other_before = m["buckets"].get("1")
+    detail = t.describe_detail()
+    assert detail["maxDirsPerBucket"] == len(m["buckets"]["0"])
+    v = t.compact_buckets(max_files=3)
+    m2 = t._manifest(v)
+    assert len(m2["buckets"]["0"]) == 1  # compacted
+    assert m2["buckets"].get("1") == other_before  # untouched, shared
+    want = BASE + [(fk, f"x{fk}", 1.0) for fk in frag_keys]
+    assert _sorted(t.read()) == _sorted(_rows(spark, want))
+    assert t.compact_buckets(max_files=3) is None  # nothing to do
+    # concurrent append into the NON-compacted bucket rebases
+    k1 = 200
+    while True:
+        b = (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(str(k1))), F.lit(2)).cast("int")
+            )
+            .collect()[0][0]
+        )
+        if b == 1:
+            break
+        k1 += 1
+    for i in range(4):
+        t.append(_rows(spark, [(k1 + 10 * i, "y", 2.0)]))
+    # fragment bucket 1? appends may scatter; just ensure compaction with
+    # a staged racing append still lands both
+    s_app = None
+    m3 = t._manifest(t.latest_version())
+    if any(len(ds) > 3 for ds in m3["buckets"].values()):
+        s_app = t.stage_append(_rows(spark, [(999983, "z", 3.0)]))
+        frag_now = [b for b, ds in m3["buckets"].items() if len(ds) > 3]
+        zb = (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(str(999983))), F.lit(2)).cast("int")
+            )
+            .collect()[0][0]
+        )
+        v2 = t.compact_buckets(max_files=3)
+        assert v2 is not None
+        if str(zb) not in frag_now:
+            assert t.commit_staged(s_app) == v2 + 1
+            assert t.read().where(F.col("id") == 999983).count() == 1
+
+
+def test_zorder_on_string_dimension_prunes(spark, tmp_path):
+    """String Z-order: the rank is the left-aligned first-7-bytes value,
+    so files carry tight lexicographic bounds on the string dim and an
+    equality probe on it prunes — alongside a numeric dim probing too."""
+    types = ["alpha", "bravo", "carol", "delta", "echoo", "fox", "golf", "hotel"]
+    rows = [(i, types[i % 8], float(i % 64)) for i in range(1024)]
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(
+        spark.createDataFrame(rows, "id bigint, cat string, x double")
+    )
+    t.optimize(zorder_by=["cat", "x"], files_per_bucket=8)
+    m = t._manifest(t.latest_version())
+    total = sum(len(fs) for fs in m["file_stats"].values())
+
+    def planned(ranges):
+        got = t.read_where(ranges)
+        return (
+            got.select(F.input_file_name()).distinct().count(),
+            got.count(),
+        )
+
+    nf_s, nr_s = planned([("cat", "delta", "delta")])
+    nf_x, nr_x = planned([("x", 10.0, 13.0)])
+    assert nf_s < total and nr_s == 128
+    assert nf_x < total and nr_x == 64
+    _, nr_box = planned([("cat", "delta", "delta"), ("x", 10.0, 13.0)])
+    assert nr_box == len(
+        [r for r in rows if r[1] == "delta" and 10.0 <= r[2] <= 13.0]
+    )
