@@ -1607,6 +1607,7 @@ class ManifestVersionedTable:
             .collect()
         )
         dirs = self._bucket_dirs(manifest["buckets"], buckets)
+        dirs = self._prune_dirs_by_key(manifest, dirs, values)
         df = self._read_dirs(manifest, dirs)
         # join condition references the DataFrame OBJECTS, not bare
         # F.col names: a table whose key column is literally named 'k'
@@ -1616,6 +1617,36 @@ class ManifestVersionedTable:
             df[self.key].eqNullSafe(probe["k"]),
             "left_semi",
         )
+
+    def _prune_dirs_by_key(
+        self, manifest: dict, dirs: list[str], values: list
+    ) -> list[str]:
+        """Second pruning stage for point reads: within the probed
+        buckets, drop every DIRECTORY whose recorded key [min,max]
+        excludes all probe values. Bucket pruning bounds the read to
+        the probed buckets; this bounds it further to the commits that
+        could hold the keys — the payoff on append-fragmented buckets,
+        where a hot bucket accumulates one dir per ingest commit but a
+        recent key lives in only the latest few. Conservative
+        everywhere stats are absent, and disabled when NULL is probed
+        (min/max says nothing about null presence)."""
+        if any(v is None for v in values):
+            return dirs
+        stats = manifest.get("stats", {})
+        kept: list[str] = []
+        for d in dirs:
+            enc = stats.get(d, {}).get(self.key)
+            if enc is None:
+                kept.append(d)  # no bounds -> cannot skip
+                continue
+            vmin = self._stat_decode(enc[0])
+            vmax = self._stat_decode(enc[1])
+            if vmin is None or vmax is None:
+                kept.append(d)
+                continue
+            if any(vmin <= v <= vmax for v in values):
+                kept.append(d)
+        return kept
 
     def read_range(
         self,

@@ -1183,3 +1183,25 @@ def test_zorder_on_string_dimension_prunes(spark, tmp_path):
     assert nr_box == len(
         [r for r in rows if r[1] == "delta" and 10.0 <= r[2] <= 13.0]
     )
+
+
+def test_read_keys_prunes_fragmented_dirs_by_key_stats(spark, tmp_path):
+    """Point reads prune at TWO grains: bucket hash, then per-dir key
+    [min,max] — on an append-fragmented bucket a probe for a recent key
+    must skip the older commits' dirs entirely."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=1)
+    t.overwrite(_rows(spark, BASE))  # ids 1..6
+    for lo in (100, 200, 300):
+        t.append(
+            _rows(spark, [(lo + i, f"k{lo+i}", float(lo)) for i in range(3)])
+        )
+    m = t._manifest(t.latest_version())
+    all_dirs = ManifestVersionedTable._bucket_dirs(m["buckets"])
+    assert len(all_dirs) == 4
+    kept = t._prune_dirs_by_key(m, all_dirs, [201])
+    assert len(kept) == 1, kept  # only the 200-commit dir survives
+    got = {r["id"] for r in t.read_keys([201, 302]).collect()}
+    assert got == {201, 302}
+    # NULL probe disables stats pruning (conservative), still correct
+    assert t._prune_dirs_by_key(m, all_dirs, [201, None]) == all_dirs
+    assert t.read_keys([201, None]).count() == 1
