@@ -2141,21 +2141,12 @@ class ManifestVersionedTable:
                 "outstanding deletion vectors; optimize() first so the "
                 "exported files carry the deletes physically"
             )
-        schema = StructType.fromJson(manifest["schema"])
         log_dir = os.path.join(self.path, "_delta_log")
         _sh.rmtree(log_dir, ignore_errors=True)
         os.makedirs(log_dir)
         actions = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-            {
-                "metaData": {
-                    "id": f"mvt-{os.path.basename(self.path)}",
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": _json.dumps(schema.jsonValue()),
-                    "partitionColumns": [],
-                    "configuration": {},
-                }
-            },
+            self._delta_protocol_action(manifest),
+            self._delta_metadata_action(manifest),
         ]
         for rel in self._bucket_dirs(manifest["buckets"]):
             d = self._abs(rel)
@@ -2188,35 +2179,83 @@ class ManifestVersionedTable:
         return commit
 
     # -- incremental (tailable) Delta-log export ------------------------
+    def _delta_writer_version(self, m: dict) -> int:
+        """Delta writer protocol floor for this table's features:
+        generated columns need 4, CHECK constraints 3, plain tables 2 —
+        exporting a lower floor would let a foreign Delta writer append
+        rows that silently bypass the enforcement the table declares."""
+        if m.get("generated"):
+            return 4
+        if m.get("constraints"):
+            return 3
+        return 2
+
+    def _delta_protocol_action(self, m: dict) -> dict:
+        return {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": self._delta_writer_version(m),
+            }
+        }
+
+    def _delta_metadata_action(self, m: dict) -> dict:
+        """Public-format metaData action carrying the table's FULL
+        declared metadata, not just the schema: CHECK constraints ride
+        in ``configuration`` as ``delta.constraints.<name>`` and
+        generated columns as ``delta.generationExpression`` field
+        metadata — the spellings Delta engines enforce on their own
+        writes."""
+        import json as _json
+
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType.fromJson(m["schema"])
+        generated = m.get("generated", {})
+        if generated:
+            fields = []
+            for f in schema.fields:
+                if f.name in generated:
+                    md = dict(f.metadata or {})
+                    md["delta.generationExpression"] = generated[f.name]
+                    f = StructField(f.name, f.dataType, f.nullable, md)
+                fields.append(f)
+            schema = StructType(fields)
+        return {
+            "metaData": {
+                "id": f"mvt-{os.path.basename(self.path)}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(schema.jsonValue()),
+                "partitionColumns": [],
+                "configuration": {
+                    f"delta.constraints.{k}": v
+                    for k, v in m.get("constraints", {}).items()
+                },
+            }
+        }
+
     def _delta_actions_for_diff(
         self, m_prev: dict | None, m_v: dict
     ) -> list[dict]:
         """Public-format Delta actions turning snapshot m_prev into m_v:
         remove for every file of a dropped dir, add for every file of a
         new dir (file grain, like Delta), a metaData action when the
-        schema changed, and txn actions for idempotent-writer watermark
-        movements. O(changed dirs' file listings), no data reads."""
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
+        schema/constraints/generated metadata changed (with a protocol
+        upgrade when the feature floor rose), and txn actions for
+        idempotent-writer watermark movements. O(changed dirs' file
+        listings), no data reads."""
         actions: list[dict] = []
         prev_dirs = set(self._bucket_dirs(m_prev["buckets"])) if m_prev else set()
         cur_dirs = set(self._bucket_dirs(m_v["buckets"]))
-        if m_prev is None or m_prev["schema"] != m_v["schema"]:
-            actions.append(
-                {
-                    "metaData": {
-                        "id": f"mvt-{os.path.basename(self.path)}",
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": _json.dumps(
-                            StructType.fromJson(m_v["schema"]).jsonValue()
-                        ),
-                        "partitionColumns": [],
-                        "configuration": {},
-                    }
-                }
-            )
+        meta_changed = m_prev is None or any(
+            m_prev.get(k2) != m_v.get(k2)
+            for k2 in ("schema", "constraints", "generated")
+        )
+        if meta_changed:
+            if m_prev is not None and self._delta_writer_version(
+                m_v
+            ) > self._delta_writer_version(m_prev):
+                actions.append(self._delta_protocol_action(m_v))
+            actions.append(self._delta_metadata_action(m_v))
         prev_txns = (m_prev or {}).get("txns", {})
         for app, ver in sorted(m_v.get("txns", {}).items()):
             if prev_txns.get(app) != ver:
@@ -2316,9 +2355,7 @@ class ManifestVersionedTable:
                 )
             actions: list[dict] = []
             if m_prev is None:
-                actions.append(
-                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-                )
+                actions.append(self._delta_protocol_action(m_v))
             actions.extend(self._delta_actions_for_diff(m_prev, m_v))
             commit = os.path.join(log_dir, f"{next_log:020d}.json")
             with open(commit, "w") as fh:

@@ -312,3 +312,50 @@ def test_tail_export_refuses_dv_versions_and_statless_logs(spark, tmp_path):
     os.makedirs(os.path.join(str(tmp_path / "t2"), "_delta_log"))
     with pytest.raises(ValueError, match="export state"):
         t2.export_delta_log_tail()
+
+
+def test_export_carries_constraints_and_generated_metadata(spark, tmp_path):
+    """Protocol fidelity: an exported table with CHECK constraints and
+    generated columns must declare them in the public spellings —
+    delta.constraints.<name> in metaData.configuration,
+    delta.generationExpression in field metadata — under the matching
+    writer protocol floor (3 for constraints, 4 for generated), so a
+    foreign Delta writer cannot silently bypass the enforcement."""
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="k", n_buckets=2)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 2.0, 4.0)], "k bigint, score double, dscore double"
+        ),
+        generated={"dscore": "score * 2"},
+    )
+    t.add_constraint("pos", "score > 0")
+    t.export_delta_log_tail()
+    log = os.path.join(str(tmp_path / "t"), "_delta_log")
+    actions = [
+        json.loads(line)
+        for name in sorted(os.listdir(log))
+        if name.endswith(".json")
+        for line in open(os.path.join(log, name))
+    ]
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    metas = [a["metaData"] for a in actions if "metaData" in a]
+    assert protos[0]["minWriterVersion"] == 4  # generated at v0
+    assert metas, "no metaData exported"
+    last = metas[-1]
+    assert last["configuration"] == {"delta.constraints.pos": "score > 0"}
+    schema = json.loads(last["schemaString"])
+    gen = {
+        f["name"]: f.get("metadata", {}).get("delta.generationExpression")
+        for f in schema["fields"]
+    }
+    assert gen["dscore"] == "score * 2" and gen["score"] is None
+    # the add_constraint commit re-emitted metaData (feature floor was
+    # already 4, so no protocol re-emission needed)
+    assert len(metas) == 2
+    # the protocol-level reader still reads it (reader floor stays 1)
+    r = DeltaLogReader(spark, str(tmp_path / "t"))
+    assert sorted(map(tuple, r.read().collect())) == [(1, 2.0, 4.0)]
