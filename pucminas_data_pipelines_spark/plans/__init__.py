@@ -138,6 +138,16 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # the r5 window — round 6 takes the 50 highest-leverage of the combined
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
+# ROTATION PLAN for round 12: the late-r11 build added five further
+# first-evidence candidates AFTER the r11 window was preflighted and
+# frozen — mutation_manifest_delta_tail (tailable Delta-log export),
+# mutation_manifest_drop_column, mutation_manifest_rebucket,
+# mutation_manifest_autocompact, and streaming_manifest_cdf_live (the
+# change-data-feed stream source). All five are oracled and two-SF
+# parity-pinned already; slot them into the r12 window alongside the 5
+# canaries and the next-oldest re-confirmation cohort (the remaining 20
+# r3-era names, then r4). Everything else stays pinned by the full
+# parity suite as usual.
 DRIVER_WINDOW: list[str] = [
     # ROUND-11 ROTATION (VERDICT r10 #4: rotate to re-confirm the oldest
     # evidence now that cumulative driver-green coverage is complete).
