@@ -1944,6 +1944,40 @@ class ManifestVersionedTable:
         }
         return self.commit_staged(txn)
 
+    def coalesce_deletion_vectors(self) -> int | None:
+        """Merge the accumulated DV sidecars into ONE (metadata + one
+        sidecar write, no data files touched): a long run of
+        merge-on-read point deletes leaves one sidecar per DELETE, and
+        every scan's broadcast anti-join must then union N small
+        parquet reads — coalescing restores O(1) sidecar planning while
+        keeping the merge-on-read trade (the big rewrite stays deferred
+        to optimize()). Content is identical (the DV key set is a
+        union). Returns the committed version, or None when there is
+        nothing to coalesce (0 or 1 sidecars — no empty commit)."""
+        import uuid as _uuid
+
+        version = self.latest_version()
+        manifest = self._manifest(version)
+        dvs = manifest.get("deletion_vectors", [])
+        if len(dvs) <= 1:
+            return None
+        merged = self.spark.read.parquet(
+            *[self._abs(p) for p in dvs]
+        ).distinct()
+        rel = f"_dvs/coalesced_{_uuid.uuid4().hex[:12]}"
+        merged.coalesce(1).write.parquet(os.path.join(self.path, rel))
+        self._commit_manifest(
+            dict(
+                manifest,
+                deletion_vectors=[rel],
+                commit_info={
+                    "operation": f"COALESCE DVS({len(dvs)} -> 1)"
+                },
+            ),
+            version + 1,
+        )
+        return version + 1
+
     def describe_detail(self) -> dict:
         """Delta DESCRIBE DETAIL analogue: a one-row operational summary
         of the CURRENT snapshot — version, bucket count, file/dir

@@ -1205,3 +1205,31 @@ def test_read_keys_prunes_fragmented_dirs_by_key_stats(spark, tmp_path):
     # NULL probe disables stats pruning (conservative), still correct
     assert t._prune_dirs_by_key(m, all_dirs, [201, None]) == all_dirs
     assert t.read_keys([201, None]).count() == 1
+
+
+def test_coalesce_deletion_vectors_unions_marks(spark, tmp_path):
+    """N merge-on-read deletes leave N sidecars; coalescing commits ONE
+    sidecar whose key set is the union — same visible rows, old
+    sidecars reclaimable by vacuum, no data file touched."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(_rows(spark, BASE))
+    data_before = set(
+        ManifestVersionedTable._bucket_dirs(t._manifest(0)["buckets"])
+    )
+    for k in (1, 3, 5):
+        t.delete_where(F.col("id") == k, mode="merge_on_read")
+    assert len(t._manifest(t.latest_version())["deletion_vectors"]) == 3
+    v = t.coalesce_deletion_vectors()
+    m = t._manifest(v)
+    assert len(m["deletion_vectors"]) == 1
+    assert set(ManifestVersionedTable._bucket_dirs(m["buckets"])) == data_before
+    want = [r for r in BASE if r[0] not in (1, 3, 5)]
+    assert _sorted(t.read()) == _sorted(_rows(spark, want))
+    assert t.coalesce_deletion_vectors() is None  # single sidecar: no-op
+    # further DV deletes and the optimize purge still compose
+    t.delete_where(F.col("id") == 2, mode="merge_on_read")
+    t.optimize()
+    assert t._manifest(t.latest_version())["deletion_vectors"] == []
+    assert _sorted(t.read()) == _sorted(
+        _rows(spark, [r for r in BASE if r[0] not in (1, 2, 3, 5)])
+    )
