@@ -1034,6 +1034,7 @@ class ManifestVersionedTable:
         broadcast_source: bool = True,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """O11: whenMatchedUpdateAll + whenNotMatchedInsertAll, rewriting
         ONLY the buckets the source touches (same full-outer-join +
@@ -1058,6 +1059,7 @@ class ManifestVersionedTable:
                 broadcast_source=broadcast_source,
                 txn_app=txn_app,
                 txn_version=txn_version,
+                merge_schema=merge_schema,
             )
         )
 
@@ -1068,6 +1070,7 @@ class ManifestVersionedTable:
         broadcast_source: bool = True,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        merge_schema: bool = False,
     ) -> dict:
         """Phase 1 of a MERGE transaction: read the affected buckets of
         the current snapshot, compute and write the merged replacement
@@ -1087,6 +1090,15 @@ class ManifestVersionedTable:
             last = manifest.get("txns", {}).get(txn_app)
             if last is not None and txn_version <= last:
                 return {"kind": "noop", "base_version": version}
+        base_columns = manifest["columns"]
+        base_schema = manifest["schema"]
+        if merge_schema:
+            # Delta mergeSchema on MERGE: new source columns widen the
+            # table (old files serve NULL via the manifest-pinned read);
+            # the evolved layout rides in out_columns/out_schema while
+            # compat checks compare winners against the PRE-evolution
+            # schema they committed under
+            manifest, source = self._evolve_schema(manifest, source)
         cols = manifest["columns"]
         source = self._apply_generated(source, manifest, "merge source")
         source = self._align_columns(source, manifest)
@@ -1119,8 +1131,8 @@ class ManifestVersionedTable:
             "operation": "MERGE",
             "base_version": version,
             "base_n_buckets": manifest["n_buckets"],
-            "base_columns": cols,
-            "base_schema": manifest["schema"],
+            "base_columns": base_columns,
+            "base_schema": base_schema,
             "out_columns": cols,
             "out_schema": manifest["schema"],
             "base_constraints": manifest.get("constraints", {}),
@@ -1824,7 +1836,14 @@ class ManifestVersionedTable:
                 # left-aligned (hex right-padded to 14 digits) so byte
                 # order == numeric order — prefixes sort below their
                 # extensions, matching the lexicographic file stats the
-                # pruner compares against. Numeric dims pass through.
+                # pruner compares against. TIMESTAMP/DATE dims rank by
+                # epoch seconds (order-preserving). Numeric dims pass
+                # through.
+                dt = dtypes.get(c, "")
+                if dt.startswith("timestamp"):
+                    return F.col(c).cast("double")
+                if dt == "date":
+                    return F.col(c).cast("timestamp").cast("double")
                 if dtypes.get(c) == "string":
                     return F.conv(
                         F.rpad(

@@ -1233,3 +1233,58 @@ def test_coalesce_deletion_vectors_unions_marks(spark, tmp_path):
     assert _sorted(t.read()) == _sorted(
         _rows(spark, [r for r in BASE if r[0] not in (1, 2, 3, 5)])
     )
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """Delta mergeSchema on MERGE: a source carrying a new column widens
+    the table; pre-evolution files serve NULL for it; the merge still
+    rewrites only the affected buckets."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.overwrite(_rows(spark, BASE))
+    src = spark.createDataFrame(
+        [(2, "bia2", 21.0, "BR"), (7, "gui", 70.0, "PT")],
+        "id bigint, name string, score double, country string",
+    )
+    with pytest.raises(ValueError, match="column"):
+        t.merge(src)  # strict gate without the flag
+    t.merge(src, merge_schema=True)
+    got = {r["id"]: (r["name"], r["country"]) for r in t.read().collect()}
+    assert got[2] == ("bia2", "BR") and got[7] == ("gui", "PT")
+    assert got[1] == ("ana", None)  # old file serves NULL
+    before = dict(t._manifest(0)["buckets"])
+    after = dict(t._manifest(1)["buckets"])
+    assert any(before.get(b) == after.get(b) for b in before), (
+        "untouched buckets must still share files across an evolving merge"
+    )
+
+
+def test_zorder_on_timestamp_dimension_prunes(spark, tmp_path):
+    """Z-order accepts timestamp dims (epoch-seconds rank): after
+    OPTIMIZE ZORDER on (ts, v), a one-day probe on ts plans fewer files
+    than the compacted total."""
+    import datetime as dt
+
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(hours=i % 256),
+            float(i // 256),
+        )
+        for i in range(1024)
+    ]
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(
+        spark.createDataFrame(rows, "id bigint, ts timestamp, v double")
+    )
+    t.optimize(zorder_by=["ts", "v"], files_per_bucket=8)
+    m = t._manifest(t.latest_version())
+    total = sum(len(fs) for fs in m["file_stats"].values())
+    got = t.read_where(
+        [("ts", dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3))]
+    )
+    nfiles = got.select(F.input_file_name()).distinct().count()
+    want = len(
+        [r for r in rows if dt.datetime(2024, 1, 2) <= r[1] <= dt.datetime(2024, 1, 3)]
+    )
+    assert got.count() == want
+    assert nfiles < total, (nfiles, total)
