@@ -859,3 +859,159 @@ def streaming_manifest_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             q.awaitTermination(30)
     return spark.table(sink).orderBy("_change_type")
+
+
+@query(
+    "streaming_incremental_mv_live",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DOUBLE) AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL SELECT -1, CAST(111.11 AS DOUBLE), 'NEWSEG'
+      UNION ALL SELECT -2, CAST(222.22 AS DOUBLE), 'NEWSEG'
+    ),
+    merged AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM upd
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    ),
+    post AS (
+      SELECT * FROM merged
+      WHERE NOT (c_mktsegment = 'FURNITURE' AND c_custkey % 5 = 0)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM post GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def streaming_incremental_mv_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming materialized view: the round's CDC stack composed
+    end-to-end — a segment-balance rollup is maintained by a foreachBatch
+    consumer of the CHANGE DATA FEED stream (sources/manifest_cdf.py)
+    while a MERGE (updates + new-segment inserts) and a copy-on-write
+    DELETE land on the base table mid-stream. Each micro-batch applies
+    its change rows through the O(changes) maintenance join
+    (operators/incremental.py apply_rollup_delta — exact DECIMAL, so the
+    maintained view is BIT-IDENTICAL to a recompute); the oracle
+    recomputes the post-state rollup from scratch. A missed commit, a
+    replayed epoch, a phantom change from the bucket rewrites, or any
+    float drift in the maintenance breaks the equality.
+
+    Scale: this is the standing topology for derived state at 100 TB —
+    the base table absorbs commits, any number of downstream views tail
+    the CDF and pay O(their changes) per refresh; nothing ever
+    recomputes from the base."""
+    import shutil
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.operators.incremental import (
+        apply_rollup_delta,
+        rollup_from_scratch,
+    )
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+    from pucminas_data_pipelines_spark.sources.manifest_cdf import (
+        ManifestCDFDataSource,
+    )
+    from pucminas_data_pipelines_spark.tables import load_table
+
+    base = "/root/repo/.tmp/stream_incremental_mv"
+    shutil.rmtree(base, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    table = ManifestVersionedTable(spark, base, key="c_custkey", n_buckets=16)
+    table.overwrite(cust)  # v0
+    state = {
+        "rollup": rollup_from_scratch(
+            table.read(), ["c_mktsegment"], "c_acctbal"
+        ).localCheckpoint(eager=True),
+        "rows": 0,
+    }
+
+    def refresh(batch_df, batch_id: int) -> None:
+        changes = batch_df.drop("_commit_version").localCheckpoint(eager=True)
+        n = changes.count()
+        if n == 0:
+            return
+        state["rollup"] = apply_rollup_delta(
+            state["rollup"], changes, ["c_mktsegment"], "c_acctbal"
+        ).localCheckpoint(eager=True)
+        # bump the progress counter only AFTER the maintenance landed:
+        # the convergence poll stops the stream on this signal, and a
+        # pre-apply bump would let it kill the batch mid-application
+        state["rows"] += n
+
+    try:
+        spark.dataSource.register(ManifestCDFDataSource)
+    except Exception:
+        pass
+    src = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", base)
+        .option("startingVersion", 0)
+        .load()
+    )
+    n_upd = cust.where(F.col("c_custkey") % 7 == 0).count()
+    with jobs._pinned_shuffle_partitions(spark, 8):
+        q = (
+            src.writeStream.foreachBatch(refresh)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            changed = cust.where(F.col("c_custkey") % 7 == 0).select(
+                "c_custkey",
+                (F.col("c_acctbal").cast("decimal(12,2)") + 100)
+                .cast("double")
+                .alias("c_acctbal"),
+                "c_mktsegment",
+            )
+            new_rows = spark.createDataFrame(
+                [(-1, 111.11, "NEWSEG"), (-2, 222.22, "NEWSEG")],
+                "c_custkey bigint, c_acctbal double, c_mktsegment string",
+            )
+            table.merge(changed.unionByName(new_rows))  # v1
+            n_del = (
+                table.read()
+                .where(
+                    (F.col("c_mktsegment") == "FURNITURE")
+                    & (F.col("c_custkey") % 5 == 0)
+                )
+                .count()
+            )
+            table.delete_where(
+                (F.col("c_mktsegment") == "FURNITURE")
+                & (F.col("c_custkey") % 5 == 0)
+            )  # v2
+            expected_changes = 2 * n_upd + 2 + n_del
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if state["rows"] >= expected_changes:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    if state["rows"] != expected_changes:
+        raise AssertionError(
+            f"saw {state['rows']} change rows, expected {expected_changes}"
+        )
+    return (
+        state["rollup"]
+        .select(
+            "c_mktsegment",
+            "n",
+            F.col("total").cast("double").alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
