@@ -142,8 +142,9 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # first-evidence candidates AFTER the r11 window was preflighted and
 # frozen — mutation_manifest_delta_tail (tailable Delta-log export),
 # mutation_manifest_drop_column, mutation_manifest_rebucket,
-# mutation_manifest_autocompact, and streaming_manifest_cdf_live (the
-# change-data-feed stream source). All five are oracled and two-SF
+# mutation_manifest_autocompact, streaming_manifest_cdf_live (the
+# change-data-feed stream source), and streaming_incremental_mv_live
+# (the CDF-maintained live materialized view). All are oracled and two-SF
 # parity-pinned already; slot them into the r12 window alongside the 5
 # canaries and the next-oldest re-confirmation cohort (the remaining 20
 # r3-era names, then r4). Everything else stays pinned by the full

@@ -217,3 +217,54 @@ def test_minmax_rescan_handles_all_null_and_emptied_groups(spark, tmp_path):
     assert _canon_mm(rollup) == _canon_mm(
         rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
     )
+
+
+def test_minmax_randomized_differential(spark, tmp_path):
+    """Seeded randomized storm: 8 mixed merge/delete batches over a
+    keyed table, the MIN/MAX rollup maintained incrementally after each
+    commit and compared with a from-scratch recompute every step — the
+    extremum-retraction edge cases (retract-the-max, covered
+    retractions, group churn, NULL measures) arise organically."""
+    import random
+
+    from pucminas_data_pipelines_spark.operators.incremental import (
+        apply_rollup_minmax_delta,
+        rollup_minmax_from_scratch,
+    )
+
+    rng = random.Random(20260816)
+    segs = ["A", "B", "C", None]
+
+    def rand_rows(n, lo_id, hi_id):
+        out = []
+        for _ in range(n):
+            k = rng.randint(lo_id, hi_id)
+            amount = (
+                None if rng.random() < 0.2 else round(rng.uniform(0, 100), 2)
+            )
+            out.append((k, rng.choice(segs), amount))
+        return list({r[0]: r for r in out}.values())  # unique keys
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.overwrite(_rows(spark, rand_rows(30, 0, 39)))
+    rollup = rollup_minmax_from_scratch(
+        t.read(), ["seg"], "amount"
+    ).localCheckpoint(eager=True)
+    for step in range(8):
+        v0 = t.latest_version()
+        if step % 3 == 2:
+            # delete a random band — routinely removes group extrema
+            lo = rng.randint(0, 80)
+            t.delete_where(
+                (F.col("amount") >= lo) & (F.col("amount") <= lo + 25)
+            )
+        else:
+            t.merge(_rows(spark, rand_rows(8, 0, 59)))
+        diff = version_diff(t, "id", v0, t.latest_version())
+        rollup, _ = apply_rollup_minmax_delta(
+            rollup, diff, ["seg"], "amount", _mm_rescan(t)
+        )
+        rollup = rollup.localCheckpoint(eager=True)
+        assert _canon_mm(rollup) == _canon_mm(
+            rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
+        ), f"diverged at step {step}"
