@@ -159,3 +159,30 @@ def test_empty_range_yields_one_empty_partition(table):
     parts = r.partitions({"version": 0}, {"version": 0})
     assert len(parts) == 1
     assert list(r.read(parts[0])) == []
+
+
+def test_compaction_emits_no_phantom_changes(table, spark):
+    """OPTIMIZE rewrites every bucket but changes no rows — the CDF's
+    key-level diff must emit ZERO changes for it (a file-grain feed
+    would re-emit the whole table; phantom changes double-count every
+    downstream consumer)."""
+    t, ev = table
+    t.append(ev.where(F.col("event_id") % 3 == 1))  # v1: fragment
+    t.optimize()                                    # v2: full rewrite
+    assert _changes(_reader(), 1, 2) == []
+
+
+def test_dv_coalesce_is_not_streamable(table):
+    """coalesce_deletion_vectors REWRITES the DV list (N sidecars -> 1);
+    row-grain attribution across that commit is lost, so the feed must
+    refuse it loudly rather than re-emit or skip deletes."""
+    t, _ = table
+    t.delete_where(F.col("event_type") == "click", mode="merge_on_read")
+    t.delete_where(F.col("event_type") == "view", mode="merge_on_read")
+    v = t.coalesce_deletion_vectors()
+    r = _reader()
+    # the two DELETE commits stream fine...
+    assert {row["_change_type"] for row in _changes(r, 0, 2)} == {"delete"}
+    # ...the coalesce commit refuses
+    with pytest.raises(ValueError, match="rewritten"):
+        r.partitions({"version": 2}, {"version": v})
