@@ -112,6 +112,24 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         if latest < 0:
             raise ValueError(f"no manifest table at {self.path}")
         self.start_version = int(options.get("startingVersion", latest))
+        # Delta maxFilesPerTrigger analogue at commit grain (see
+        # manifest_stream.py): bound how many commits one micro-batch
+        # diffs, so a CDF consumer starting against a long backlog
+        # drains it in bounded batches. 0/absent = unbounded.
+        self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
+        self._progress: int | None = None
+
+    def _note_progress(self, version: int) -> None:
+        if self._progress is None or version > self._progress:
+            self._progress = version
+
+    def _rate_limited(self, latest: int) -> int:
+        # restart-safe: cap only once this process observed an offset
+        # (initialOffset or a checkpointed start) — a capped offset
+        # behind an unseen checkpoint would regress the offset log
+        if self.max_versions > 0 and self._progress is not None:
+            return min(latest, self._progress + self.max_versions)
+        return latest
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -119,13 +137,15 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         # the version current when the stream started) — there is no
         # initial-snapshot batch; pair with the snapshot source
         # (manifest_stream) when a baseline is needed.
+        self._note_progress(self.start_version)
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _latest_version(self.path)}
+        return {"version": self._rate_limited(_latest_version(self.path))}
 
     # -- planning --------------------------------------------------------
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._note_progress(start["version"])  # learn the resumed offset
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             m_prev = _manifest(self.path, v - 1)
@@ -315,7 +335,9 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         return iter(out)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the stream checkpoint
+        # offsets live in the stream checkpoint; advance the local
+        # watermark so the rate limiter moves batch by batch
+        self._note_progress(end["version"])
 
 
 class ManifestCDFDataSource(DataSource):

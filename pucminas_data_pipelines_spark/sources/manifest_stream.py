@@ -73,15 +73,38 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.path = os.path.abspath(options["path"].rstrip("/"))
         if _latest_version(self.path) < 0:
             raise ValueError(f"no manifest table at {self.path}")
+        # Delta maxFilesPerTrigger analogue at commit grain: bound how
+        # many versions one micro-batch may cover, so a stream starting
+        # against a long backlog drains it in bounded batches instead
+        # of planning months of commits into one. 0/absent = unbounded.
+        self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
+        self._progress: int | None = None  # newest offset seen locally
+
+    def _note_progress(self, version: int) -> None:
+        if self._progress is None or version > self._progress:
+            self._progress = version
+
+    def _rate_limited(self, latest: int) -> int:
+        """Cap the batch end at progress + maxVersionsPerTrigger.
+        RESTART-SAFE by construction: the cap applies only once this
+        process has observed an offset (initialOffset on a fresh start,
+        or the checkpointed start passed to partitions()); the first
+        trigger after a checkpoint resume therefore runs uncapped —
+        returning a capped offset BEHIND an unseen checkpoint would
+        regress the offset log and re-emit committed versions."""
+        if self.max_versions > 0 and self._progress is not None:
+            return min(latest, self._progress + self.max_versions)
+        return latest
 
     # -- offset protocol ------------------------------------------------
     def initialOffset(self) -> dict:
         # version -1 = "before the table existed": the first batch emits
         # the full snapshot of whatever version latestOffset sees first.
+        self._note_progress(-1)
         return {"version": -1}
 
     def latestOffset(self) -> dict:
-        return {"version": _latest_version(self.path)}
+        return {"version": self._rate_limited(_latest_version(self.path))}
 
     # -- planning ---------------------------------------------------------
     def _added_dirs(self, start_v: int, end_v: int) -> tuple[list[str], list[str]]:
@@ -131,6 +154,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         return added, end_m["columns"]
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._note_progress(start["version"])  # learn the resumed offset
         added, columns = self._added_dirs(start["version"], end["version"])
         return [
             _DirPartition(
@@ -161,7 +185,9 @@ class ManifestStreamReader(DataSourceStreamReader):
         return dataset.scanner(columns=partition.columns).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the stream checkpoint; nothing to release
+        # offsets live in the stream checkpoint; remember the committed
+        # watermark so the rate limiter advances batch by batch
+        self._note_progress(end["version"])
 
 
 class ManifestStreamDataSource(DataSource):

@@ -160,3 +160,46 @@ def test_initial_snapshot_with_deletion_vectors_is_refused(table, spark):
     r = _reader()
     with pytest.raises(ValueError, match="deletion vectors"):
         r._added_dirs(-1, t.latest_version())
+
+
+def test_max_versions_per_trigger_bounds_each_batch(table, spark):
+    """Delta maxFilesPerTrigger analogue: with a 10-commit backlog and
+    maxVersionsPerTrigger=3, the offset sequence drains in bounded
+    steps (never more than 3 versions per batch) and still reaches the
+    end with every row exactly once."""
+    t, ev = table
+    for i in range(10):
+        t.append(
+            ev.where(F.col("event_id") % 30 == i).select(
+                "event_id", "event_type", "value"
+            )
+        )
+    r = ManifestStreamReader(
+        {"path": BASE, "maxVersionsPerTrigger": "3"}
+    )
+    offsets = [r.initialOffset()["version"]]
+    seen_rows = 0
+    while offsets[-1] < t.latest_version():
+        end = r.latestOffset()["version"]
+        assert end - offsets[-1] <= 3
+        for p in r.partitions(
+            {"version": offsets[-1]}, {"version": end}
+        ):
+            for batch in r.read(p):
+                seen_rows += batch.num_rows
+        r.commit({"version": end})
+        offsets.append(end)
+    # 3 versions per batch from the initial offset, monotone drain
+    assert offsets == [-1, 2, 5, 8, 10]
+    assert seen_rows == t.read().count()
+    # restart-safety: a fresh reader (checkpoint resume) must not cap
+    # its first latestOffset below the resumed start
+    r2 = ManifestStreamReader({"path": BASE, "maxVersionsPerTrigger": "3"})
+    assert r2.latestOffset()["version"] == t.latest_version()  # uncapped
+    r2.partitions({"version": 8}, {"version": t.latest_version()})
+    # capped from the second trigger on, relative to observed progress
+    r2.commit({"version": t.latest_version()})
+    t.append(ev.where(F.col("event_id") % 30 == 10).select(
+        "event_id", "event_type", "value"
+    ))
+    assert r2.latestOffset()["version"] == t.latest_version()
