@@ -1621,6 +1621,20 @@ class ManifestVersionedTable:
         dirs = self._bucket_dirs(manifest["buckets"], buckets)
         dirs = self._prune_dirs_by_key(manifest, dirs, values)
         df = self._read_dirs(manifest, dirs)
+        # third pruning grain: push the probe list into the SCAN as an
+        # IN filter (PushedFilters: In(key, ...)), so parquet row-group
+        # statistics skip inside the surviving files too — dir stats
+        # bound which FILES are opened, row-group stats bound which
+        # pages are decoded. Only for driver-small probe lists; the
+        # semi join below remains the correctness filter either way.
+        if len(values) <= 200:
+            non_null = [v for v in values if v is not None]
+            cond = (
+                df[self.key].isin(non_null) if non_null else F.lit(False)
+            )
+            if len(non_null) < len(values):  # NULL probed
+                cond = cond | df[self.key].isNull()
+            df = df.where(cond)
         # join condition references the DataFrame OBJECTS, not bare
         # F.col names: a table whose key column is literally named 'k'
         # would otherwise make both sides of the condition ambiguous

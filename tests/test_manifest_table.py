@@ -1288,3 +1288,22 @@ def test_zorder_on_timestamp_dimension_prunes(spark, tmp_path):
     )
     assert got.count() == want
     assert nfiles < total, (nfiles, total)
+
+
+def test_read_keys_pushes_in_filter_to_scan(spark, tmp_path):
+    """Third point-read grain: the probe list reaches the parquet scan
+    as PushedFilters In(key, ...), so row-group stats skip inside the
+    planned files; NULL probes stay null-safe-correct."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(_rows(spark, BASE))
+    got = t.read_keys([2, 5])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(id, [2,5])" in plan, plan[:800]
+    assert sorted(r["id"] for r in got.collect()) == [2, 5]
+    # NULL probe: row present iff a NULL-key row exists
+    t.merge(_rows(spark, [(None, "nil", 0.0)]))
+    got_null = t.read_keys([2, None])
+    rows = sorted(
+        (r["id"] is None, r["id"]) for r in got_null.collect()
+    )
+    assert rows == [(False, 2), (True, None)]
