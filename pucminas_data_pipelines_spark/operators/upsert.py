@@ -731,8 +731,13 @@ class ManifestVersionedTable:
 
         Guards: the bucket key cannot be dropped (every merge/read_keys
         depends on it), and a column referenced by a CHECK constraint or
-        a generated-column expression refuses (the stored expression
-        would break on the next write). The dropped name is REMEMBERED
+        ANOTHER column's generation expression refuses (the stored
+        expression would break on the next write). Dropping a generated
+        column itself is allowed and removes its definition from
+        ``manifest['generated']`` with it — a stale entry would make
+        _apply_generated resurrect the column on the next write and
+        _align_columns then reject every append/merge (ADVICE r11 #1).
+        The dropped name is REMEMBERED
         (``manifest['dropped']``): re-adding it via merge_schema refuses,
         because the by-name reader would resurrect the old files' values
         for it — the hazard Delta's column-mapping ids exist to prevent;
@@ -750,6 +755,11 @@ class ManifestVersionedTable:
         word = _re.compile(rf"\b{_re.escape(name)}\b")
         for kind in ("constraints", "generated"):
             for ref_name, expr in manifest.get(kind, {}).items():
+                if kind == "generated" and ref_name == name:
+                    # Dropping the generated column itself is legal (its
+                    # expression goes with it, as in Delta); only OTHER
+                    # definitions referencing it block the drop below.
+                    continue
                 if word.search(expr):
                     raise ValueError(
                         f"column {name!r} is referenced by {kind[:-1]} "
@@ -757,16 +767,23 @@ class ManifestVersionedTable:
                     )
         schema = StructType.fromJson(manifest["schema"])
         new_schema = StructType([f for f in schema.fields if f.name != name])
-        self._commit_manifest(
-            dict(
-                manifest,
-                columns=[c for c in manifest["columns"] if c != name],
-                schema=new_schema.jsonValue(),
-                dropped=sorted(set(manifest.get("dropped", [])) | {name}),
-                commit_info={"operation": f"DROP COLUMN ({name})"},
-            ),
-            version + 1,
+        updated = dict(
+            manifest,
+            columns=[c for c in manifest["columns"] if c != name],
+            schema=new_schema.jsonValue(),
+            dropped=sorted(set(manifest.get("dropped", [])) | {name}),
+            commit_info={"operation": f"DROP COLUMN ({name})"},
         )
+        # The generated-column definition must leave the manifest with its
+        # column: a stale entry would make _apply_generated re-add the
+        # column on the next write and _align_columns then reject every
+        # append/merge with extra=[name] — a metadata-only commit that
+        # bricks all incremental writes (ADVICE r11 #1).
+        if name in manifest.get("generated", {}):
+            updated["generated"] = {
+                k: v for k, v in manifest["generated"].items() if k != name
+            }
+        self._commit_manifest(updated, version + 1)
         return version + 1
 
     def rebucket(self, n_buckets: int) -> int:

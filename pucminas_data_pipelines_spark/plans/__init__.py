@@ -138,30 +138,19 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # the r5 window — round 6 takes the 50 highest-leverage of the combined
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
-# ROTATION PLAN for round 12: the late-r11 build added five further
-# first-evidence candidates AFTER the r11 window was preflighted and
-# frozen — mutation_manifest_delta_tail (tailable Delta-log export),
-# mutation_manifest_drop_column, mutation_manifest_rebucket,
-# mutation_manifest_autocompact, streaming_manifest_cdf_live (the
-# change-data-feed stream source), and streaming_incremental_mv_live
-# (the CDF-maintained live materialized view). All are oracled and two-SF
-# parity-pinned already; slot them into the r12 window alongside the 5
-# canaries and the next-oldest re-confirmation cohort (the remaining 20
-# r3-era names, then r4). Everything else stays pinned by the full
-# parity suite as usual.
 DRIVER_WINDOW: list[str] = [
-    # ROUND-11 ROTATION (VERDICT r10 #4: rotate to re-confirm the oldest
-    # evidence now that cumulative driver-green coverage is complete).
-    # Composition: (a) the 5 standing canaries, (b) FIRST evidence for
-    # the three round-11 operators (OCC conflict resolution /
-    # retry-rebase, MIN/MAX incremental maintenance with targeted group
-    # rescan, Z-order 2-D pruned scan), (c) 42 re-confirmation picks
-    # chosen strictly oldest-evidence-first from the cumulative
-    # CORRECTNESS_r01..r10 union: ALL 20 names whose last green row
-    # dates to r1 and the alphabetically-first 22 of the 42 r3-era
-    # names. Every rotated-out name stays pinned by
-    # tests/test_oracle_parity.py at two scale factors. The whole
-    # window was re-run through the vanilla-session preflight
+    # ROUND-12 ROTATION (VERDICT r11 #1): composition = (a) the 5
+    # standing canaries, (b) FIRST driver-window evidence for the six
+    # late-r11 queries that postdated the frozen r11 window
+    # (mutation_manifest_autocompact/delta_tail/drop_column/rebucket,
+    # streaming_incremental_mv_live, streaming_manifest_cdf_live — the
+    # only oracled names without a green CORRECTNESS row in any round),
+    # (c) 39 re-confirmation picks chosen strictly oldest-evidence-first
+    # from the cumulative CORRECTNESS_r01..r11 union: ALL 20 names whose
+    # last green row dates to r3, then the alphabetically-first 19 of
+    # the r4 cohort. Every rotated-out name stays pinned by
+    # tests/test_oracle_parity.py at two scale factors. The whole window
+    # is re-run through the vanilla-session preflight
     # (.claude/skills/verify/preflight.py) after this rotation.
     # canaries (driver-green every round since r4)
     "q1_pricing_summary",
@@ -169,54 +158,54 @@ DRIVER_WINDOW: list[str] = [
     "join_asof",
     "mutation_merge_upsert",
     "events_session_window",
-    # round-11 first evidence
-    "mutation_manifest_concurrent_writers",
-    "mutation_incremental_rollup_minmax",
-    "mutation_manifest_zorder_scan",
-    # oldest-evidence re-confirmation: last green in r1 (all 20)
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_scalar_subquery",
-    "dedup_exact_normalized",
-    "doc_stats_by_lang_source",
-    "events_click_purchase_correlation",
-    "events_dedup_by_key",
-    "events_enriched_by_segment",
-    "events_funnel_conversion",
-    "events_hypertable_rollup",
-    "events_retention_cohorts",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "multimodal_binary_meta",
-    "multimodal_decode_stub",
-    "multimodal_resize_stub",
-    # oldest-evidence re-confirmation: last green in r3 (first 22)
-    "agg_basic_stats",
-    "agg_collect_set_sorted",
-    "corpus_curation_pipeline",
-    "curation_boilerplate_prune",
-    "dedup_cluster_collapse",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_recall",
-    "dedup_simhash",
-    "embedding_quantize_int8",
-    "filter_isin",
-    "filter_sql_string_where",
-    "graph_pagerank_transitions",
-    "join_inner",
-    "join_left_anti",
-    "join_range",
-    "join_salted_skew",
-    "knn_cosine_topk",
-    "knn_cosine_topk_pandas",
-    "multimodal_frame_sample",
-    "mutation_delete_where",
+    # round-12 first evidence (late-r11 operators)
+    "mutation_manifest_autocompact",
+    "mutation_manifest_delta_tail",
+    "mutation_manifest_drop_column",
+    "mutation_manifest_rebucket",
+    "streaming_incremental_mv_live",
+    "streaming_manifest_cdf_live",
+    # oldest-evidence re-confirmation: last green in r3 (all 20)
+    "mutation_time_travel",
+    "pii_redact_text",
+    "project_literal_replace",
+    "q18_large_orders",
+    "q21_sole_blamed_supplier",
+    "scalar_json_extract",
+    "setop_union_all",
+    "sink_bucketed_colocated_join",
+    "sink_partitioned_parquet",
+    "sort_limit_topk",
+    "source_csv_roundtrip",
+    "source_local_rows",
+    "split_stratified_by_lang",
+    "stats_key_skew_profile",
+    "streaming_stream_join_live",
+    "text_bm25_rank",
+    "text_language_id",
+    "udf_apply_in_pandas",
+    "udf_pandas_scalar",
+    "window_rank_family",
+    # oldest-evidence re-confirmation: last green in r4 (first 19)
+    "graph_hop_distance_histogram",
+    "mutation_manifest_export",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "q8_market_share",
 ]
 
 

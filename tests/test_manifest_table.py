@@ -1046,6 +1046,35 @@ def test_drop_column_refuses_referenced_and_readded_names(spark, tmp_path):
         )
 
 
+def test_drop_column_removes_generated_definition_with_it(spark, tmp_path):
+    """ADVICE r11 #1: dropping a GENERATED column must take its
+    expression out of manifest['generated'] in the same commit —
+    otherwise _apply_generated re-adds the column on the next write and
+    _align_columns rejects every subsequent append/merge with
+    extra=[col], bricking all incremental writes."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.overwrite(
+        _rows(spark, BASE), generated={"score_band": "CAST(score / 20 AS INT)"}
+    )
+    assert "score_band" in t.read().columns
+    v = t.drop_column("score_band")
+    assert "score_band" not in t._manifest(v).get("generated", {})
+    assert t.read().columns == ["id", "name", "score"]
+    # the previously-bricked path: incremental writes keep working
+    t.append(
+        spark.createDataFrame([(7, "gui", 70.0)], "id bigint, name string, score double")
+    )
+    t.merge(
+        spark.createDataFrame([(1, "ana", 99.0)], "id bigint, name string, score double")
+    )
+    assert t.read().count() == len(BASE) + 1
+    # a column referenced by ANOTHER column's generation expr still refuses
+    t2 = ManifestVersionedTable(spark, str(tmp_path / "t2"), key="id", n_buckets=4)
+    t2.overwrite(_rows(spark, BASE), generated={"dscore": "score * 2"})
+    with pytest.raises(ValueError, match="referenced by generate"):
+        t2.drop_column("score")
+
+
 def test_rebucket_rewrites_layout_and_blocks_stale_rebase(spark, tmp_path):
     t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
     t.overwrite(_rows(spark, BASE))
