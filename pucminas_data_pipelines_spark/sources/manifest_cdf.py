@@ -20,8 +20,11 @@ commit log and emits ROW-LEVEL CHANGES per commit, not snapshots:
   bucket diff is a key-level outer merge of two bucket-sized pandas
   frames — bounded by bucket size, the same unit merge itself
   rewrites);
+- reads are pinned to the MANIFEST's schema (never file footers), so
+  files written before a pre-stream schema evolution serve NULL for
+  later-added columns — the batch twin's ``_reader()`` semantics;
 - non-streamable history refuses loudly, like Delta CDF without a
-  regenerated feed: schema evolution, bucket-count changes (REBUCKET
+  regenerated feed: IN-RANGE schema evolution, bucket-count changes (REBUCKET
   re-hashes every row, per-bucket diffs would lie), a rewritten DV
   list, and bucket rewrites OVER outstanding DVs (a raw pre-image read
   would resurrect the DV'd rows as phantom deletes).
@@ -67,12 +70,65 @@ def _abs(root: str, d: str) -> str:
     return d if os.path.isabs(d) else os.path.join(root, d)
 
 
+def _arrow_target(manifest: dict):
+    """Arrow schema for the manifest's column list, derived from the
+    manifest's authoritative Spark schema (never from file footers) —
+    the same pinned-schema semantics as the batch twin's ``_reader()``
+    (operators/upsert.py): files written before a pre-stream schema
+    evolution yield NULL for columns they don't carry instead of
+    crashing the scan with ArrowInvalid (ADVICE r11 #2). All fields
+    nullable: null-fill is the whole point."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    full = to_arrow_schema(StructType.fromJson(manifest["schema"]))
+    return pa.schema(
+        [pa.field(c, full.field(c).type, nullable=True) for c in manifest["columns"]]
+    )
+
+
+def _conform(tbl, target):
+    """Project an Arrow table onto ``target``: reorder, cast where the
+    physical type differs, and null-fill columns absent from the file
+    (pre-evolution files)."""
+    import pyarrow as pa
+
+    cols = {}
+    for f in target:
+        if f.name in tbl.schema.names:
+            c = tbl.column(f.name)
+            cols[f.name] = c.cast(f.type) if c.type != f.type else c
+        else:
+            cols[f.name] = pa.nulls(tbl.num_rows, type=f.type)
+    return pa.table(cols).cast(target)
+
+
+def _scan_dirs(dirs: list[str], target):
+    """Read a list of data directories into ONE Arrow table with the
+    manifest-pinned ``target`` schema. Each directory is scanned
+    separately (its files share one write-time schema) and conformed,
+    so mixed-generation file lists never hit pyarrow's union-dataset
+    schema unification."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    if not dirs:
+        return target.empty_table()
+    pieces = []
+    for d in dirs:
+        dset = ds.dataset(d, format="parquet")
+        present = [c for c in target.names if c in dset.schema.names]
+        pieces.append(_conform(dset.to_table(columns=present), target))
+    return pa.concat_tables(pieces)
+
+
 class _InsertDirPartition(InputPartition):
     """One APPEND-added directory: every row is an insert."""
 
-    def __init__(self, abs_dir: str, columns: list[str], version: int):
+    def __init__(self, abs_dir: str, schema, version: int):
         self.abs_dir = abs_dir
-        self.columns = columns
+        self.schema = schema  # manifest-pinned Arrow schema
         self.version = version
 
 
@@ -84,13 +140,13 @@ class _BucketDiffPartition(InputPartition):
         pre_dirs: list[str],
         post_dirs: list[str],
         key: str,
-        columns: list[str],
+        schema,
         version: int,
     ):
         self.pre_dirs = pre_dirs
         self.post_dirs = post_dirs
         self.key = key
-        self.columns = columns
+        self.schema = schema
         self.version = version
 
 
@@ -98,10 +154,10 @@ class _DVDeletePartition(InputPartition):
     """One new deletion-vector sidecar: its (file, row) keys are the
     deleted rows, fetched by positional take."""
 
-    def __init__(self, root: str, dv_abs: str, columns: list[str], version: int):
+    def __init__(self, root: str, dv_abs: str, schema, version: int):
         self.root = root
         self.dv_abs = dv_abs
-        self.columns = columns
+        self.schema = schema
         self.version = version
 
 
@@ -162,7 +218,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     "re-hashes every row; per-bucket diffs would emit "
                     "phantom changes) — restart from a fresh checkpoint"
                 )
-            cols = m_v["columns"]
+            target = _arrow_target(m_v)
             key = m_v["key"]
             prev_dvs = m_prev.get("deletion_vectors", [])
             cur_dvs = m_v.get("deletion_vectors", [])
@@ -175,7 +231,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             for dv_rel in cur_dvs[len(prev_dvs):]:
                 out.append(
                     _DVDeletePartition(
-                        self.path, _abs(self.path, dv_rel), cols, v
+                        self.path, _abs(self.path, dv_rel), target, v
                     )
                 )
             bf, bt = m_prev["buckets"], m_v["buckets"]
@@ -188,7 +244,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     for d in post[len(pre):]:
                         out.append(
                             _InsertDirPartition(
-                                _abs(self.path, d), cols, v
+                                _abs(self.path, d), target, v
                             )
                         )
                     continue
@@ -204,24 +260,18 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                         [_abs(self.path, d) for d in pre],
                         [_abs(self.path, d) for d in post],
                         key,
-                        cols,
+                        target,
                         v,
                     )
                 )
-        return out or [_InsertDirPartition("", [], end["version"])]
+        return out or [_InsertDirPartition("", None, end["version"])]
 
     # -- executor read ---------------------------------------------------
     def read(self, partition) -> Iterator:
-        import pyarrow as pa
-
         if isinstance(partition, _InsertDirPartition):
             if not partition.abs_dir:
                 return iter(())
-            import pyarrow.dataset as ds
-
-            tbl = ds.dataset(
-                partition.abs_dir, format="parquet"
-            ).to_table(columns=partition.columns)
+            tbl = _scan_dirs([partition.abs_dir], partition.schema)
             return self._stamped(tbl, "insert", partition.version)
         if isinstance(partition, _DVDeletePartition):
             return self._read_dv_deletes(partition)
@@ -252,10 +302,14 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             by_file.setdefault(f, []).append(r)
         pieces = []
         for f, rows in sorted(by_file.items()):
-            file_tbl = ds.dataset(
-                _abs(p.root, f), format="parquet"
-            ).to_table(columns=p.columns)
-            pieces.append(file_tbl.take(sorted(rows)))
+            dset = ds.dataset(_abs(p.root, f), format="parquet")
+            present = [c for c in p.schema.names if c in dset.schema.names]
+            # take by position FIRST (row indices are per-file), then
+            # conform to the manifest-pinned schema (pre-evolution files
+            # null-fill later-added columns instead of ArrowInvalid)
+            pieces.append(
+                _conform(dset.to_table(columns=present).take(sorted(rows)), p.schema)
+            )
         if not pieces:
             return iter(())
         return self._stamped(pa.concat_tables(pieces), "delete", p.version)
@@ -263,33 +317,18 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
     def _read_bucket_diff(self, p: _BucketDiffPartition) -> Iterator:
         import pandas as pd
         import pyarrow as pa
-        import pyarrow.dataset as ds
+        import pyarrow.types as pat
 
-        def union_ds(dirs):
-            # a LIST of directory paths needs a union dataset (pyarrow
-            # accepts a single dir, a list of files, or dataset objects)
-            if len(dirs) == 1:
-                return ds.dataset(dirs[0], format="parquet")
-            return ds.dataset(
-                [ds.dataset(d, format="parquet") for d in dirs]
-            )
-
-        schema = union_ds(p.post_dirs or p.pre_dirs).schema
-        target = pa.schema([schema.field(c) for c in p.columns])
+        target = p.schema
 
         def load(dirs):
-            if not dirs:
-                return target.empty_table().to_pandas(
-                    types_mapper=pd.ArrowDtype
-                )
-            return (
-                union_ds(dirs)
-                .to_table(columns=p.columns)
-                .to_pandas(types_mapper=pd.ArrowDtype)
-            )
+            return _scan_dirs(dirs, target).to_pandas(types_mapper=pd.ArrowDtype)
 
         pre, post = load(p.pre_dirs), load(p.post_dirs)
-        payload = [c for c in p.columns if c != p.key]
+        payload = [c for c in target.names if c != p.key]
+        floats = {
+            f.name for f in target if pat.is_floating(f.type)
+        }
         merged = pre.merge(
             post,
             on=p.key,
@@ -299,7 +338,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         )
         def side(frame, suffix):
             cols = {}
-            for c in p.columns:
+            for c in target.names:
                 cols[c] = (
                     frame[p.key]
                     if c == p.key
@@ -315,6 +354,13 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             for c in payload:
                 a, b = both[f"{c}__pre"], both[f"{c}__post"]
                 eq = (a == b).fillna(False) | (a.isna() & b.isna())
+                if c in floats:
+                    # Arrow floats keep NaN distinct from null, and
+                    # NaN != NaN — a rewrite copying a NaN-valued row
+                    # through unchanged must NOT emit a spurious update
+                    # pair (ADVICE r11 #4): NaN==NaN here.
+                    both_nan = (a != a).fillna(False) & (b != b).fillna(False)
+                    eq |= both_nan
                 differs |= ~eq
             both = both[differs]
         else:

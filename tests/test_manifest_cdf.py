@@ -186,3 +186,68 @@ def test_dv_coalesce_is_not_streamable(table):
     # ...the coalesce commit refuses
     with pytest.raises(ValueError, match="rewritten"):
         r.partitions({"version": 2}, {"version": v})
+
+
+def test_pre_stream_schema_evolution_null_fills_preimages(table, spark):
+    """ADVICE r11 #2: a column added by merge_schema BEFORE the streamed
+    range must not crash pre-image reads of older files (ArrowInvalid
+    'No match for FieldRef') — the scan is pinned to the manifest
+    schema, like the batch _reader(), and old files serve NULL."""
+    t, ev = table
+    t.append(  # v1: schema evolution — v0's files lack `extra`
+        ev.where(F.col("event_id") % 3 == 1).withColumn("extra", F.lit(1)),
+        merge_schema=True,
+    )
+    t.merge(  # v2: rewrites buckets holding PRE-evolution (v0) files
+        spark.createDataFrame(
+            [(0, "view", 9.0, 2), (3, "view", 9.5, 2)],
+            "event_id bigint, event_type string, value double, extra int",
+        )
+    )
+    rows = _changes(_reader(start=1), 1, 2)
+    assert rows, "evolved-history pre-image read returned nothing"
+    pre = {r["event_id"]: r for r in rows if r["_change_type"] == "update_preimage"}
+    # pre-images from v0-era files null-fill the later-added column
+    assert pre and all(r["extra"] is None for r in pre.values())
+    post = {r["event_id"]: r for r in rows if r["_change_type"] == "update_postimage"}
+    assert {r["extra"] for r in post.values()} == {2}
+    # DV deletes across the same evolved history: also pinned-schema
+    t.delete_where(F.col("event_id") == 6, mode="merge_on_read")  # v3: v0-era row
+    dels = [r for r in _changes(_reader(start=2), 2, 3) if r["_change_type"] == "delete"]
+    assert [r["event_id"] for r in dels] == [6]
+    assert dels[0]["extra"] is None
+
+
+def test_nan_passthrough_emits_no_spurious_updates(spark):
+    """ADVICE r11 #4: NaN != NaN in naive float equality — a bucket
+    rewrite that copies a NaN-valued row through unchanged must not
+    emit an update_preimage/update_postimage pair for it."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    t = ManifestVersionedTable(spark, BASE, key="event_id", n_buckets=1)
+    try:
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, "a", float("nan")), (2, "b", 5.0)],
+                "event_id bigint, event_type string, value double",
+            )
+        )
+        t.merge(  # rewrites the single bucket; row 1 (NaN) copies through
+            spark.createDataFrame(
+                [(2, "b", 6.0)], "event_id bigint, event_type string, value double"
+            )
+        )
+        rows = _changes(_reader(), 0, 1)
+        assert {r["event_id"] for r in rows} == {2}
+        # NaN -> 7.0 IS a change and must still be emitted
+        t.merge(
+            spark.createDataFrame(
+                [(1, "a", 7.0)], "event_id bigint, event_type string, value double"
+            )
+        )
+        rows = _changes(_reader(start=1), 1, 2)
+        assert {(r["event_id"], r["_change_type"]) for r in rows} == {
+            (1, "update_preimage"),
+            (1, "update_postimage"),
+        }
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
