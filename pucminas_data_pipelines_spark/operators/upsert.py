@@ -2232,11 +2232,12 @@ class ManifestVersionedTable:
             self._delta_protocol_action(manifest),
             self._delta_metadata_action(manifest),
         ]
+        dir_files: dict[str, list[str]] = {}
         for rel in self._bucket_dirs(manifest["buckets"]):
             d = self._abs(rel)
-            for fname in sorted(os.listdir(d)):
-                if not fname.endswith(".parquet"):
-                    continue
+            names = [n for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+            dir_files[rel] = names
+            for fname in names:
                 full = os.path.join(d, fname)
                 actions.append(
                     {
@@ -2257,7 +2258,13 @@ class ManifestVersionedTable:
                 fh.write(_json.dumps(a) + "\n")
         with open(os.path.join(log_dir, "_mvt_export_state"), "w") as fh:
             _json.dump(
-                {"manifest_version": self.latest_version(), "log_version": 0},
+                {
+                    "manifest_version": self.latest_version(),
+                    "log_version": 0,
+                    # per-dir file index: a later tail export derives
+                    # removes from this even after the dir is vacuumed
+                    "dir_files": dir_files,
+                },
                 fh,
             )
         return commit
@@ -2318,7 +2325,7 @@ class ManifestVersionedTable:
         }
 
     def _delta_actions_for_diff(
-        self, m_prev: dict | None, m_v: dict
+        self, m_prev: dict | None, m_v: dict, dir_files: dict[str, list[str]]
     ) -> list[dict]:
         """Public-format Delta actions turning snapshot m_prev into m_v:
         remove for every file of a dropped dir, add for every file of a
@@ -2326,9 +2333,23 @@ class ManifestVersionedTable:
         schema/constraints/generated metadata changed (with a protocol
         upgrade when the feature floor rose), and txn actions for
         idempotent-writer watermark movements. O(changed dirs' file
-        listings), no data reads."""
+        listings), no data reads.
+
+        ``dir_files`` is the exporter's persisted per-dir file index
+        (rel dir -> exported .parquet names), MUTATED here: adds record
+        into it, removes consume from it. Removes therefore survive a
+        vacuum of the dropped dir (ADVICE r11 #3 — a silent zero-remove
+        diff would leave the prior adds live and external Delta readers
+        would see phantom files); an ADDED dir that was already vacuumed
+        raises instead of exporting unreadable references."""
         actions: list[dict] = []
-        prev_dirs = set(self._bucket_dirs(m_prev["buckets"])) if m_prev else set()
+        prev_dirs = (
+            set(self._bucket_dirs(m_prev["buckets"]))
+            if m_prev
+            # m_prev expired by vacuum: the persisted index keys are the
+            # exact dir set whose adds the log currently holds live
+            else set(dir_files)
+        )
         cur_dirs = set(self._bucket_dirs(m_v["buckets"]))
         meta_changed = m_prev is None or any(
             m_prev.get(k2) != m_v.get(k2)
@@ -2346,31 +2367,51 @@ class ManifestVersionedTable:
                 actions.append({"txn": {"appId": app, "version": ver}})
         now_ms = None
         for rel in sorted(prev_dirs - cur_dirs):
-            d = self._abs(rel)
-            try:
-                names = sorted(os.listdir(d))
-            except FileNotFoundError:
-                names = []  # vacuumed dir: the remove is still correct
-            for fname in names:
-                if fname.endswith(".parquet"):
-                    if now_ms is None:
-                        import time as _time
-
-                        now_ms = int(_time.time() * 1000)
-                    actions.append(
-                        {
-                            "remove": {
-                                "path": os.path.join(rel, fname),
-                                "deletionTimestamp": now_ms,
-                                "dataChange": True,
-                            }
-                        }
+            names = dir_files.pop(rel, None)
+            if names is None:
+                # pre-index export state: fall back to the filesystem,
+                # but LOUDLY — a vacuumed dir with no index means the
+                # removes are unrecoverable and the exported log would
+                # keep phantom adds live.
+                d = self._abs(rel)
+                try:
+                    names = sorted(
+                        n for n in os.listdir(d) if n.endswith(".parquet")
                     )
+                except FileNotFoundError:
+                    raise ValueError(
+                        f"dropped dir {rel} was already vacuumed and the "
+                        "export state carries no file index for it (a "
+                        "pre-r12 export?); remove _delta_log and "
+                        "re-export from a snapshot"
+                    ) from None
+            for fname in names:
+                if now_ms is None:
+                    import time as _time
+
+                    now_ms = int(_time.time() * 1000)
+                actions.append(
+                    {
+                        "remove": {
+                            "path": os.path.join(rel, fname),
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
         for rel in sorted(cur_dirs - prev_dirs):
             d = self._abs(rel)
-            for fname in sorted(os.listdir(d)):
-                if not fname.endswith(".parquet"):
-                    continue
+            try:
+                listing = sorted(os.listdir(d))
+            except FileNotFoundError:
+                raise ValueError(
+                    f"dir {rel} added by the exported version was already "
+                    "vacuumed; its files cannot be referenced by the log "
+                    "— re-export from a snapshot of a live version"
+                ) from None
+            names = [n for n in listing if n.endswith(".parquet")]
+            dir_files[rel] = names
+            for fname in names:
                 full = os.path.join(d, fname)
                 actions.append(
                     {
@@ -2423,14 +2464,32 @@ class ManifestVersionedTable:
                 ) from None
             from_mv = state["manifest_version"]
             next_log = state["log_version"] + 1
-            m_prev = self._manifest(from_mv)
+            # per-dir file index persisted across exports so removes
+            # survive a vacuum of the dropped dir (absent in pre-r12
+            # states: the diff falls back to the filesystem and raises
+            # if that dir is gone)
+            dir_files = state.get("dir_files", {})
+            try:
+                m_prev = self._manifest(from_mv)
+            except ValueError:
+                # the exported-up-to manifest was expired by vacuum();
+                # the state's dir index IS the prior file set, so the
+                # diff proceeds from it (prev dirs = index keys) and the
+                # idempotent protocol/metaData/txn actions re-emit
+                m_prev = None
         else:
             os.makedirs(log_dir)
             from_mv = -1
             next_log = 0
             m_prev = None
+            dir_files = {}
         written: list[str] = []
         for v in range(from_mv + 1, latest + 1):
+            if not os.path.exists(self._manifest_path(v)):
+                # expired by vacuum(): the state-based diff collapses it
+                # into the next surviving version's log entry (Delta
+                # loses the same time-travel granularity after VACUUM)
+                continue
             m_v = self._manifest(v)
             if m_v.get("deletion_vectors"):
                 raise ValueError(
@@ -2440,7 +2499,7 @@ class ManifestVersionedTable:
             actions: list[dict] = []
             if m_prev is None:
                 actions.append(self._delta_protocol_action(m_v))
-            actions.extend(self._delta_actions_for_diff(m_prev, m_v))
+            actions.extend(self._delta_actions_for_diff(m_prev, m_v, dir_files))
             commit = os.path.join(log_dir, f"{next_log:020d}.json")
             with open(commit, "w") as fh:
                 for a in actions:
@@ -2448,7 +2507,12 @@ class ManifestVersionedTable:
             written.append(commit)
             with open(state_path, "w") as fh:
                 _json.dump(
-                    {"manifest_version": v, "log_version": next_log}, fh
+                    {
+                        "manifest_version": v,
+                        "log_version": next_log,
+                        "dir_files": dir_files,
+                    },
+                    fh,
                 )
             m_prev = m_v
             next_log += 1

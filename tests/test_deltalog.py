@@ -359,3 +359,37 @@ def test_export_carries_constraints_and_generated_metadata(spark, tmp_path):
     # the protocol-level reader still reads it (reader floor stays 1)
     r = DeltaLogReader(spark, str(tmp_path / "t"))
     assert sorted(map(tuple, r.read().collect())) == [(1, 2.0, 4.0)]
+
+
+def test_tail_export_removes_survive_vacuum(spark, tmp_path):
+    """ADVICE r11 #3: a dropped dir vacuumed BEFORE the tail export must
+    still yield its remove actions (from the persisted per-dir file
+    index), or external Delta readers see phantom files; an ADDED dir
+    that was vacuumed raises instead of exporting dead references."""
+    from pyspark.sql import functions as F
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="k", n_buckets=2)
+    t.overwrite(spark.createDataFrame([(1, "ana"), (2, "bia"), (3, "caio")], SCHEMA))
+    t.export_delta_log_tail()                     # log 0: v0 adds indexed
+    t.delete_where(F.col("k") == 1)               # v1: rewrites bucket dirs
+    t.vacuum(retain_last=1, min_age_seconds=0)    # v0's dropped dirs GONE
+    t.export_delta_log_tail()                     # log 1: removes from index
+    log = os.path.join(str(tmp_path / "t"), "_delta_log")
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(log, f"{1:020d}.json"))
+    ]
+    removed = {a["remove"]["path"] for a in actions if "remove" in a}
+    assert removed, "vacuumed dropped dir emitted zero removes"
+    r = DeltaLogReader(spark, str(tmp_path / "t"))
+    live = {a["add"]["path"] for c in (0, 1) for a in (
+        json.loads(line) for line in open(os.path.join(log, f"{c:020d}.json"))
+    ) if "add" in a} - removed
+    assert all(os.path.exists(os.path.join(str(tmp_path / "t"), p)) for p in live)
+    assert sorted(map(tuple, r.read().collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
