@@ -15,12 +15,15 @@ diff. `spark.readStream.format("manifest_stream")` tails the commit log:
 - each added directory becomes one InputPartition, so executors read
   the new files in parallel as Arrow record batches (the vectorized
   Python DataSource path — no per-row Python);
-- non-append history (MERGE/DELETE/RESTORE rewrites, deletion vectors,
-  schema evolution) makes a version range non-replayable as an
-  append-only stream, so the reader REFUSES it loudly — the same
-  contract as Delta's streaming source without ignoreChanges/
-  ignoreDeletes, where silently re-emitting rewritten buckets would
-  double-count every surviving row downstream.
+- the initial snapshot SUBTRACTS outstanding merge-on-read deletes
+  (each partition ships its directory's DV row positions and masks
+  them out — exactly what Delta's streaming initial snapshot serves);
+- non-append history AFTER the snapshot (MERGE/DELETE/RESTORE
+  rewrites, new deletion vectors, schema evolution) makes a version
+  range non-replayable as an append-only stream, so the reader
+  REFUSES it loudly — the same contract as Delta's streaming source
+  without ignoreChanges/ignoreDeletes, where silently re-emitting
+  rewritten buckets would double-count every surviving row downstream.
 
 At 100 TB this is the standard lakehouse CDC fan-out: ingest commits
 append every few minutes, and any number of downstream streams tail the
@@ -61,11 +64,22 @@ def _dirs(manifest: dict) -> list[str]:
 
 
 class _DirPartition(InputPartition):
-    """One manifest-added data directory = one executor read task."""
+    """One manifest-added data directory = one executor read task.
 
-    def __init__(self, abs_dir: str, columns: list[str]):
+    ``dv_rows`` (initial-snapshot batches only) maps a file name inside
+    this directory to the sorted row positions its deletion vectors
+    mark deleted; the executor masks them out — merge-on-read, same
+    subtraction the batch ``read()`` does with a broadcast anti-join."""
+
+    def __init__(
+        self,
+        abs_dir: str,
+        columns: list[str],
+        dv_rows: dict[str, list[int]] | None = None,
+    ):
         self.abs_dir = abs_dir
         self.columns = columns
+        self.dv_rows = dv_rows or {}
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -106,6 +120,34 @@ class ManifestStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         return {"version": self._rate_limited(_latest_version(self.path))}
 
+    def _dv_rows_by_dir(
+        self, manifest: dict
+    ) -> dict[str, dict[str, list[int]]]:
+        """Read the manifest's DV sidecars (driver-side, match-sized —
+        the same rows the batch reader broadcasts) and group the deleted
+        positions as rel_dir -> file name -> sorted row indices, so each
+        snapshot partition ships only its own directory's deletes."""
+        import pyarrow.dataset as ds
+
+        out: dict[str, dict[str, list[int]]] = {}
+        dvs = manifest.get("deletion_vectors", [])
+        if not dvs:
+            return out
+        for p in dvs:
+            dv = ds.dataset(
+                os.path.join(self.path, p), format="parquet"
+            ).to_table()
+            for f, r in zip(
+                dv.column("__dv_file").to_pylist(),
+                dv.column("__dv_row").to_pylist(),
+            ):
+                d, name = os.path.split(f)
+                out.setdefault(d, {}).setdefault(name, []).append(r)
+        for files in out.values():
+            for rows in files.values():
+                rows.sort()
+        return out
+
     # -- planning ---------------------------------------------------------
     def _added_dirs(self, start_v: int, end_v: int) -> tuple[list[str], list[str]]:
         """Directories added in versions (start_v, end_v], plus the final
@@ -113,18 +155,6 @@ class ManifestStreamReader(DataSourceStreamReader):
         batch); append-only guard for tailed commits."""
         end_m = _manifest(self.path, end_v)
         if start_v < 0:
-            # Initial-snapshot batch: read() scans raw parquet per added
-            # dir, so it cannot apply merge-on-read deletes — refuse DVs
-            # here just like the tail guard below, instead of silently
-            # emitting logically deleted rows (batch read() anti-joins
-            # the DV sidecars; this path has no such subtraction step).
-            if end_m.get("deletion_vectors"):
-                raise ValueError(
-                    f"version {end_v} carries deletion vectors; the "
-                    "initial snapshot cannot subtract merge-on-read "
-                    "deletes (run optimize()/rewrite to materialize the "
-                    "deletes, then start the stream)"
-                )
             return _dirs(end_m), end_m["columns"]
         start_m = _manifest(self.path, start_v)
         if start_m["columns"] != end_m["columns"]:
@@ -156,9 +186,20 @@ class ManifestStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         self._note_progress(start["version"])  # learn the resumed offset
         added, columns = self._added_dirs(start["version"], end["version"])
+        # Initial snapshot over outstanding merge-on-read deletes: ship
+        # each directory's DV positions with its partition (Delta's
+        # streaming initial snapshot also serves deletes subtracted);
+        # mid-stream DV churn still refuses in _added_dirs' tail guard.
+        dv_by_dir = (
+            self._dv_rows_by_dir(_manifest(self.path, end["version"]))
+            if start["version"] < 0
+            else {}
+        )
         return [
             _DirPartition(
-                d if os.path.isabs(d) else os.path.join(self.path, d), columns
+                d if os.path.isabs(d) else os.path.join(self.path, d),
+                columns,
+                dv_by_dir.get(d),
             )
             for d in added
         ] or [_DirPartition("", columns)]  # empty batch: no new commits
@@ -182,7 +223,28 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "schema-evolved history is not streamable (restart from a "
                 "fresh snapshot)"
             )
-        return dataset.scanner(columns=partition.columns).to_batches()
+        if not partition.dv_rows:
+            return dataset.scanner(columns=partition.columns).to_batches()
+        return self._read_minus_dvs(dataset, partition)
+
+    @staticmethod
+    def _read_minus_dvs(dataset, partition: _DirPartition) -> Iterator:
+        """Initial-snapshot merge-on-read: scan file by file (row
+        positions are per-file) and mask out each file's DV'd rows."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        for f in sorted(dataset.files):
+            tbl = ds.dataset(f, format="parquet").to_table(
+                columns=partition.columns
+            )
+            dead = partition.dv_rows.get(os.path.basename(f))
+            if dead:
+                mask = np.ones(tbl.num_rows, dtype=bool)
+                mask[dead] = False
+                tbl = tbl.filter(pa.array(mask))
+            yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:
         # offsets live in the stream checkpoint; remember the committed

@@ -150,16 +150,29 @@ def test_restart_resumes_from_checkpointed_offsets(spark, table, tmp_path):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
-def test_initial_snapshot_with_deletion_vectors_is_refused(table, spark):
-    """ADVICE r10: the snapshot batch scans raw parquet per added dir and
-    cannot subtract merge-on-read deletes — starting a stream on a table
-    with outstanding DVs must refuse loudly (like the tail guard), not
-    silently emit logically deleted rows."""
-    t, _ = table
+def test_initial_snapshot_subtracts_deletion_vectors(table, spark):
+    """VERDICT r11 #2: a stream starting on a table with outstanding
+    merge-on-read deletes serves the snapshot MINUS the DV'd rows —
+    matching batch read() row-for-row, exactly Delta's streaming
+    initial snapshot. New DVs arriving MID-STREAM still refuse (the
+    append-only tail cannot retract rows already emitted)."""
+    t, ev = table
     t.delete_where(F.col("event_type") == "click", mode="merge_on_read")
+    t.delete_where(F.col("event_type") == "view", mode="merge_on_read")
     r = _reader()
-    with pytest.raises(ValueError, match="deletion vectors"):
-        r._added_dirs(-1, t.latest_version())
+    v = t.latest_version()
+    rows = []
+    for p in r.partitions({"version": -1}, {"version": v}):
+        for batch in r.read(p):
+            rows.extend(batch.to_pylist())
+    got = sorted((x["event_id"], x["event_type"], x["value"]) for x in rows)
+    want = sorted(map(tuple, t.read().collect()))
+    assert got == want  # row-for-row against the batch reader
+    assert all(x[1] not in ("click", "view") for x in got)
+    # mid-stream DV commit: still refused
+    t.delete_where(F.col("event_type") == "purchase", mode="merge_on_read")
+    with pytest.raises(ValueError, match="APPEND-only|deletion vectors"):
+        r._added_dirs(v, t.latest_version())
 
 
 def test_max_versions_per_trigger_bounds_each_batch(table, spark):
