@@ -145,9 +145,10 @@ DRIVER_WINDOW: list[str] = [
     # (mutation_manifest_autocompact/delta_tail/drop_column/rebucket,
     # streaming_incremental_mv_live, streaming_manifest_cdf_live — the
     # only oracled names without a green CORRECTNESS row in any round),
-    # (c) 39 re-confirmation picks chosen strictly oldest-evidence-first
-    # from the cumulative CORRECTNESS_r01..r11 union: ALL 20 names whose
-    # last green row dates to r3, then the alphabetically-first 19 of
+    # plus the round-12 rebucket_incremental, and (c) 38 re-confirmation
+    # picks chosen strictly oldest-evidence-first from the cumulative
+    # CORRECTNESS_r01..r11 union: ALL 20 names whose last green row
+    # dates to r3, then the alphabetically-first 18 of
     # the r4 cohort. Every rotated-out name stays pinned by
     # tests/test_oracle_parity.py at two scale factors. The whole window
     # is re-run through the vanilla-session preflight
@@ -158,11 +159,13 @@ DRIVER_WINDOW: list[str] = [
     "join_asof",
     "mutation_merge_upsert",
     "events_session_window",
-    # round-12 first evidence (late-r11 operators)
+    # round-12 first evidence (late-r11 operators + the r12 incremental
+    # rebucket; it takes the slot of the 19th r4 re-confirmation)
     "mutation_manifest_autocompact",
     "mutation_manifest_delta_tail",
     "mutation_manifest_drop_column",
     "mutation_manifest_rebucket",
+    "mutation_manifest_rebucket_incremental",
     "streaming_incremental_mv_live",
     "streaming_manifest_cdf_live",
     # oldest-evidence re-confirmation: last green in r3 (all 20)
@@ -205,7 +208,6 @@ DRIVER_WINDOW: list[str] = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_pair_volume",
-    "q8_market_share",
 ]
 
 

@@ -212,11 +212,14 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     "not replayable across schema evolution — restart "
                     "from a fresh checkpoint"
                 )
-            if m_prev["n_buckets"] != m_v["n_buckets"]:
+            if m_prev["n_buckets"] != m_v["n_buckets"] or (
+                "rebucket_target" in m_prev or "rebucket_target" in m_v
+            ):
                 raise ValueError(
-                    f"bucket count changed at version {v} (REBUCKET "
-                    "re-hashes every row; per-bucket diffs would emit "
-                    "phantom changes) — restart from a fresh checkpoint"
+                    f"bucket count changed at version {v} (REBUCKET, full "
+                    "or incremental, re-hashes rows across generations; "
+                    "per-bucket diffs would emit phantom changes) — "
+                    "restart from a fresh checkpoint"
                 )
             target = _arrow_target(m_v)
             key = m_v["key"]

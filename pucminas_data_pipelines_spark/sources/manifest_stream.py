@@ -60,7 +60,10 @@ def _latest_version(path: str) -> int:
 
 
 def _dirs(manifest: dict) -> list[str]:
-    return [d for b in sorted(manifest["buckets"]) for d in manifest["buckets"][b]]
+    # union both generations: a mid-rebucket snapshot's rows live in
+    # "buckets" (old gen) plus "buckets_next" (already-migrated)
+    maps = [manifest["buckets"], manifest.get("buckets_next", {})]
+    return [d for m in maps for b in sorted(m) for d in m[b]]
 
 
 class _DirPartition(InputPartition):
