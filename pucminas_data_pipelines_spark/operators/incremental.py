@@ -118,6 +118,8 @@ def apply_rollup_minmax_delta(
     group_cols: list[str],
     val_col: str,
     rescan,
+    base: DataFrame | None = None,
+    max_targeted_groups: int = 10_000,
 ):
     """MIN/MAX incremental maintenance with TARGETED group rescan — the
     standard escape for the one aggregate family that is not
@@ -140,11 +142,24 @@ def apply_rollup_minmax_delta(
       only), so the whole refresh is O(changes + affected groups'
       bytes).
 
+    The targeted path materializes the marked group tuples on the
+    DRIVER (``rescan`` takes a Python list) — fine at changed-groups
+    grain, hostile at mass-retraction grain (a delete that retracts
+    EVERY group's extremum would collect millions of tuples). Above
+    ``max_targeted_groups`` marked groups the refresh therefore
+    switches to a JOIN-PUSHED rescan (VERDICT r11 #4): the marked-group
+    set stays a DataFrame, ``base`` (the caller's current base
+    DataFrame, e.g. a stats-pruned or full table read) is left-semi
+    joined against it and re-aggregated — no driver list at any size.
+    ``base`` is required only when the cap can trip; omitted, an
+    over-cap batch raises rather than silently collecting.
+
     Returns ``(refreshed, affected_groups)``: the maintained rollup
     (bit-equal to rollup_minmax_from_scratch on the post-change base —
     min/max move exact values, no float accumulation) and the list of
-    group tuples that required a rescan, so callers can assert the
-    rescan stayed targeted."""
+    group tuples that required a rescan — or, on the join-pushed path,
+    the marked-group COUNT (int), so callers can still assert how
+    targeted the refresh was without resurrecting the driver list."""
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -216,25 +231,58 @@ def apply_rollup_minmax_delta(
         needs,
     ).where(F.col("n") > 0)
     merged = merged.localCheckpoint(eager=True)  # group-sized view state
-    affected = [
-        tuple(row[c] for c in group_cols)
-        for row in merged.where("_rescan").select(*group_cols).collect()
-    ]
     clean = merged.where(~F.col("_rescan")).drop("_rescan")
-    if not affected:
-        return clean, affected
-    fixed = (
-        rescan(affected)
-        .groupBy(*group_cols)
-        .agg(F.min(val_col).alias("_fmin"), F.max(val_col).alias("_fmax"))
-    )
-    m = merged.where("_rescan").alias("m")
-    fx = fixed.alias("fx")
+    marked = merged.where("_rescan")
+    # bound the driver list BEFORE collecting it: count() is a cheap
+    # distributed aggregate over the checkpointed view state
+    n_marked = marked.count()
+    if n_marked == 0:
+        return clean, []
+    m = marked.alias("m")
+    if n_marked > max_targeted_groups:
+        if base is None:
+            raise ValueError(
+                f"{n_marked} groups need a rescan (> max_targeted_groups="
+                f"{max_targeted_groups}) and no `base` DataFrame was "
+                "given for the join-pushed path; pass base= or raise "
+                "the cap explicitly"
+            )
+        # join-pushed mass rescan: the marked-group set never leaves
+        # the cluster — semi-join the base down to the affected groups
+        # and re-aggregate (one shuffle at affected-groups grain)
+        gcond = None
+        for c in group_cols:
+            eq = F.col(f"b.{c}").eqNullSafe(F.col(f"g.{c}"))
+            gcond = eq if gcond is None else (gcond & eq)
+        fixed = (
+            base.alias("b")
+            .join(marked.select(*group_cols).alias("g"), gcond, "left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                F.min(val_col).alias("_fmin"), F.max(val_col).alias("_fmax")
+            )
+        )
+        affected: list | int = n_marked
+        fx = fixed.alias("fx")  # affected-groups-sized: no broadcast hint
+        join_fx = fx
+    else:
+        affected = [
+            tuple(row[c] for c in group_cols)
+            for row in marked.select(*group_cols).collect()
+        ]
+        fixed = (
+            rescan(affected)
+            .groupBy(*group_cols)
+            .agg(
+                F.min(val_col).alias("_fmin"), F.max(val_col).alias("_fmax")
+            )
+        )
+        join_fx = F.broadcast(fixed.alias("fx"))
     fcond = None
     for c in group_cols:
         eq = F.col(f"m.{c}").eqNullSafe(F.col(f"fx.{c}"))
         fcond = eq if fcond is None else (fcond & eq)
-    repaired = m.join(F.broadcast(fx), fcond, "left").select(
+    repaired = m.join(join_fx, fcond, "left").select(
         *[F.col(f"m.{c}").alias(c) for c in group_cols],
         F.col("m.n").alias("n"),
         F.col("m.n_vals").alias("n_vals"),

@@ -268,3 +268,62 @@ def test_minmax_randomized_differential(spark, tmp_path):
         assert _canon_mm(rollup) == _canon_mm(
             rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
         ), f"diverged at step {step}"
+
+
+def test_minmax_mass_retraction_uses_join_pushed_rescan(spark, tmp_path):
+    """VERDICT r11 #4: a delete retracting EVERY group's extremum must
+    not materialize the marked groups on the driver — above
+    max_targeted_groups the refresh switches to the join-pushed path
+    (marked set stays a DataFrame, base is semi-joined and
+    re-aggregated) and still lands bit-equal to recompute. The cap is
+    forced low here; the targeted path (list return) still runs below
+    it."""
+    from pucminas_data_pipelines_spark.operators.incremental import (
+        apply_rollup_minmax_delta,
+        rollup_minmax_from_scratch,
+    )
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    # 40 groups, two rows each: (max=2g+1, min=2g)
+    rows = []
+    for g in range(40):
+        rows.append((2 * g, f"s{g:02d}", float(2 * g)))
+        rows.append((2 * g + 1, f"s{g:02d}", float(2 * g + 1)))
+    t.overwrite(_rows(spark, rows))
+    rollup = rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
+    # retract EVERY group's maximum in one commit
+    t.delete_where(F.col("id") % 2 == 1)
+    diff = version_diff(t, "id", 0, 1)
+
+    def no_driver_list(groups):
+        raise AssertionError(
+            f"targeted path collected {len(groups)} groups despite the cap"
+        )
+
+    rollup2, affected = apply_rollup_minmax_delta(
+        rollup, diff, ["seg"], "amount", no_driver_list,
+        base=t.read(), max_targeted_groups=10,
+    )
+    assert affected == 40  # count, not a list — no driver materialization
+    assert _canon_mm(rollup2) == _canon_mm(
+        rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
+    )
+    # under the cap the targeted path still returns the list
+    t.delete_where(F.col("id") == 0)  # retract s00's remaining extremum
+    diff2 = version_diff(t, "id", 1, 2)
+    rollup3, affected2 = apply_rollup_minmax_delta(
+        rollup2, diff2, ["seg"], "amount", _mm_rescan(t),
+        base=t.read(), max_targeted_groups=10,
+    )
+    assert affected2 == []  # group emptied: n stays 0 -> dropped, no rescan
+    assert _canon_mm(rollup3) == _canon_mm(
+        rollup_minmax_from_scratch(t.read(), ["seg"], "amount")
+    )
+    # over-cap WITHOUT base refuses loudly instead of collecting
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_targeted_groups"):
+        apply_rollup_minmax_delta(
+            rollup, diff, ["seg"], "amount", no_driver_list,
+            max_targeted_groups=10,
+        )
