@@ -181,6 +181,7 @@ def main() -> None:
     # alongside so a judge can separate VM noise from real regression
     # without git archaeology.
     timings: dict[str, float] = {}
+    quiet_timings: dict[str, float] = {}
     noise: dict[str, float] = {}
     headline_steal: dict[str, float] = {}
     headline_steal_min: dict[str, float] = {}
@@ -201,12 +202,32 @@ def main() -> None:
             df.count()
             attempts.append(time.perf_counter() - start)
             attempt_steal.append(_steal_sec() - s_a)
-        timings[name] = round(min(attempts), 4)
-        noise[name] = round(max(attempts) / min(attempts), 2)
-        stolen = sum(attempt_steal)
+        # quiet-host protocol in the PRIMARY record (VERDICT r11 #6):
+        # best attempt whose own steal delta ~ 0 — the number that
+        # needed a separate BENCH_LOCAL re-run to adjudicate in r10/r11.
+        # If all 3 attempts were touched by bursts, take up to 2 extra
+        # attempts hunting a quiet window; a name still absent from
+        # quiet_queries means no steal-free measurement was obtainable.
+        if not any(s < 0.5 for s in attempt_steal):
+            for _ in range(2):
+                s_a = _steal_sec()
+                start = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                attempts.append(time.perf_counter() - start)
+                attempt_steal.append(_steal_sec() - s_a)
+                if attempt_steal[-1] < 0.5:
+                    break
+        quiet = [
+            a for a, s in zip(attempts, attempt_steal) if s < 0.5
+        ]
+        if quiet:
+            quiet_timings[name] = round(min(quiet), 4)
+        timings[name] = round(min(attempts[:3]), 4)
+        noise[name] = round(max(attempts[:3]) / min(attempts[:3]), 2)
+        stolen = sum(attempt_steal[:3])
         if stolen >= 0.5:  # only report measurements a steal burst touched
             headline_steal[name] = round(stolen, 1)
-            min_idx = attempts.index(min(attempts))
+            min_idx = attempts.index(min(attempts[:3]))
             headline_steal_min[name] = round(attempt_steal[min_idx], 1)
 
     # steady-state full-registry sweep: one timed pass over EVERY
@@ -293,6 +314,23 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 4)
+    # primary-line quiet map: only names whose reported (min) attempt
+    # was itself steal-touched — for everything else quiet == reported
+    quiet_primary = {
+        n: quiet_timings[n]
+        for n in quiet_timings
+        if headline_steal_min.get(n, 0.0) >= 0.5
+    }
+    quiet_dropped = 0
+    if len(quiet_primary) > 10:
+        keep = sorted(
+            quiet_primary,
+            key=lambda n: timings[n] - quiet_primary[n],
+            reverse=True,
+        )[:10]
+        quiet_dropped = len(quiet_primary) - 10
+        quiet_primary = {n: quiet_primary[n] for n in keep}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # RECORD SPLIT CONTRACT (VERDICT r10 #2): the driver archives only
     # the LAST ~2000 characters of stdout and tries to parse the final
@@ -323,6 +361,7 @@ def main() -> None:
                 "registry_sweep_probes": sweep_probes,
                 "headline_steal_sec": headline_steal,
                 "headline_steal_min_attempt_sec": headline_steal_min,
+                "quiet_queries_all": quiet_timings,
                 "noise_ratio_per_query": noise,
                 "registry_sweep_times": {
                     n: round(t, 2) for n, t in sweep_times.items()
@@ -355,6 +394,16 @@ def main() -> None:
                 "noise_flagged": {
                     n: r for n, r in noise.items() if r >= 1.5
                 },
+                # quiet-host companion map (VERDICT r11 #6): per query
+                # whose REPORTED min attempt carried a steal burst, the
+                # best steal-free attempt — the number BENCH_LOCAL
+                # re-runs existed to produce. Quiet reported numbers are
+                # omitted here (quiet == reported); the full map is
+                # quiet_queries_all in BENCH_DETAIL.json. Bounded at 10
+                # entries for the driver's line window — quiet_dropped
+                # counts any overflow (never silently truncated).
+                "quiet_queries": quiet_primary,
+                "quiet_dropped": quiet_dropped,
                 "queries": timings,
                 "value": total,
             },

@@ -68,6 +68,9 @@ def test_bench_record_split_keeps_all_attribution_fields():
         "total_steal_sec", "registry_sweep_sec",
         "registry_sweep_queries", "registry_sweep_failed",
         "noise_flagged",
+        # VERDICT r11 #6: quiet-host protocol in the primary record —
+        # per steal-touched headline name, the best steal-free attempt
+        "quiet_queries", "quiet_dropped",
     }
     required_detail = {
         "calibration_sec", "noise_ratio_per_query",
@@ -75,6 +78,7 @@ def test_bench_record_split_keeps_all_attribution_fields():
         "registry_sweep_slowest_steal_sec", "registry_sweep_slowest_cold",
         "registry_sweep_probes", "headline_steal_sec",
         "headline_steal_min_attempt_sec", "registry_sweep_times",
+        "quiet_queries_all",
     }
     assert not required_primary - primary, sorted(required_primary - primary)
     assert not required_detail - detail, sorted(required_detail - detail)
@@ -114,6 +118,10 @@ def test_bench_primary_line_fits_driver_window():
         "registry_sweep_queries": 999,
         "registry_sweep_failed": [],
         "noise_flagged": {n: 12.34 for n in list(bench.HEADLINE)[:5]},
+        # worst case bench.py can emit: the quiet map is hard-capped at
+        # 10 entries (overflow goes to quiet_dropped + BENCH_DETAIL)
+        "quiet_queries": {n: 123.4567 for n in list(bench.HEADLINE)[:10]},
+        "quiet_dropped": 18,
         "queries": queries,
         "value": 12345.6789,
     }

