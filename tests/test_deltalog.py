@@ -393,3 +393,32 @@ def test_tail_export_removes_survive_vacuum(spark, tmp_path):
     assert sorted(map(tuple, r.read().collect())) == sorted(
         map(tuple, t.read().collect())
     )
+
+
+def test_tail_export_mirrors_incremental_rebucket(spark, tmp_path):
+    """The tail export diffs at DIR-SET grain, so an incremental
+    rebucket's split commits export as plain file-level removes+adds and
+    an external Delta reader serves every mid-migration version
+    correctly, including the FINISH swap."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="k", n_buckets=2)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(1, 13)], SCHEMA
+        )
+    )
+    t.rebucket_incremental(4, max_splits=1)   # v1: first split
+    t.append(spark.createDataFrame([(100, "mid")], SCHEMA))  # v2: mid-flight
+    t.rebucket_incremental(4)                 # v3..: splits + FINISH
+    t.export_delta_log_tail()
+    r = DeltaLogReader(spark, str(tmp_path / "t"))
+    latest = t.latest_version()
+    for v in range(latest + 1):
+        got = sorted(map(tuple, r.read(version_as_of=v).collect()))
+        want = sorted(map(tuple, t.read(version_as_of=v).collect()))
+        assert got == want, f"log version {v} diverged"

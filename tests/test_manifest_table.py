@@ -1511,3 +1511,21 @@ def test_zorder_string_dimension_prunes_non_ascii(spark, tmp_path):
     # numeric dim still prunes on the same layout (Z-curve property)
     nf_x, nr_x = planned([("x", 10.0, 13.0)])
     assert nf_x < total and nr_x == 64
+
+
+def test_vacuum_mid_migration_keeps_migrated_dirs(spark, tmp_path):
+    """Reference counting must treat buckets_next as referenced: a
+    vacuum during a paused migration may reclaim pre-migration manifests
+    but NEVER the migrated (target-generation) directories."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    data = [(i, f"n{i}", float(i)) for i in range(1, 21)]
+    t.overwrite(_rows(spark, data))
+    v = t.rebucket_incremental(4, max_splits=1)
+    m = t._manifest(v)
+    migrated = [t._abs(d) for ds in m["buckets_next"].values() for d in ds]
+    assert migrated
+    t.vacuum(retain_last=1, min_age_seconds=0)
+    assert all(os.path.isdir(d) for d in migrated), "vacuum ate migrated dirs"
+    assert _sorted(t.read()) == _sorted(_rows(spark, data))
+    t.rebucket_incremental(4)
+    assert _sorted(t.read()) == _sorted(_rows(spark, data))
