@@ -875,11 +875,20 @@ class ManifestVersionedTable:
         until the migration finishes. The final commit swaps
         ``buckets_next`` in as the table's layout.
 
+        SHRINKING to a power-of-two DIVISOR is better still: it is
+        METADATA-ONLY — ``pmod(h, B/k) = pmod(h, B) mod B/k``, so the
+        new bucket map just concatenates old dir lists (files are
+        untouched, one commit, zero bytes rewritten). An over-bucketed
+        table (e.g. created for a projected size that never came)
+        shrinks for free.
+
         ``max_splits`` bounds this call's work (resume later with the
         same target); default runs to completion. Outstanding deletion
-        vectors refuse (a raw per-bucket rewrite would resurrect their
-        rows) — optimize() first, exactly like the tailable log export.
-        Returns the last committed version."""
+        vectors refuse on the grow path (a raw per-bucket rewrite would
+        resurrect their rows — optimize() first, exactly like the
+        tailable log export); the shrink path keeps them (no file is
+        rewritten, DV keys stay valid). Returns the last committed
+        version."""
         manifest = self._manifest(self.latest_version())
         base = manifest["n_buckets"]
         in_flight = manifest.get("rebucket_target")
@@ -889,6 +898,34 @@ class ManifestVersionedTable:
                 f"progress; resume with rebucket_incremental({in_flight}) "
                 "or finish via full rebucket()"
             )
+        if in_flight is None and n_buckets < base:
+            k = base // n_buckets if n_buckets else 0
+            if n_buckets * k != base or k & (k - 1):
+                raise ValueError(
+                    f"n_buckets={n_buckets} must be a power-of-two "
+                    f"divisor of the current count {base}; use "
+                    "rebucket() for arbitrary counts"
+                )
+            version = self.latest_version()
+            m = self._manifest(version)
+            merged: dict[str, list[str]] = {}
+            for b in sorted(m["buckets"], key=int):
+                merged.setdefault(str(int(b) % n_buckets), []).extend(
+                    m["buckets"][b]
+                )
+            self._commit_manifest(
+                dict(
+                    m,
+                    n_buckets=n_buckets,
+                    buckets=merged,
+                    commit_info={
+                        "operation": f"REBUCKET MERGE({base} -> {n_buckets})"
+                    },
+                ),
+                version + 1,
+            )
+            self.n_buckets = n_buckets
+            return version + 1
         k = n_buckets // base if base else 0
         if in_flight is None and (
             n_buckets <= base or base * k != n_buckets or k & (k - 1)

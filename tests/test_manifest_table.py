@@ -1529,3 +1529,39 @@ def test_vacuum_mid_migration_keeps_migrated_dirs(spark, tmp_path):
     assert _sorted(t.read()) == _sorted(_rows(spark, data))
     t.rebucket_incremental(4)
     assert _sorted(t.read()) == _sorted(_rows(spark, data))
+
+
+def test_rebucket_incremental_shrink_is_metadata_only(spark, tmp_path):
+    """Shrinking to a power-of-two divisor merges bucket dir lists in
+    ONE metadata commit: pmod(h, B/k) = pmod(h, B) mod B/k, so no file
+    moves, outstanding DVs stay valid, and the merged layout still
+    serves point reads and merges correctly."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    data = [(i, f"n{i}", float(i)) for i in range(1, 33)]
+    t.overwrite(_rows(spark, data))
+    t.delete_where(F.col("id") == 5, mode="merge_on_read")  # DV survives
+    dirs_before = set(ManifestVersionedTable._all_dirs(t._manifest(1)))
+    v = t.rebucket_incremental(2)
+    m = t._manifest(v)
+    assert m["n_buckets"] == 2
+    assert set(ManifestVersionedTable._all_dirs(m)) == dirs_before  # no rewrite
+    got = _sorted(t.read())
+    assert len(got) == 31 and all(r[0] != 5 for r in got)
+    # every dir under new bucket b holds only keys with pmod(h,2)==b
+    for b, dirs in m["buckets"].items():
+        bad = (
+            spark.read.parquet(*[t._abs(d) for d in dirs])
+            .where(
+                F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(2)).cast(
+                    "int"
+                )
+                != F.lit(int(b))
+            )
+            .count()
+        )
+        assert bad == 0
+    assert {r["id"] for r in t.read_keys([7, 30]).collect()} == {7, 30}
+    t.merge(_rows(spark, [(7, "upd", 99.0)]))
+    assert t.read().where(F.col("name") == "upd").count() == 1
+    with pytest.raises(ValueError, match="power-of-two"):
+        t.rebucket_incremental(3)  # neither divisor nor multiple shape
