@@ -1108,6 +1108,42 @@ def mutation_manifest_rebucket_incremental(
     return _lowered(table.read())
 
 
+@query(
+    "mutation_manifest_rebucket_shrink",
+    oracle=_TYPED_SELECT.format(rows=_values(_expected_merged())),
+)
+def mutation_manifest_rebucket_shrink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-only bucket SHRINK (operators/upsert.py
+    rebucket_incremental, r12): pmod(h, B/k) = pmod(h, B) mod B/k, so
+    collapsing the merge scenario's 16-bucket layout back to 4 merges
+    dir lists in ONE commit — zero bytes rewritten (the query asserts
+    the dir set is IDENTICAL before and after), content bit-equal to
+    the oracle, point reads pruning against the merged map. The free
+    escape for an over-bucketed table (created for a projected size
+    that never came) whose tiny buckets tax every scan's planning."""
+    table = _run_manifest_scenario(
+        spark, "/root/repo/.tmp/titanic_mvt_rebucket_shrink", n_buckets=16
+    )
+    from pucminas_data_pipelines_spark.operators.upsert import (
+        ManifestVersionedTable,
+    )
+
+    before = set(
+        ManifestVersionedTable._all_dirs(table._manifest(table.latest_version()))
+    )
+    v = table.rebucket_incremental(4)
+    m = table._manifest(v)
+    if m["n_buckets"] != 4:
+        raise AssertionError(f"shrink did not land: {m['n_buckets']}")
+    if set(ManifestVersionedTable._all_dirs(m)) != before:
+        raise AssertionError("shrink rewrote data (must be metadata-only)")
+    if table.read_keys([1, 892]).count() != 2:
+        raise AssertionError("post-shrink point read missed keys")
+    return _lowered(table.read())
+
+
 _AUTOCOMPACT_APPENDS = [
     (900 + i, 1, 3, f"Lote, Sr. N{i}", "male", 20.0 + i, 0, 0, None,
      10.0 + i, None, "S")
