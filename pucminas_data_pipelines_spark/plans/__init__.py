@@ -138,6 +138,14 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # the r5 window — round 6 takes the 50 highest-leverage of the combined
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
+# ROTATION PLAN for round 13: first-evidence queue =
+# mutation_manifest_rebucket_shrink (registered late in r12, outside the
+# frozen window, parity-pinned); re-confirmation cohort continues
+# oldest-first with the remaining r4 names (q8_market_share,
+# q9_product_profit, scalar_array_suite, scalar_arrays_zip_inline,
+# scalar_bitwise_suite, scalar_codec_suite, scalar_date_calendar_suite,
+# ...alphabetical), then the r5 cohort. Keep the 5 canaries; never the
+# two rows-only ann_*_topk names.
 DRIVER_WINDOW: list[str] = [
     # ROUND-12 ROTATION (VERDICT r11 #1): composition = (a) the 5
     # standing canaries, (b) FIRST driver-window evidence for the six
