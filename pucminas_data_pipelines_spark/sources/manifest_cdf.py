@@ -192,7 +192,10 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         # CDF semantics: emit changes AFTER startingVersion (default:
         # the version current when the stream started) — there is no
         # initial-snapshot batch; pair with the snapshot source
-        # (manifest_stream) when a baseline is needed.
+        # (manifest_stream) when a baseline is needed, or pass
+        # startingVersion=-1 for FULL-HISTORY replay (Delta's
+        # readChangeFeed startingVersion=0: the first commit's rows
+        # arrive as inserts, then every later commit's changes).
         self._note_progress(self.start_version)
         return {"version": self.start_version}
 
@@ -204,8 +207,13 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         self._note_progress(start["version"])  # learn the resumed offset
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            m_prev = _manifest(self.path, v - 1)
             m_v = _manifest(self.path, v)
+            if v == 0:
+                # full-history replay (startingVersion=-1): version 0
+                # diffs against the empty table — every dir is inserts
+                m_prev = dict(m_v, buckets={}, deletion_vectors=[])
+            else:
+                m_prev = _manifest(self.path, v - 1)
             if m_prev["columns"] != m_v["columns"]:
                 raise ValueError(
                     f"schema changed at version {v}; the change feed is "

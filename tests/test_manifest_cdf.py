@@ -251,3 +251,34 @@ def test_nan_passthrough_emits_no_spurious_updates(spark):
         }
     finally:
         shutil.rmtree(BASE, ignore_errors=True)
+
+
+def test_full_history_replay_from_version_minus_one(table, spark):
+    """startingVersion=-1 is Delta's readChangeFeed startingVersion=0:
+    version 0's rows arrive as inserts (diffed against the empty
+    table), then each later commit's changes — replaying the whole feed
+    reconstructs the current snapshot exactly."""
+    t, ev = table
+    t.append(ev.where(F.col("event_id") % 3 == 1))         # v1
+    t.merge(                                                # v2
+        spark.createDataFrame(
+            [(0, "view", 42.0), (-5, "click", 1.0)],
+            "event_id bigint, event_type string, value double",
+        )
+    )
+    r = ManifestCDFStreamReader({"path": BASE, "startingVersion": -1})
+    assert r.initialOffset() == {"version": -1}
+    rows = _changes(r, -1, 2)
+    v0_inserts = [x for x in rows if x["_commit_version"] == 0]
+    assert len(v0_inserts) == ev.where(F.col("event_id") % 3 == 0).count()
+    assert {x["_change_type"] for x in v0_inserts} == {"insert"}
+    # replay the feed: apply inserts/deletes/post-images in commit order
+    state: dict = {}
+    for x in sorted(rows, key=lambda x: x["_commit_version"]):
+        k = x["event_id"]
+        if x["_change_type"] in ("insert", "update_postimage"):
+            state[k] = (k, x["event_type"], x["value"])
+        elif x["_change_type"] == "delete":
+            state.pop(k, None)
+    want = sorted(map(tuple, t.read().collect()))
+    assert sorted(state.values()) == want
