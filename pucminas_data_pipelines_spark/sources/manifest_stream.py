@@ -72,17 +72,26 @@ class _DirPartition(InputPartition):
     ``dv_rows`` (initial-snapshot batches only) maps a file name inside
     this directory to the sorted row positions its deletion vectors
     mark deleted; the executor masks them out — merge-on-read, same
-    subtraction the batch ``read()`` does with a broadcast anti-join."""
+    subtraction the batch ``read()`` does with a broadcast anti-join.
+
+    ``schema`` (initial-snapshot batches only) is the manifest-pinned
+    Arrow schema: snapshot files written before a pre-stream schema
+    evolution serve NULL for later-added columns, the batch
+    ``_reader()`` semantics. Tail batches pass None — an in-range
+    evolution already refuses at planning, and an added dir always
+    carries the full current schema."""
 
     def __init__(
         self,
         abs_dir: str,
         columns: list[str],
         dv_rows: dict[str, list[int]] | None = None,
+        schema=None,
     ):
         self.abs_dir = abs_dir
         self.columns = columns
         self.dv_rows = dv_rows or {}
+        self.schema = schema
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -193,16 +202,24 @@ class ManifestStreamReader(DataSourceStreamReader):
         # each directory's DV positions with its partition (Delta's
         # streaming initial snapshot also serves deletes subtracted);
         # mid-stream DV churn still refuses in _added_dirs' tail guard.
-        dv_by_dir = (
-            self._dv_rows_by_dir(_manifest(self.path, end["version"]))
-            if start["version"] < 0
-            else {}
-        )
+        # Snapshot partitions also carry the manifest-pinned Arrow
+        # schema so pre-evolution files null-fill later-added columns.
+        dv_by_dir: dict = {}
+        schema = None
+        if start["version"] < 0:
+            from pucminas_data_pipelines_spark.sources.manifest_cdf import (
+                _arrow_target,
+            )
+
+            end_m = _manifest(self.path, end["version"])
+            dv_by_dir = self._dv_rows_by_dir(end_m)
+            schema = _arrow_target(end_m)
         return [
             _DirPartition(
                 d if os.path.isabs(d) else os.path.join(self.path, d),
                 columns,
                 dv_by_dir.get(d),
+                schema,
             )
             for d in added
         ] or [_DirPartition("", columns)]  # empty batch: no new commits
@@ -220,33 +237,45 @@ class ManifestStreamReader(DataSourceStreamReader):
         missing = [
             c for c in partition.columns if c not in dataset.schema.names
         ]
-        if missing:
+        if missing and partition.schema is None:
+            # tail batch: an added dir must carry the current schema
+            # (in-range evolution already refused at planning)
             raise ValueError(
                 f"files under {partition.abs_dir} lack columns {missing}; "
                 "schema-evolved history is not streamable (restart from a "
                 "fresh snapshot)"
             )
-        if not partition.dv_rows:
+        if not partition.dv_rows and not missing:
             return dataset.scanner(columns=partition.columns).to_batches()
-        return self._read_minus_dvs(dataset, partition)
+        return self._read_slow_path(dataset, partition)
 
     @staticmethod
-    def _read_minus_dvs(dataset, partition: _DirPartition) -> Iterator:
-        """Initial-snapshot merge-on-read: scan file by file (row
-        positions are per-file) and mask out each file's DV'd rows."""
+    def _read_slow_path(dataset, partition: _DirPartition) -> Iterator:
+        """Initial-snapshot merge-on-read and/or pre-evolution files:
+        scan file by file (DV row positions are per-file), mask out each
+        file's DV'd rows, and conform to the manifest-pinned schema
+        (absent columns null-fill — the batch _reader() semantics)."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.dataset as ds
 
+        from pucminas_data_pipelines_spark.sources.manifest_cdf import (
+            _conform,
+        )
+
         for f in sorted(dataset.files):
-            tbl = ds.dataset(f, format="parquet").to_table(
-                columns=partition.columns
-            )
+            fds = ds.dataset(f, format="parquet")
+            present = [
+                c for c in partition.columns if c in fds.schema.names
+            ]
+            tbl = fds.to_table(columns=present)
             dead = partition.dv_rows.get(os.path.basename(f))
             if dead:
                 mask = np.ones(tbl.num_rows, dtype=bool)
                 mask[dead] = False
                 tbl = tbl.filter(pa.array(mask))
+            if partition.schema is not None:
+                tbl = _conform(tbl, partition.schema)
             yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:

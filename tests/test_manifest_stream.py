@@ -216,3 +216,30 @@ def test_max_versions_per_trigger_bounds_each_batch(table, spark):
         "event_id", "event_type", "value"
     ))
     assert r2.latestOffset()["version"] == t.latest_version()
+
+
+def test_initial_snapshot_null_fills_pre_evolution_files(table, spark):
+    """A snapshot over history that evolved the schema BEFORE the stream
+    started serves the pinned manifest schema: v0-era files null-fill
+    the later-added column (batch _reader() semantics) instead of
+    refusing; an in-range evolution still refuses at planning."""
+    t, ev = table
+    t.append(  # v1: schema evolution; v0's files lack `extra`
+        ev.where(F.col("event_id") % 2 == 1).withColumn("extra", F.lit(7)),
+        merge_schema=True,
+    )
+    r = _reader()
+    v = t.latest_version()
+    rows = []
+    for p in r.partitions({"version": -1}, {"version": v}):
+        for batch in r.read(p):
+            rows.extend(batch.to_pylist())
+    assert len(rows) == t.read().count()
+    by_extra = {x["extra"] for x in rows}
+    assert by_extra == {None, 7}  # old files NULL, new files carry 7
+    got = sorted((x["event_id"], x["event_type"], x["value"], x["extra"]) for x in rows)
+    want = sorted(map(tuple, t.read().collect()))
+    assert got == want
+    # in-range evolution (tail crossing v1) still refuses
+    with pytest.raises(ValueError, match="schema changed"):
+        r._added_dirs(0, v)
