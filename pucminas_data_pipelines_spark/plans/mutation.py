@@ -1148,6 +1148,68 @@ def mutation_manifest_rebucket_shrink(
     return _lowered(table.read())
 
 
+@query(
+    "streaming_manifest_cdf_replay",
+    oracle=_TYPED_SELECT.format(rows=_values(_expected_merged())),
+)
+def streaming_manifest_cdf_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL-HISTORY CDF replay (r12, sources/manifest_cdf.py
+    startingVersion=-1 — Delta readChangeFeed startingVersion=0): the
+    merge scenario's entire commit history streams as row-level changes
+    (v0's overwrite arrives as inserts diffed against the empty table,
+    the MERGE as insert + pre/post-image pairs), and the snapshot is
+    RECONSTRUCTED from the feed alone with one window: per key, the
+    newest non-preimage change wins; a winning delete drops the key.
+    Equality with the oracle (the post-MERGE state) proves the feed is
+    lossless end-to-end — the property every downstream CDC consumer
+    (indexer, cache, replica) silently depends on. At 100 TB this is
+    how a replica bootstraps WITHOUT coordinating a snapshot handoff:
+    one stream serves both backfill and tail."""
+    from pyspark.sql import Window
+
+    from pucminas_data_pipelines_spark.sources.manifest_cdf import (
+        ManifestCDFDataSource,
+    )
+
+    table = _run_manifest_scenario(
+        spark, "/root/repo/.tmp/titanic_mvt_cdf_replay"
+    )
+    try:
+        spark.dataSource.register(ManifestCDFDataSource)
+    except Exception:
+        pass
+    out_dir = "/root/repo/.tmp/titanic_mvt_cdf_replay_out"
+    ckpt = "/root/repo/.tmp/titanic_mvt_cdf_replay_ckpt"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", "/root/repo/.tmp/titanic_mvt_cdf_replay")
+        .option("startingVersion", -1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    feed = spark.read.parquet(out_dir)
+    w = Window.partitionBy("PassengerId").orderBy(
+        F.col("_commit_version").desc()
+    )
+    latest = (
+        feed.where(F.col("_change_type") != "update_preimage")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .where(F.col("_change_type") != "delete")
+        .drop("_rn", "_change_type", "_commit_version")
+    )
+    return _lowered(latest)
+
+
 _AUTOCOMPACT_APPENDS = [
     (900 + i, 1, 3, f"Lote, Sr. N{i}", "male", 20.0 + i, 0, 0, None,
      10.0 + i, None, "S")
