@@ -139,8 +139,10 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
 # ROTATION PLAN for round 13: first-evidence queue =
-# mutation_manifest_rebucket_shrink (registered late in r12, outside the
-# frozen window, parity-pinned); re-confirmation cohort continues
+# mutation_manifest_rebucket_shrink (metadata-only bucket shrink) and
+# streaming_manifest_cdf_replay (full-history CDF snapshot
+# reconstruction) — both registered late in r12 after the window froze,
+# both oracled and parity-pinned; re-confirmation cohort continues
 # oldest-first with the remaining r4 names (q8_market_share,
 # q9_product_profit, scalar_array_suite, scalar_arrays_zip_inline,
 # scalar_bitwise_suite, scalar_codec_suite, scalar_date_calendar_suite,
