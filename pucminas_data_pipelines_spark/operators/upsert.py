@@ -67,6 +67,19 @@ class ParquetVersionedTable:
     def _latest_file(self) -> str:
         return os.path.join(self.path, "_LATEST")
 
+    def _publish_latest(self, version: int) -> None:
+        """Atomically repoint _LATEST (temp file + os.replace): a plain
+        truncate-write leaves a window where a concurrent reader — the
+        stream sources poll _LATEST every trigger — sees an EMPTY file
+        and crashes on int('') (caught live by the r12 preflight racing
+        a micro-batch against a commit)."""
+        import uuid as _uuid
+
+        tmp = f"{self._latest_file()}.tmp.{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._latest_file())
+
     def latest_version(self) -> int:
         try:
             with open(self._latest_file()) as fh:
@@ -77,8 +90,7 @@ class ParquetVersionedTable:
     def _commit(self, df: DataFrame, version: int) -> None:
         df.write.mode("overwrite").parquet(f"{self.path}/v={version}")
         os.makedirs(self.path, exist_ok=True)
-        with open(self._latest_file(), "w") as fh:
-            fh.write(str(version))
+        self._publish_latest(version)
 
     # -- reference operator surface ------------------------------------
     def overwrite(self, df: DataFrame) -> int:
@@ -254,6 +266,19 @@ class ManifestVersionedTable:
     def _latest_file(self) -> str:
         return os.path.join(self.path, "_LATEST")
 
+    def _publish_latest(self, version: int) -> None:
+        """Atomically repoint _LATEST (temp file + os.replace): a plain
+        truncate-write leaves a window where a concurrent reader — the
+        stream sources poll _LATEST every trigger — sees an EMPTY file
+        and crashes on int('') (caught live by the r12 preflight racing
+        a micro-batch against a commit)."""
+        import uuid as _uuid
+
+        tmp = f"{self._latest_file()}.tmp.{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._latest_file())
+
     def latest_version(self) -> int:
         try:
             with open(self._latest_file()) as fh:
@@ -314,8 +339,7 @@ class ManifestVersionedTable:
             ) from None
         finally:
             os.unlink(staged)
-        with open(self._latest_file(), "w") as fh:
-            fh.write(str(version))
+        self._publish_latest(version)
 
     def _bucket_expr(self, n_buckets: int | None = None):
         # string-cast first so the bucket of a key value is stable across

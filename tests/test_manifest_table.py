@@ -1565,3 +1565,35 @@ def test_rebucket_incremental_shrink_is_metadata_only(spark, tmp_path):
     assert t.read().where(F.col("name") == "upd").count() == 1
     with pytest.raises(ValueError, match="power-of-two"):
         t.rebucket_incremental(3)  # neither divisor nor multiple shape
+
+
+def test_latest_pointer_publish_is_atomic(spark, tmp_path):
+    """_LATEST repoints via temp-file + os.replace: a reader polling it
+    (the stream sources do, every trigger) must NEVER observe a
+    truncated/empty file — the r12 preflight caught int('') when a
+    micro-batch raced a commit under the old truncate-write."""
+    import threading
+
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.overwrite(_rows(spark, BASE))
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                v = t.latest_version()
+                assert v >= 0
+        except Exception as ex:
+            errors.append(ex)
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        for i in range(1, 3000):
+            t._publish_latest(i)
+    finally:
+        stop.set()
+        th.join()
+    assert not errors, errors
+    assert t.latest_version() == 2999
