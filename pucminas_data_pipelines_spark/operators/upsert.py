@@ -874,7 +874,10 @@ class ManifestVersionedTable:
         return version + 1
 
     def rebucket_incremental(
-        self, n_buckets: int, max_splits: int | None = None
+        self,
+        n_buckets: int,
+        max_splits: int | None = None,
+        buckets_per_commit: int = 1,
     ) -> int:
         """Incremental bucket-count evolution (VERDICT r11 #3): migrate
         to a POWER-OF-TWO MULTIPLE of the current bucket count one
@@ -907,12 +910,17 @@ class ManifestVersionedTable:
         shrinks for free.
 
         ``max_splits`` bounds this call's work (resume later with the
-        same target); default runs to completion. Outstanding deletion
-        vectors refuse on the grow path (a raw per-bucket rewrite would
-        resurrect their rows — optimize() first, exactly like the
-        tailable log export); the shrink path keeps them (no file is
-        rewritten, DV keys stay valid). Returns the last committed
-        version."""
+        same target); default runs to completion. ``buckets_per_commit``
+        batches that many bucket splits into ONE Spark job + commit —
+        the throughput/resumability dial: at 1024 buckets the default
+        (1) is maximally resumable but runs 1024 sequential jobs, while
+        e.g. 32 cuts commit+job overhead 32x and an interruption loses
+        at most one batch of staged work (never published state).
+        Outstanding deletion vectors refuse on the grow path (a raw
+        per-bucket rewrite would resurrect their rows — optimize()
+        first, exactly like the tailable log export); the shrink path
+        keeps them (no file is rewritten, DV keys stay valid). Returns
+        the last committed version."""
         manifest = self._manifest(self.latest_version())
         base = manifest["n_buckets"]
         in_flight = manifest.get("rebucket_target")
@@ -996,30 +1004,44 @@ class ManifestVersionedTable:
                 return version + 1
             if max_splits is not None and splits >= max_splits:
                 return version  # resumable pause; state is committed
-            b = remaining[0]
-            rows = self._read_dirs(m, m["buckets"][b])
+            batch = remaining[: max(1, buckets_per_commit)]
+            if max_splits is not None:
+                batch = batch[: max_splits - splits]
+            rows = self._read_dirs(
+                m, [d for b in batch for d in m["buckets"][b]]
+            )
             # explicit target-count write: self.n_buckets stays the old
             # generation's, so concurrent appends through other handles
-            # (or even this one) keep landing in the old gen correctly
+            # (or even this one) keep landing in the old gen correctly.
+            # Batched buckets split in ONE job: each row re-hashes to
+            # {its old bucket + j*base}, so outputs never collide across
+            # the batch's buckets.
             written = self._write_buckets(rows, n_buckets=n_buckets)
             for nb, ds in written.items():
                 nxt.setdefault(nb, []).extend(ds)
             staged = dict(
                 m,
-                buckets={x: v for x, v in m["buckets"].items() if x != b},
+                buckets={
+                    x: v for x, v in m["buckets"].items() if x not in batch
+                },
                 buckets_next=nxt,
                 rebucket_target=n_buckets,
+            )
+            label = (
+                f"bucket={batch[0]}"
+                if len(batch) == 1
+                else f"buckets={batch[0]}..{batch[-1]} ({len(batch)})"
             )
             try:
                 self._commit_with_stats(
                     staged,
                     staged["buckets"],
                     version + 1,
-                    operation=f"REBUCKET SPLIT(bucket={b} -> {n_buckets})",
+                    operation=f"REBUCKET SPLIT({label} -> {n_buckets})",
                 )
             except ConcurrentWriteError:
                 continue  # rebase: re-read the fresh manifest and redo
-            splits += 1
+            splits += len(batch)
 
     # -- reference operator surface ------------------------------------
     def overwrite(

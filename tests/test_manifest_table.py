@@ -1597,3 +1597,35 @@ def test_latest_pointer_publish_is_atomic(spark, tmp_path):
         th.join()
     assert not errors, errors
     assert t.latest_version() == 2999
+
+
+def test_rebucket_incremental_batched_commits(spark, tmp_path):
+    """buckets_per_commit batches N bucket splits into one job+commit —
+    the throughput dial: an 8-bucket table at buckets_per_commit=4
+    migrates in exactly 2 split commits + 1 FINISH, same final content
+    and layout truth as bucket-at-a-time."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    data = [(i, f"n{i}", float(i)) for i in range(1, 65)]
+    t.overwrite(_rows(spark, data))
+    v = t.rebucket_incremental(16, buckets_per_commit=4)
+    assert v == 3  # v0 overwrite + 2 batched splits + FINISH
+    m = t._manifest(v)
+    assert m["n_buckets"] == 16 and "rebucket_target" not in m
+    assert _sorted(t.read()) == _sorted(_rows(spark, data))
+    ops = [
+        t._manifest(i).get("commit_info", {}).get("operation", "")
+        for i in range(1, v + 1)
+    ]
+    assert sum(op.startswith("REBUCKET SPLIT") for op in ops) == 2
+    for b, dirs in m["buckets"].items():
+        bad = (
+            spark.read.parquet(*[t._abs(d) for d in dirs])
+            .where(
+                F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(16)).cast(
+                    "int"
+                )
+                != F.lit(int(b))
+            )
+            .count()
+        )
+        assert bad == 0
