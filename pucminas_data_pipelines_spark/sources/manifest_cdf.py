@@ -168,6 +168,12 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         if latest < 0:
             raise ValueError(f"no manifest table at {self.path}")
         self.start_version = int(options.get("startingVersion", latest))
+        if self.start_version < -1 or self.start_version > latest:
+            raise ValueError(
+                f"startingVersion={self.start_version} is out of range: "
+                f"pass -1 for full-history replay, or a version in "
+                f"[0, {latest}] (latest commit) to emit changes after it"
+            )
         # Delta maxFilesPerTrigger analogue at commit grain (see
         # manifest_stream.py): bound how many commits one micro-batch
         # diffs, so a CDF consumer starting against a long backlog

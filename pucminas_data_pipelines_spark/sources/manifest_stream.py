@@ -176,6 +176,13 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "checkpoint to pick up the evolved schema"
             )
         added: list[str] = []
+        # DV baseline: a stream may legitimately start on a DV-bearing
+        # table (the initial snapshot subtracts outstanding deletes), and
+        # appends inherit the snapshot's DV list unchanged — only a DV
+        # list that CHANGED relative to the batch's start version means
+        # rows were retracted after emission. Mirrors the CDF reader's
+        # cur_dvs[len(prev_dvs):] diff.
+        base_dvs = start_m.get("deletion_vectors", [])
         for v in range(start_v + 1, end_v + 1):
             m = _manifest(self.path, v)
             op = m.get("commit_info", {}).get("operation", "UNKNOWN")
@@ -186,9 +193,10 @@ class ManifestStreamReader(DataSourceStreamReader):
                     "surviving rows); re-baseline downstream from a fresh "
                     "snapshot instead"
                 )
-            if m.get("deletion_vectors"):
+            if m.get("deletion_vectors", []) != base_dvs:
                 raise ValueError(
-                    f"version {v} carries deletion vectors; append-only "
+                    f"version {v} changed the table's deletion vectors "
+                    "relative to the stream's baseline; append-only "
                     "streaming cannot subtract rows already emitted"
                 )
         prev = set(_dirs(start_m))

@@ -282,3 +282,17 @@ def test_full_history_replay_from_version_minus_one(table, spark):
             state.pop(k, None)
     want = sorted(map(tuple, t.read().collect()))
     assert sorted(state.values()) == want
+
+
+def test_starting_version_out_of_range_is_loud(table):
+    """ADVICE r12: startingVersion below -1 (or past the latest commit)
+    rejects up front with a message naming the -1 full-replay sentinel,
+    instead of a confusing 'version N does not exist' later inside
+    partitions()."""
+    with pytest.raises(ValueError, match="full-history replay"):
+        ManifestCDFStreamReader({"path": BASE, "startingVersion": -5})
+    with pytest.raises(ValueError, match="full-history replay"):
+        ManifestCDFStreamReader({"path": BASE, "startingVersion": 999})
+    # the sentinel itself and the latest version both construct fine
+    ManifestCDFStreamReader({"path": BASE, "startingVersion": -1})
+    ManifestCDFStreamReader({"path": BASE})

@@ -175,6 +175,38 @@ def test_initial_snapshot_subtracts_deletion_vectors(table, spark):
         r._added_dirs(v, t.latest_version())
 
 
+def test_append_after_dv_snapshot_tails_fine(table, spark):
+    """ADVICE r12 (medium): appends INHERIT the snapshot's outstanding
+    DV list unchanged, so a stream that started on a DV-bearing table
+    must accept the first tailed APPEND — only a DV list that CHANGED
+    relative to the stream's baseline means rows were retracted. The
+    old truthiness guard bricked the snapshot-then-tail workflow."""
+    t, ev = table
+    t.delete_where(F.col("event_type") == "click", mode="merge_on_read")
+    r = _reader()
+    v_dv = t.latest_version()
+    # drain the DV-subtracted snapshot (establishes the baseline)
+    n_snap = sum(
+        b.num_rows
+        for p in r.partitions({"version": -1}, {"version": v_dv})
+        for b in r.read(p)
+    )
+    assert n_snap == t.read().count()
+    # the first tailed APPEND inherits the DV list — must NOT refuse
+    t.append(ev.where(F.col("event_id") % 2 == 1))
+    v_app = t.latest_version()
+    n_tail = sum(
+        b.num_rows
+        for p in r.partitions({"version": v_dv}, {"version": v_app})
+        for b in r.read(p)
+    )
+    assert n_tail == ev.where(F.col("event_id") % 2 == 1).count()
+    # but a NEW DV after the baseline still refuses
+    t.delete_where(F.col("event_type") == "view", mode="merge_on_read")
+    with pytest.raises(ValueError, match="APPEND-only|deletion vectors"):
+        r._added_dirs(v_app, t.latest_version())
+
+
 def test_max_versions_per_trigger_bounds_each_batch(table, spark):
     """Delta maxFilesPerTrigger analogue: with a 10-commit backlog and
     maxVersionsPerTrigger=3, the offset sequence drains in bounded
