@@ -248,6 +248,13 @@ def main() -> None:
     # spike attributable to a time window and the queries inside it.
     items = list(QUERIES.items())
     probe_at = {len(items) // 4, len(items) // 2, (3 * len(items)) // 4}
+    # Sweep-tier fixture flag (VERDICT r12 #8): live manifest-stream
+    # scenarios cap their base tables at a deterministic hash subset
+    # while this is set (plans/streaming_live.py _sweep_cap), bounding
+    # the sweep wall as more live scenarios register. Headline queries
+    # never read it; pytest and the driver correctness pass run with it
+    # unset (full size vs the DuckDB oracles).
+    os.environ["SPARK_GRAFT_SWEEP_TIER"] = "1"
     sweep_start = time.perf_counter()
     probe_overhead = 0.0  # keep sweep_sec comparable to pre-probe rounds
     for i, (name, fn) in enumerate(items):
@@ -281,6 +288,7 @@ def main() -> None:
             sweep_steal[name] = _steal_sec() - s0
         except Exception:
             sweep_failed.append(name)
+    os.environ.pop("SPARK_GRAFT_SWEEP_TIER", None)
     # exclude the quartile probes' own runtime so sweep_sec keeps the
     # r6/r7 semantics (sum of query wall time only)
     sweep_sec = round(time.perf_counter() - sweep_start - probe_overhead, 1)

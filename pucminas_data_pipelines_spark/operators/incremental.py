@@ -233,13 +233,18 @@ def apply_rollup_minmax_delta(
     merged = merged.localCheckpoint(eager=True)  # group-sized view state
     clean = merged.where(~F.col("_rescan")).drop("_rescan")
     marked = merged.where("_rescan")
-    # bound the driver list BEFORE collecting it: count() is a cheap
-    # distributed aggregate over the checkpointed view state
-    n_marked = marked.count()
-    if n_marked == 0:
+    # ONE bounded probe over the checkpointed view state replaces the
+    # old unconditional count()-then-collect() pair (VERDICT r12 #5):
+    # limit(cap+1) both answers "zero marked? under the cap?" and, when
+    # under, IS the driver list — the common zero-marked maintenance
+    # call pays a single early-exiting job, and the exact count is only
+    # computed on the rare mass-rescan path (for the receipt/raise).
+    probe = marked.select(*group_cols).limit(max_targeted_groups + 1).collect()
+    if not probe:
         return clean, []
     m = marked.alias("m")
-    if n_marked > max_targeted_groups:
+    if len(probe) > max_targeted_groups:
+        n_marked = marked.count()  # exact, paid only past the cap
         if base is None:
             raise ValueError(
                 f"{n_marked} groups need a rescan (> max_targeted_groups="
@@ -266,10 +271,7 @@ def apply_rollup_minmax_delta(
         fx = fixed.alias("fx")  # affected-groups-sized: no broadcast hint
         join_fx = fx
     else:
-        affected = [
-            tuple(row[c] for c in group_cols)
-            for row in marked.select(*group_cols).collect()
-        ]
+        affected = [tuple(row[c] for c in group_cols) for row in probe]
         fixed = (
             rescan(affected)
             .groupBy(*group_cols)

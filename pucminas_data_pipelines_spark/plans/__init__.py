@@ -138,6 +138,16 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # the r5 window — round 6 takes the 50 highest-leverage of the combined
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
+# ROTATION PLAN for round 14: first-evidence queue = any query
+# registered after the r13 window froze; re-confirmation cohort
+# continues oldest-first with the REMAINING 27 r5 names (alphabetical
+# from q12... onward: sample_*, scalar_array_construction_suite,
+# scalar_map_construction_suite, setop_distinct/except_all/intersect/
+# union_by_name, sink_append_mode, sink_compacted_files,
+# sort_multi_key_nulls, source_binary_files/json/orc/schema_evolution/
+# text_lines, split_train_test, streaming_*_live r5 cohort), then the
+# r6 cohort. Keep the 5 canaries; never the two rows-only ann_*_topk
+# names.
 # ROTATION PLAN for round 13: first-evidence queue =
 # mutation_manifest_rebucket_shrink (metadata-only bucket shrink) and
 # streaming_manifest_cdf_replay (full-history CDF snapshot
@@ -149,17 +159,17 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # ...alphabetical), then the r5 cohort. Keep the 5 canaries; never the
 # two rows-only ann_*_topk names.
 DRIVER_WINDOW: list[str] = [
-    # ROUND-12 ROTATION (VERDICT r11 #1): composition = (a) the 5
-    # standing canaries, (b) FIRST driver-window evidence for the six
-    # late-r11 queries that postdated the frozen r11 window
-    # (mutation_manifest_autocompact/delta_tail/drop_column/rebucket,
-    # streaming_incremental_mv_live, streaming_manifest_cdf_live — the
-    # only oracled names without a green CORRECTNESS row in any round),
-    # plus the round-12 rebucket_incremental, and (c) 38 re-confirmation
-    # picks chosen strictly oldest-evidence-first from the cumulative
-    # CORRECTNESS_r01..r11 union: ALL 20 names whose last green row
-    # dates to r3, then the alphabetically-first 18 of
-    # the r4 cohort. Every rotated-out name stays pinned by
+    # ROUND-13 ROTATION (VERDICT r12 #1, pre-declared in r12): (a) the 5
+    # standing canaries, (b) FIRST driver-window evidence for the two
+    # late-r12 queries (mutation_manifest_rebucket_shrink,
+    # streaming_manifest_cdf_replay — the only oracled names without a
+    # green CORRECTNESS row in any round) plus round 13's new
+    # mutation_manifest_rebucket_concurrent_merge (generation-aware
+    # mutations during an in-flight rebucket, VERDICT r12 #2), and
+    # (c) 42 re-confirmation picks strictly oldest-evidence-first from
+    # the cumulative CORRECTNESS_r01..r12 union: ALL 24 names whose last
+    # green row dates to r4, then the alphabetically-first 18 of the r5
+    # cohort. Every rotated-out name stays pinned by
     # tests/test_oracle_parity.py at two scale factors. The whole window
     # is re-run through the vanilla-session preflight
     # (.claude/skills/verify/preflight.py) after this rotation.
@@ -169,55 +179,55 @@ DRIVER_WINDOW: list[str] = [
     "join_asof",
     "mutation_merge_upsert",
     "events_session_window",
-    # round-12 first evidence (late-r11 operators + the r12 incremental
-    # rebucket; it takes the slot of the 19th r4 re-confirmation)
-    "mutation_manifest_autocompact",
-    "mutation_manifest_delta_tail",
-    "mutation_manifest_drop_column",
-    "mutation_manifest_rebucket",
-    "mutation_manifest_rebucket_incremental",
-    "streaming_incremental_mv_live",
-    "streaming_manifest_cdf_live",
-    # oldest-evidence re-confirmation: last green in r3 (all 20)
-    "mutation_time_travel",
-    "pii_redact_text",
-    "project_literal_replace",
-    "q18_large_orders",
-    "q21_sole_blamed_supplier",
-    "scalar_json_extract",
-    "setop_union_all",
-    "sink_bucketed_colocated_join",
-    "sink_partitioned_parquet",
-    "sort_limit_topk",
-    "source_csv_roundtrip",
-    "source_local_rows",
-    "split_stratified_by_lang",
-    "stats_key_skew_profile",
-    "streaming_stream_join_live",
-    "text_bm25_rank",
-    "text_language_id",
-    "udf_apply_in_pandas",
-    "udf_pandas_scalar",
-    "window_rank_family",
-    # oldest-evidence re-confirmation: last green in r4 (first 19)
-    "graph_hop_distance_histogram",
-    "mutation_manifest_export",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_pair_volume",
+    # round-13 first evidence
+    "mutation_manifest_rebucket_shrink",
+    "streaming_manifest_cdf_replay",
+    "mutation_manifest_rebucket_concurrent_merge",
+    # oldest-evidence re-confirmation: last green in r4 (all 24)
+    "q8_market_share",
+    "q9_product_profit",
+    "scalar_array_suite",
+    "scalar_arrays_zip_inline",
+    "scalar_bitwise_suite",
+    "scalar_codec_suite",
+    "scalar_date_calendar_suite",
+    "scalar_date_suite",
+    "scalar_json_schema",
+    "scalar_map_suite",
+    "scalar_map_transform_suite",
+    "scalar_math_suite",
+    "scalar_null_handling",
+    "scalar_regexp_suite",
+    "scalar_string_extended_suite",
+    "scalar_string_suite",
+    "scalar_variant_shredding",
+    "window_distribution_family",
+    "window_lag_lead",
+    "window_ntile",
+    "window_running_sum",
+    "window_sliding_frame",
+    "window_time_range_frame",
+    "window_topk_orders_per_customer",
+    # oldest-evidence re-confirmation: last green in r5 (first 18,
+    # alphabetical; the remaining 27 queue for r14)
+    "agg_freq_items_superset",
+    "ann_ivf_pq_recall",
+    "curation_contamination_overlap",
+    "curation_doc_chunking",
+    "curation_domain_mixture",
+    "curation_quality_rules",
+    "curation_repetition_detection",
+    "curation_sequence_packing",
+    "curation_shard_assignment",
+    "curation_span_coverage_gate",
+    "curation_token_budget_fill",
+    "dedup_incremental_batch",
+    "dedup_substring_spans",
+    "events_first_touch_attribution",
+    "events_gap_fill_ffill",
+    "events_session_window_dynamic_gap",
+    "events_time_weighted_avg",
+    "q12_priority_by_returnflag",
 ]
 
 

@@ -30,6 +30,27 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, query
 from pucminas_data_pipelines_spark.streaming import jobs
 
 
+def _sweep_cap(df: DataFrame) -> DataFrame:
+    """Sweep-tier fixture (VERDICT r12 #8): when the bench registry
+    sweep sets SPARK_GRAFT_SWEEP_TIER, the live manifest-stream
+    scenarios cap their BASE tables at a deterministic 1/8 hash subset
+    so the sweep wall stays bounded as more live scenarios register.
+    These scenarios assert convergence against values computed from the
+    same (capped) input, so they remain self-checking at either size;
+    pytest and the driver correctness pass never set the variable and
+    always run full size against the registered DuckDB oracles."""
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_SWEEP_TIER"):
+        return df
+    from pyspark.sql import functions as F
+
+    key = df.columns[0]
+    return df.where(
+        F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(8)) == 0
+    )
+
+
 @query("streaming_tumbling_window_live", oracle=ORACLES["events_tumbling_window"])
 def streaming_tumbling_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream → watermark → 1h tumbling counts → AvailableNow → memory
@@ -676,8 +697,10 @@ def streaming_medallion_pipeline_live(
 
     base = "/root/repo/.tmp/stream_medallion"
     shutil.rmtree(base, ignore_errors=True)
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
+    events = _sweep_cap(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
     )
     total = events.count()
     bronze = ManifestVersionedTable(
@@ -787,8 +810,10 @@ def streaming_manifest_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = "/root/repo/.tmp/stream_manifest_cdf"
     shutil.rmtree(base, ignore_errors=True)
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
+    events = _sweep_cap(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
     )
     table = ManifestVersionedTable(spark, base, key="event_id", n_buckets=4)
     table.overwrite(events.where(F.col("event_id") % 3 == 0))  # v0
@@ -925,8 +950,10 @@ def streaming_incremental_mv_live(spark: SparkSession, sf_dir: str) -> DataFrame
 
     base = "/root/repo/.tmp/stream_incremental_mv"
     shutil.rmtree(base, ignore_errors=True)
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment"
+    cust = _sweep_cap(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
     )
     table = ManifestVersionedTable(spark, base, key="c_custkey", n_buckets=16)
     table.overwrite(cust)  # v0

@@ -61,9 +61,17 @@ def _manifest(path: str, version: int) -> dict:
 def _latest_version(path: str) -> int:
     try:
         with open(os.path.join(path, "_LATEST")) as fh:
-            return int(fh.read().strip())
+            v = int(fh.read().strip())
     except FileNotFoundError:
-        return -1
+        v = -1
+    # _LATEST is a hint; the atomic manifest link is the commit — walk
+    # forward so a writer killed before the pointer flip still streams
+    # (mirrors ManifestVersionedTable.latest_version, r13)
+    while os.path.exists(
+        os.path.join(path, "_manifests", f"v={v + 1}.json")
+    ):
+        v += 1
+    return v
 
 
 def _abs(root: str, d: str) -> str:

@@ -306,12 +306,21 @@ def test_tail_export_refuses_dv_versions_and_statless_logs(spark, tmp_path):
     t.delete_where(F.col("k") == 1, mode="merge_on_read")
     with pytest.raises(ValueError, match="deletion vectors"):
         t.export_delta_log_tail()
-    # a _delta_log without export state (foreign/pre-r11) refuses loudly
+    # a _delta_log holding COMMITTED entries without export state
+    # (foreign/pre-r11) refuses loudly; an EMPTY state-less dir is the
+    # crash window between mkdir and the initial state publish and is
+    # recovered as fresh (r13 crash-injection sweep)
     t2 = ManifestVersionedTable(spark, str(tmp_path / "t2"), key="k", n_buckets=2)
     t2.overwrite(spark.createDataFrame([(1, "ana")], SCHEMA))
-    os.makedirs(os.path.join(str(tmp_path / "t2"), "_delta_log"))
+    log2 = os.path.join(str(tmp_path / "t2"), "_delta_log")
+    os.makedirs(log2)
+    with open(os.path.join(log2, f"{0:020d}.json"), "w") as fh:
+        fh.write("{}\n")  # a foreign committed entry
     with pytest.raises(ValueError, match="export state"):
         t2.export_delta_log_tail()
+    # empty dir: recovered as a fresh export
+    os.remove(os.path.join(log2, f"{0:020d}.json"))
+    assert t2.export_delta_log_tail()
 
 
 def test_export_carries_constraints_and_generated_metadata(spark, tmp_path):

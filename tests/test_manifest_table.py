@@ -1377,9 +1377,44 @@ def test_rebucket_incremental_validations(spark, tmp_path):
         t.rebucket_incremental(9)  # 3x, not a power of two
     with pytest.raises(ValueError, match="power-of-two"):
         t.rebucket_incremental(3)  # no-op target
-    t.delete_where(F.col("id") == 1, mode="merge_on_read")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        t.rebucket_incremental(6)
+    # (DV-carrying grow path no longer refuses — see
+    # test_rebucket_incremental_grow_subtracts_deletion_vectors)
+
+
+def test_rebucket_incremental_grow_subtracts_deletion_vectors(spark, tmp_path):
+    """VERDICT r12 #3: the grow path splits a DV-carrying table without
+    demanding an O(table) optimize() first — each per-bucket split
+    subtracts outstanding DV rows at read time (the streaming initial
+    snapshot's merge-on-read), the post-migration read() is row-
+    identical to the pre-migration one, and the FINISH commit drops the
+    then-fully-stale DV list (the migration doubles as DV
+    materialization)."""
+    t = ManifestVersionedTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    data = [(i, f"n{i}", float(i)) for i in range(1, 25)]
+    t.overwrite(_rows(spark, data))
+    t.delete_where(F.col("id") % 5 == 0, mode="merge_on_read")
+    t.delete_where(F.col("id") == 7, mode="merge_on_read")
+    m = t._manifest(t.latest_version())
+    assert len(m["deletion_vectors"]) == 2
+    want = _sorted(t.read())
+    assert len(want) == len(data) - 5  # 5,10,15,20 and 7 masked
+
+    v = t.rebucket_incremental(8)
+    m2 = t._manifest(v)
+    assert m2["n_buckets"] == 8 and "rebucket_target" not in m2
+    assert m2["deletion_vectors"] == []  # materialized away by the splits
+    assert _sorted(t.read()) == want  # row-identical, deletes never resurrect
+    # paused mid-way the DVs still apply to the unsplit remainder
+    t2 = ManifestVersionedTable(spark, str(tmp_path / "t2"), key="id", n_buckets=2)
+    t2.overwrite(_rows(spark, data))
+    t2.delete_where(F.col("id") % 5 == 0, mode="merge_on_read")
+    want2 = _sorted(t2.read())
+    t2.rebucket_incremental(8, max_splits=1)
+    mm = t2._manifest(t2.latest_version())
+    assert mm["rebucket_target"] == 8 and mm["deletion_vectors"]
+    assert _sorted(t2.read()) == want2
+    t2.rebucket_incremental(8)
+    assert _sorted(t2.read()) == want2
 
 
 def test_rebucket_incremental_pause_resume_and_guards(spark, tmp_path):
