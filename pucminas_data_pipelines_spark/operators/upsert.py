@@ -538,10 +538,16 @@ class ManifestVersionedTable:
         )
 
     def _refuse_mid_rebucket(self, manifest: dict, what: str) -> None:
-        """Bucket-targeted rewrites are undefined while an incremental
-        rebucket migration is in flight (a key's rows may live in either
-        generation); only reads, appends and the migration itself may
-        proceed. Loud, resumable: finish with rebucket_incremental."""
+        """The few operations still undefined while an incremental
+        rebucket migration is in flight refuse loudly here. As of r13
+        that is only OPTIMIZE/COMPACT (compacting buckets the split
+        loop is about to rewrite is wasted work racing the migration,
+        and the split loop would refuse to splice over the rewrite
+        anyway) and COALESCE DVS (deferred: the FINISH filter already
+        coalesces surviving marks into one sidecar for free). Reads,
+        appends, MERGE, both DELETE modes, CLONE and the migration
+        itself all proceed mid-flight. Loud, resumable: finish with
+        rebucket_incremental."""
         if "rebucket_target" in manifest:
             raise ValueError(
                 f"{what} is not supported mid-rebucket (incremental "
@@ -953,10 +959,21 @@ class ManifestVersionedTable:
         DELETE are GENERATION-AWARE (r13): they read a key's rows from
         whichever generation holds them and route the rewrite back by
         residence, so hourly upserts keep landing while a week-long
-        100 TB migration runs. Only merge-on-read DELETE (DVs would
-        brick the split loop), optimize/compact and clone refuse until
-        the migration finishes. The final commit swaps
-        ``buckets_next`` in as the table's layout.
+        100 TB migration runs. Merge-on-read DELETE also lands
+        mid-flight (r13): its marks reference whichever generation's
+        file holds a row, the staged sidecar's dir set is its OCC read
+        set (a split consuming a marked bucket refuses and the delete
+        re-stages; splits re-read on every lost race, so marks
+        committed before a split are subtracted by it), and the FINISH
+        commit filters sidecars by surviving dir instead of dropping
+        them. Shallow CLONE forks a mid-flight table too, carrying both
+        generations — the clone resumes the migration independently
+        under its own root. Only optimize/compact and coalesce_dvs
+        still refuse until the migration finishes (compacting a bucket
+        the split loop is about to rewrite is wasted work, and a
+        coalesced sidecar would invalidate in-flight splits' DV
+        baselines). The final commit swaps ``buckets_next`` in as the
+        table's layout.
 
         SHRINKING to a power-of-two DIVISOR is better still: it is
         METADATA-ONLY — ``pmod(h, B/k) = pmod(h, B) mod B/k``, so the
@@ -975,10 +992,12 @@ class ManifestVersionedTable:
         Outstanding deletion vectors are SUBTRACTED by the grow path's
         per-bucket splits at read time (r13 — the same merge-on-read the
         streaming initial snapshot serves), so the migration doubles as
-        DV materialization and the FINISH commit drops the then-fully-
-        stale DV list; no prior optimize() needed. The shrink path keeps
-        them (no file is rewritten, DV keys stay valid). Returns the
-        last committed version."""
+        DV materialization; no prior optimize() needed. The FINISH
+        commit filters the sidecars by surviving dir — old-generation
+        marks (now baked into the split output) drop, target-generation
+        marks committed mid-flight survive. The shrink path keeps DVs
+        untouched (no file is rewritten, DV keys stay valid). Returns
+        the last committed version."""
         manifest = self._manifest(self.latest_version())
         base = manifest["n_buckets"]
         in_flight = manifest.get("rebucket_target")
@@ -1049,13 +1068,60 @@ class ManifestVersionedTable:
             if not remaining:
                 # Every old-generation bucket has been rewritten (splits
                 # subtract outstanding DV rows at read time, exactly like
-                # the streaming initial snapshot), and next-generation
-                # files are all freshly written — so every deletion-
-                # vector entry now references an unreferenced file. Drop
-                # the list: the migration doubles as DV materialization,
-                # no prior optimize() required (VERDICT r12 #3).
+                # the streaming initial snapshot), so marks referencing
+                # OLD-generation files are now inert — the migration
+                # doubles as DV materialization, no prior optimize()
+                # required (VERDICT r12 #3). But marks committed MID-
+                # migration by the generation-aware DV delete (r13) may
+                # reference TARGET-generation files, and those dirs
+                # survive the swap — so instead of dropping the list
+                # wholesale, FILTER the sidecars by surviving dir
+                # (merging them into one sidecar, a free coalesce):
+                # O(marks), runs once per migration, only when the list
+                # is non-empty.
+                final_dvs: list[str] = []
+                if m.get("deletion_vectors"):
+                    import uuid as _uuid
+
+                    live = sorted(
+                        {d for ds in nxt.values() for d in ds}
+                    )
+                    kept = (
+                        self.spark.read.parquet(
+                            *[
+                                self._abs(p)
+                                for p in m["deletion_vectors"]
+                            ]
+                        )
+                        .withColumn(
+                            "_dir",
+                            F.regexp_replace(
+                                "__dv_file", "/[^/]+$", ""
+                            ),
+                        )
+                        .join(
+                            F.broadcast(
+                                self.spark.createDataFrame(
+                                    [(d,) for d in live],
+                                    "_dir string",
+                                )
+                            ),
+                            "_dir",
+                            "left_semi",
+                        )
+                        .drop("_dir")
+                    )
+                    if kept.limit(1).count():
+                        rel = f"_dvs/{_uuid.uuid4().hex[:12]}"
+                        kept.write.parquet(
+                            os.path.join(self.path, rel)
+                        )
+                        final_dvs = [rel]
                 final = dict(
-                    m, n_buckets=n_buckets, buckets=nxt, deletion_vectors=[]
+                    m,
+                    n_buckets=n_buckets,
+                    buckets=nxt,
+                    deletion_vectors=final_dvs,
                 )
                 final.pop("rebucket_target", None)
                 final.pop("buckets_next", None)
@@ -1534,24 +1600,44 @@ class ManifestVersionedTable:
         version = self.latest_version()
         manifest = self._manifest(version)
         if mode == "merge_on_read":
-            # DVs appearing mid-rebucket would brick the migration loop
-            # (a raw bucket split would resurrect their rows), so only
-            # the copy-on-write path is generation-aware
-            self._refuse_mid_rebucket(manifest, "DELETE (merge-on-read)")
             # append the matched rows' (file, row_index) keys to a
             # parquet deletion-vector sidecar — zero data files
             # rewritten. Stale DV entries for files a later rewrite
             # drops are harmless (their file ids never reappear: every
-            # commit dir is a fresh uuid).
+            # commit dir is a fresh uuid). Generation-aware mid-rebucket
+            # (r13): the scan covers BOTH bucket generations, so marks
+            # land on whichever file currently holds a row; the staged
+            # txn records the DIRECTORIES its marks reference (manifest
+            # grain) as its read set — the OCC checker refuses if a
+            # winner removed any of them (a split consuming a marked
+            # old-generation bucket, a FINISH, a compaction), because
+            # that winner re-wrote the marked rows from pre-DV data and
+            # splicing the sidecar in would silently resurrect them.
             import uuid as _uuid
 
             scan = self._scan_with_meta(
                 manifest,
-                [self._abs(d) for d in self._bucket_dirs(manifest["buckets"])],
+                [self._abs(d) for d in self._all_dirs(manifest)],
             )
             matches = scan.where(condition).select("__dv_file", "__dv_row")
             rel = f"_dvs/{_uuid.uuid4().hex[:12]}"
             matches.write.parquet(os.path.join(self.path, rel))
+            # the sidecar is match-sized; its distinct parent dirs are
+            # manifest-grain — read it back (tiny) rather than re-run
+            # the table scan a second time
+            dv_dirs = sorted(
+                r["d"]
+                for r in self.spark.read.parquet(
+                    os.path.join(self.path, rel)
+                )
+                .select(
+                    F.regexp_replace(
+                        "__dv_file", "/[^/]+$", ""
+                    ).alias("d")
+                )
+                .distinct()
+                .collect()
+            )
             return {
                 "kind": "dv_append",
                 "operation": "DELETE (merge-on-read)",
@@ -1561,7 +1647,9 @@ class ManifestVersionedTable:
                 "base_schema": manifest["schema"],
                 "base_constraints": manifest.get("constraints", {}),
                 "base_generated": manifest.get("generated", {}),
+                "base_rebucket_target": manifest.get("rebucket_target"),
                 "dv_rel": rel,
+                "dv_dirs": dv_dirs,
                 "txn_app": None,
                 "txn_version": None,
             }
@@ -1741,10 +1829,17 @@ class ManifestVersionedTable:
                 or m_v["schema"] != txn["base_schema"]
             ):
                 conflict("table schema changed")
-            if m_v["n_buckets"] != txn["base_n_buckets"]:
+            if (
+                m_v["n_buckets"] != txn["base_n_buckets"]
+                and txn["kind"] != "dv_append"
+            ):
                 # a REBUCKET winner re-hashed every row; staged files
                 # were bucketed under the OLD count — splicing them in
-                # would scatter keys across wrong buckets
+                # would scatter keys across wrong buckets. A staged DV
+                # is exempt: its keys are FILE-grain, so a metadata-only
+                # shrink or a REBUCKET FINISH that preserved every
+                # directory the marks reference is harmless (the
+                # dir-preservation check below decides)
                 conflict("bucket count changed (REBUCKET)")
             if m_v.get("constraints", {}) != txn["base_constraints"]:
                 conflict(
@@ -1809,13 +1904,40 @@ class ManifestVersionedTable:
                     # split removes it from the old-generation map)
                     pass
             elif txn["kind"] == "dv_append":
-                for b, old in m_prev["buckets"].items():
-                    if m_v["buckets"].get(b, [])[: len(old)] != old:
-                        conflict(
-                            f"bucket {b} was rewritten (the staged DV "
-                            "keys reference its replaced files, and "
-                            "matches inside it would silently survive)"
-                        )
+                # dir-preservation (r13, replaces the coarser extend-
+                # only test): the staged sidecar's read set is exactly
+                # the directories its marks reference (txn['dv_dirs']).
+                # A winner that removed any of them — a merge/delete
+                # rewrite of a marked bucket, a compaction, a REBUCKET
+                # SPLIT that consumed a marked old-generation bucket, a
+                # FINISH that dropped marked old-generation dirs —
+                # re-wrote those rows from pre-DV data, so splicing the
+                # sidecar in would silently resurrect them: refuse.
+                # Winners that touch only OTHER dirs (appends anywhere,
+                # rewrites of unmarked buckets, splits of unmarked
+                # buckets, a metadata-only shrink, a FINISH whose
+                # surviving target generation carries every marked dir)
+                # rebase cleanly — same read-set precision the
+                # copy-on-write path gets from its affected-bucket set.
+                live = {
+                    d
+                    for ds in m_v["buckets"].values()
+                    for d in ds
+                } | {
+                    d
+                    for ds in m_v.get("buckets_next", {}).values()
+                    for d in ds
+                }
+                gone = [
+                    d for d in txn.get("dv_dirs", []) if d not in live
+                ]
+                if gone:
+                    conflict(
+                        f"directories {gone[:3]} holding rows this DV "
+                        "marks were rewritten or removed (the marks "
+                        "reference replaced files; matches inside them "
+                        "would silently survive)"
+                    )
                 old_dvs = m_prev.get("deletion_vectors", [])
                 if m_v.get("deletion_vectors", [])[: len(old_dvs)] != old_dvs:
                     conflict("deletion-vector list was rewritten")
@@ -2552,24 +2674,42 @@ class ManifestVersionedTable:
         if version < 0 or version > self.latest_version():
             raise ValueError(f"version {version_as_of} does not exist")
         m = self._manifest(version)
-        self._refuse_mid_rebucket(m, "CLONE")
         clone = ManifestVersionedTable(
             self.spark, dst_path, key=self.key, n_buckets=m["n_buckets"]
         )
         if clone.latest_version() >= 0:
             raise ValueError(f"destination {dst_path} is already a table")
-        abs_buckets: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
         file_stats: dict[str, dict] = {}
-        for b, ds in m["buckets"].items():
-            abs_buckets[b] = []
-            for d in ds:
-                a = os.path.realpath(self._abs(d))
-                abs_buckets[b].append(a)
-                if d in m.get("stats", {}):
-                    stats[a] = m["stats"][d]
-                if d in m.get("file_stats", {}):
-                    file_stats[a] = m["file_stats"][d]
+
+        def _absolutize(buckets: dict[str, list[str]]) -> dict:
+            out: dict[str, list[str]] = {}
+            for b, ds in buckets.items():
+                out[b] = []
+                for d in ds:
+                    a = os.path.realpath(self._abs(d))
+                    out[b].append(a)
+                    if d in m.get("stats", {}):
+                        stats[a] = m["stats"][d]
+                    if d in m.get("file_stats", {}):
+                        file_stats[a] = m["file_stats"][d]
+            return out
+
+        abs_buckets = _absolutize(m["buckets"])
+        # Mid-rebucket clone (r13): carry BOTH bucket generations and
+        # the in-flight target, absolutized like the current map. The
+        # clone is immediately readable (reads union generations) and
+        # can RESUME the migration independently — its splits write
+        # under its own root and never touch the source, which keeps
+        # its own migration state and finishes on its own schedule.
+        mid_rebucket = (
+            {
+                "rebucket_target": m["rebucket_target"],
+                "buckets_next": _absolutize(m.get("buckets_next", {})),
+            }
+            if "rebucket_target" in m
+            else {}
+        )
         clone._commit_manifest(
             {
                 "key": m["key"],
@@ -2577,6 +2717,7 @@ class ManifestVersionedTable:
                 "columns": m["columns"],
                 "schema": m["schema"],
                 "buckets": abs_buckets,
+                **mid_rebucket,
                 "stats": stats,
                 "file_stats": file_stats,
                 "deletion_vectors": self._clone_dvs(

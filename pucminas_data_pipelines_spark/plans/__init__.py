@@ -138,8 +138,11 @@ from pucminas_data_pipelines_spark.plans.registry import ORACLES, QUERIES
 # the r5 window — round 6 takes the 50 highest-leverage of the combined
 # pool and the remainder rolls forward; everything is pinned by the
 # full-parity suite meanwhile.
-# ROTATION PLAN for round 14: first-evidence queue = any query
-# registered after the r13 window froze; re-confirmation cohort
+# ROTATION PLAN for round 14: first-evidence queue =
+# mutation_manifest_dv_delete_during_rebucket (generation-aware
+# merge-on-read DELETE through a paused migration, registered late in
+# r13 after the window froze — oracled and parity-pinned) plus any
+# further late-r13 registrations; re-confirmation cohort
 # continues oldest-first with the REMAINING 27 r5 names (alphabetical
 # from q12... onward: sample_*, scalar_array_construction_suite,
 # scalar_map_construction_suite, setop_distinct/except_all/intersect/

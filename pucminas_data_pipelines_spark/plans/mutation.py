@@ -1212,6 +1212,59 @@ def mutation_manifest_rebucket_concurrent_merge(
 
 
 @query(
+    "mutation_manifest_dv_delete_during_rebucket",
+    oracle=_TYPED_SELECT.format(
+        rows=_values(
+            [r for r in _expected_merged() if r[0] not in (6, 892)]
+        )
+    ),
+)
+def mutation_manifest_dv_delete_during_rebucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge-on-read DELETE (deletion vectors) DURING an in-flight
+    incremental rebucket (operators/upsert.py stage_delete_where
+    merge_on_read + the dir-preservation OCC check, r13): the merge
+    scenario's 4-bucket table starts migrating to 16, PAUSES mid-way
+    (max_splits=2), and a DV delete of keys 6 and 892 lands THROUGH
+    the paused migration — marks reference whichever generation's file
+    holds each row, zero data files rewritten (the GDPR point-delete
+    cost model must not stop for a week-long 100 TB migration). Reads
+    mask the marks immediately; the resumed splits SUBTRACT marks on
+    old-generation files at read time, and the FINISH commit FILTERS
+    the sidecars by surviving dir (target-generation marks survive,
+    baked-in old-generation marks drop) instead of dropping the list
+    wholesale. Content equals the oracle's migrate-then-delete result.
+    Race matrix (split-consumes-marked-bucket refuses the staged DV;
+    unrelated splits rebase; concurrent DV/split storm) is pinned in
+    tests/test_rebucket_dv.py."""
+    table = _run_manifest_scenario(
+        spark, "/root/repo/.tmp/titanic_mvt_rebucket_dv"
+    )
+    v = table.rebucket_incremental(16, max_splits=2)
+    m = table._manifest(v)
+    if m.get("rebucket_target") != 16 or not m.get("buckets_next"):
+        raise AssertionError("migration did not pause mid-flight")
+    table.delete_where(
+        F.col("PassengerId").isin(6, 892), mode="merge_on_read"
+    )
+    m = table._manifest(table.latest_version())
+    if m.get("rebucket_target") != 16:
+        raise AssertionError("the DV delete must not finish the migration")
+    if not m.get("deletion_vectors"):
+        raise AssertionError("merge-on-read delete must commit a sidecar")
+    if table.read_keys([6, 892]).count() != 0:
+        raise AssertionError("marks must mask rows mid-migration")
+    v = table.rebucket_incremental(16)  # resume to completion
+    m = table._manifest(v)
+    if m["n_buckets"] != 16 or "rebucket_target" in m:
+        raise AssertionError("incremental rebucket did not finish")
+    if table.read_keys([6, 892]).count() != 0:
+        raise AssertionError("deletes resurrected across the FINISH swap")
+    return _lowered(table.read())
+
+
+@query(
     "streaming_manifest_cdf_replay",
     oracle=_TYPED_SELECT.format(rows=_values(_expected_merged())),
 )

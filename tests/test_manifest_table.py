@@ -1434,15 +1434,14 @@ def test_rebucket_incremental_pause_resume_and_guards(spark, tmp_path):
     t.append(_rows(spark, [(100, "app", 1.0)]))
     assert t.read().count() == len(data) + 1
     assert {r["id"] for r in t.read_keys([100, 2]).collect()} == {100, 2}
-    # full-table rewrites (and DV deletes) still refuse mid-migration;
-    # merge and copy-on-write delete are generation-aware since r13 and
+    # only optimize/compact and coalesce_dvs still refuse mid-migration
+    # (r13): merge, BOTH delete modes and clone are generation-aware and
     # proceed — pinned in test_merge_and_delete_during_paused_rebucket
-    with pytest.raises(ValueError, match="mid-rebucket"):
-        t.delete_where(F.col("id") == 2, mode="merge_on_read")
+    # and tests/test_rebucket_dv.py
     with pytest.raises(ValueError, match="mid-rebucket"):
         t.optimize()
     with pytest.raises(ValueError, match="mid-rebucket"):
-        t.shallow_clone(str(tmp_path / "c"))
+        t.coalesce_deletion_vectors()
     with pytest.raises(ValueError, match="already in"):
         t.rebucket_incremental(8)  # different target than in-flight
     v2 = t.rebucket_incremental(4)  # resume to completion
