@@ -54,6 +54,22 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(~F.isnan(cos), cos)
 
 
+def cosine_from_norms(
+    a: Column, b: Column, norm_a: Column, norm_b: Column
+) -> Column:
+    """``cosine_similarity`` with the two norms supplied as columns —
+    bit-identical (same fold, same operand order, same NaN/NULL
+    handling), for call sites that join/replicate vectors into PAIRS:
+    computing ``norm_a``/``norm_b`` once per SIDE row before the join
+    turns the per-pair cost from three interpreted HOF folds (dot + two
+    norms) into one (dot) — a ~3x per-pair compute cut that grows with
+    fan-out (every corpus row scores against every probe/query it
+    meets). The norms are pure row expressions of each side, so
+    evaluating them pre-join cannot change the value."""
+    cos = dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
+    return F.when(~F.isnan(cos), cos)
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

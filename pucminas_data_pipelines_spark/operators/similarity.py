@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from pucminas_data_pipelines_spark.functions.vector import (
-    cosine_similarity,
+    cosine_from_norms,
+    norm,
     normalize,
 )
 
@@ -62,12 +63,17 @@ def brute_force_topk(
 
     Ranking is by (rounded cosine desc, neighbor id) so results are fully
     deterministic. Queries are broadcast: the corpus never shuffles."""
+    # per-SIDE norms hoisted out of the pair fan-out (each corpus row
+    # meets every query): the q-side norm is evaluated once per query at
+    # broadcast build, the c-side once per corpus row in its scan
+    # projection — per-pair work drops to the dot fold alone, and
+    # cosine_from_norms keeps the arithmetic bit-identical
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("_qn", norm(F.col("q_vec")))
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("_cn", norm(F.col("c_vec")))
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
@@ -76,7 +82,13 @@ def brute_force_topk(
     )
     return (
         pairs.withColumn(
-            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+            "cosine",
+            F.round(
+                cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -143,18 +155,30 @@ def lsh_ann_topk(
         weighted = (bits * shifts).reshape(len(m), n_tables, n_planes)
         return pd.Series(list(weighted.sum(axis=2).astype(np.int64)))
 
-    def tagged(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    def tagged(
+        df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str
+    ) -> DataFrame:
+        # the side norm is computed ONCE per vector here, before the
+        # ×n_tables posexplode and the bucket join fan-out (8 bytes per
+        # row through the shuffle vs a full HOF re-fold per candidate)
         return (
             df.select(
                 F.col(id_alias), F.col(vec_alias), buckets(F.col(vec_alias)).alias("_bk")
             )
-            .select(id_alias, vec_alias, F.posexplode("_bk").alias("table", "bucket"))
+            .withColumn(norm_alias, norm(F.col(vec_alias)))
+            .select(
+                id_alias,
+                vec_alias,
+                norm_alias,
+                F.posexplode("_bk").alias("table", "bucket"),
+            )
         )
 
     q = tagged(
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
         "query_id",
         "q_vec",
+        "_qn",
     )
     c = tagged(
         corpus.select(
@@ -162,11 +186,12 @@ def lsh_ann_topk(
         ),
         "neighbor_id",
         "c_vec",
+        "_cn",
     )
 
     cands = (
         q.join(c, ["table", "bucket"])
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "q_vec", "_qn", "neighbor_id", "c_vec", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     if exclude_self:
@@ -176,7 +201,13 @@ def lsh_ann_topk(
     )
     return (
         cands.withColumn(
-            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+            "cosine",
+            F.round(
+                cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -276,14 +307,25 @@ def ivf_topk(
 
         return probes
 
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("cell", F.explode(probe_udf(1)(F.col("c_vec"))))
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("cell", F.explode(probe_udf(n_probe)(F.col("q_vec"))))
+    # side norms computed pre-join (once per vector, not per candidate)
+    c = (
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("_cn", norm(F.col("c_vec")))
+        .withColumn("cell", F.explode(probe_udf(1)(F.col("c_vec"))))
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn("_qn", norm(F.col("q_vec")))
+        .withColumn("cell", F.explode(probe_udf(n_probe)(F.col("q_vec"))))
+    )
 
-    cands = q.join(c, "cell").select("query_id", "q_vec", "neighbor_id", "c_vec")
+    cands = q.join(c, "cell").select(
+        "query_id", "q_vec", "_qn", "neighbor_id", "c_vec", "_cn"
+    )
     if exclude_self:
         cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
@@ -291,7 +333,13 @@ def ivf_topk(
     )
     return (
         cands.withColumn(
-            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+            "cosine",
+            F.round(
+                cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -581,14 +629,26 @@ def ivf_pq_topk(
     )
 
     # exact refine: fetch the original vectors for the shortlist only
-    qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # (side norms hoisted below the join — once per vector row, not per
+    # shortlist pair; bit-identical via cosine_from_norms)
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("_qn", norm(F.col("q_vec")))
+    cv = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("_cn", norm(F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         shortlist.join(qv, "query_id")
         .join(cv, "neighbor_id")
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+            "cosine",
+            F.round(
+                cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -1110,7 +1110,10 @@ def knn_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles (the ANN operators replace brute-force at 100 TB —
     swap ann_lsh/ivf_topk in for the dense leg; fusion is rank-based so
     nothing else changes); ranking windows are partitioned per query."""
-    from pucminas_data_pipelines_spark.functions.vector import cosine_similarity
+    from pucminas_data_pipelines_spark.functions.vector import (
+        cosine_from_norms,
+        norm,
+    )
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1145,17 +1148,27 @@ def knn_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum("idf").alias("lex_score"))
     )
-    q = emb.where(F.col("vec_id") < _RRF_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    # side norms hoisted out of the query fan-out (once per vector row,
+    # not per (query, doc) pair) — bit-identical via cosine_from_norms
+    q = (
+        emb.where(F.col("vec_id") < _RRF_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        )
+        .withColumn("_qn", norm(F.col("q_vec")))
     )
     dense = (
-        emb.crossJoin(F.broadcast(q))
+        emb.withColumn("_cn", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("doc_id"),
             F.round(
-                cosine_similarity(F.col("q_vec"), F.col("embedding")), 6
+                cosine_from_norms(
+                    F.col("q_vec"), F.col("embedding"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
             ).alias("cosine"),
         )
     )
@@ -2283,19 +2296,26 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines rank identical values with identical tie-breaks."""
     from pyspark.sql import Window
 
-    from pucminas_data_pipelines_spark.functions.vector import cosine_similarity
+    from pucminas_data_pipelines_spark.functions.vector import (
+        cosine_from_norms,
+        norm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # side norms hoisted out of the anchor fan-out (once per vector row,
+    # not per (anchor, candidate) pair) — bit-identical
     anchors = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("a_label"),
         F.col("embedding").alias("a_vec"),
+        norm(F.col("embedding")).alias("_an"),
     )
     scored = (
         emb.select(
             F.col("vec_id").alias("cand_id"),
             F.col("label").alias("c_label"),
             F.col("embedding").alias("c_vec"),
+            norm(F.col("embedding")).alias("_cn"),
         )
         .crossJoin(F.broadcast(anchors))
         .where(F.col("cand_id") != F.col("anchor_id"))
@@ -2305,7 +2325,10 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             "c_label",
             F.round(
-                cosine_similarity(F.col("a_vec"), F.col("c_vec")), 6
+                cosine_from_norms(
+                    F.col("a_vec"), F.col("c_vec"), F.col("_an"), F.col("_cn")
+                ),
+                6,
             ).alias("cosine"),
         )
     )
