@@ -525,18 +525,23 @@ def dedup_clusters(
         return _two_phase_cc(e, max_iters)
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # Convergence probe: labels only ever DECREASE, so the total label sum
     # (exact decimal, overflow-free) strictly drops on any change and is
     # stable exactly at the fixpoint — one cheap agg over the round's
     # already-materialized frame, no old-vs-new join or filter needed.
+    # r13 (guide §1.2): every checkpoint here is LAZY and the probe is
+    # the action that materializes it — one scheduler barrier per round
+    # instead of two (eager-checkpoint job + probe job), bit-identical
+    # state. The initial probe likewise materializes the mirrored edge
+    # checkpoint (the upstream pair generation still runs exactly once).
     _sum = lambda d: d.agg(  # noqa: E731
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).first()["s"]
@@ -544,13 +549,16 @@ def dedup_clusters(
 
     for _ in range(max_iters):
         prev_labels = labels
-        labels = _propagation_round(edges, labels).localCheckpoint()
-        # the new round's checkpoint is materialized (eager) and derives
-        # nothing lazily from the old one — free the consumed round's
-        # blocks now rather than pinning O(rounds) dead label frames
-        # until the ContextCleaner runs (same discipline as two_phase)
+        labels = _propagation_round(edges, labels).localCheckpoint(
+            eager=False
+        )
+        new_sum = _sum(labels)  # materializes the round's checkpoint
+        # the probe above was the lazy checkpoint's materializing action,
+        # and the propagation join it ran was the old round's last
+        # reader — free the consumed round's blocks now rather than
+        # pinning O(rounds) dead label frames until the ContextCleaner
+        # runs (same discipline as two_phase)
         free_local_checkpoint(prev_labels)
-        new_sum = _sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -611,15 +619,21 @@ def _two_phase_cc(e: DataFrame, max_iters: int) -> DataFrame:
     # Checkpoint the mirrored input ONCE: `nodes` and `edges` both hang
     # off it, so the (potentially expensive) upstream pair generation —
     # an LSH banding join for the MinHash callers — runs a single time
-    # instead of once per downstream action.
+    # instead of once per downstream action. All checkpoints in this
+    # loop are LAZY (r13): the per-alternation count() is the action
+    # that materializes them (running through the intermediate
+    # large-star checkpoint in the same job), so each alternation costs
+    # ONE scheduler barrier plus the subtract probe instead of three.
     both = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = both.select(F.col("src").alias("member_id")).distinct()
     edges = (
-        both.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+        both.where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    prev_count = edges.count()
+    prev_count = edges.count()  # materializes `both` and `edges`
 
     def _mirror_distinct(und: DataFrame) -> DataFrame:
         return (
@@ -627,7 +641,7 @@ def _two_phase_cc(e: DataFrame, max_iters: int) -> DataFrame:
             .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     for _ in range(max_iters):
@@ -654,13 +668,14 @@ def _two_phase_cc(e: DataFrame, max_iters: int) -> DataFrame:
             )
         )
         edges = _mirror_distinct(small)
-        cur_count = edges.count()
+        cur_count = edges.count()  # materializes `mid` and `edges`
         done = cur_count == prev_count and not edges.subtract(prev_edges).take(1)
         # both of this round's consumed checkpoints are safe to free here:
-        # the small-star checkpoint is already materialized (eager) so
-        # `mid` has no remaining reader, and the fixpoint check above was
-        # prev_edges' last use (on convergence the surviving answer is
-        # `edges`, a separate checkpoint with identical content)
+        # the count() above materialized the small-star checkpoint (and
+        # `mid` on the way through), so `mid` has no remaining reader,
+        # and the fixpoint check above was prev_edges' last use (on
+        # convergence the surviving answer is `edges`, a separate
+        # checkpoint with identical content)
         free_local_checkpoint(mid)
         free_local_checkpoint(prev_edges)
         if done:

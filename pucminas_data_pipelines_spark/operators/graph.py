@@ -151,13 +151,23 @@ def hop_distances(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # ONE job per round (r13, guide §1.2: at small-per-round state
+        # the loop is scheduler-barrier-bound): a LAZY checkpoint
+        # materialized by the max-dist probe — max(dist) == k iff some
+        # node was first reached this round, i.e. the frontier is
+        # non-empty — replaces the eager-checkpoint job + take(1) probe
+        # job pair (2 barriers/round → 1, bit-identical: the min-merge
+        # keeps earlier-reached nodes below k, so max==k exactly when
+        # dist==k rows exist).
+        mx = dist.agg(F.max("dist")).collect()[0][0]
+        empty = mx is None or mx < k
         frontier = dist.where(F.col("dist") == k)
-        empty = not frontier.take(1)
         # the old frontier filtered prev_dist lazily, so prev_dist's last
-        # reader is the relaxation join above — both it and the new
-        # frontier probe have executed; free the consumed round now
+        # reader is the relaxation join above — it ran inside the probe
+        # job that materialized the new checkpoint; free the consumed
+        # round now
         free_local_checkpoint(prev_dist)
         if empty:
             break
@@ -204,10 +214,12 @@ def all_pairs_hop_distances(
             dist.unionByName(relaxed)
             .groupBy("root", "node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # lazy checkpoint + max-dist probe in one job — see hop_distances
+        mx = dist.agg(F.max("dist")).collect()[0][0]
+        empty = mx is None or mx < k
         frontier = dist.where(F.col("dist") == k)
-        empty = not frontier.take(1)
         free_local_checkpoint(prev_dist)
         if empty:
             break

@@ -2434,6 +2434,41 @@ class ManifestVersionedTable:
             )
         )
 
+    def _zorder_bounds_from_stats(
+        self, manifest: dict, cols: list[str], dtypes: dict[str, str]
+    ) -> list | None:
+        """[min0, max0, min1, max1, ...] for the z-order rank bounds,
+        derived from the manifest's dir-grain footer stats — exact for
+        plain numeric columns (parquet min/max ARE the column extrema;
+        no truncation applies to numerics). Returns None — caller falls
+        back to the aggregate — when any column is non-numeric (string
+        bounds may be footer-truncated; timestamp stats ride an encoder),
+        lacks stats in any dir, or when outstanding deletion vectors
+        mean footer stats can exceed the live rows' range."""
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        if manifest.get("deletion_vectors"):
+            return None
+        stats = manifest.get("stats", {})
+        dirs = self._all_dirs(manifest)
+        if not dirs:
+            return None
+        out: list = []
+        for c in cols:
+            if dtypes.get(c, "") not in numeric:
+                return None
+            lo = hi = None
+            for d in dirs:
+                s = stats.get(d, {}).get(c)
+                if s is None:
+                    return None
+                dlo, dhi = self._stat_decode(s[0]), self._stat_decode(s[1])
+                if lo is None or dlo < lo:
+                    lo = dlo
+                if hi is None or dhi > hi:
+                    hi = dhi
+            out += [lo, hi]
+        return out
+
     def stage_optimize(
         self,
         cluster_by: list[str] | None = None,
@@ -2499,13 +2534,25 @@ class ManifestVersionedTable:
                 return F.col(c)
 
             srcs = {c: rank_source(c) for c in zorder_by}
-            bounds = current.agg(
-                *[
-                    f
-                    for c in zorder_by
-                    for f in (F.min(srcs[c]), F.max(srcs[c]))
-                ]
-            ).collect()[0]
+            # Column min/max for the ranking: answered from the
+            # manifest's footer-harvested stats when possible (r13,
+            # guide §1.2/§6 — the stats ARE the parquet min/max, so for
+            # numeric columns with full stats coverage and no
+            # outstanding DVs this is bit-identical to the aggregate),
+            # else one aggregate over the table being rewritten (which
+            # optimize scans anyway). Removes an O(table) pass +
+            # scheduler barrier per z-order compaction.
+            bounds = self._zorder_bounds_from_stats(manifest, zorder_by, dtypes)
+            if bounds is None:
+                bounds = list(
+                    current.agg(
+                        *[
+                            f
+                            for c in zorder_by
+                            for f in (F.min(srcs[c]), F.max(srcs[c]))
+                        ]
+                    ).collect()[0]
+                )
             z = interleave_n(
                 [
                     to_rank(
