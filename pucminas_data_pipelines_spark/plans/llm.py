@@ -3555,17 +3555,26 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        assign = (
+        # the assignment CARRIES the embedding through the row-local
+        # select (r13): the centroid update below previously re-joined
+        # assign to emb on vec_id — locally a broadcast, but at corpus
+        # scale a full self-shuffle of the embeddings; carrying the
+        # column keeps the update's input entirely shuffle-free (the
+        # (cid, dim) aggregate is the only exchange) and scans emb once
+        # per round instead of twice
+        assigned = (
             emb.crossJoin(F.broadcast(cents_row))
-            .select("vec_id", best.alias("best"))
+            .select("vec_id", "embedding", best.alias("best"))
             .select(
                 "vec_id",
+                "embedding",
                 F.col("best.cid").alias("cid"),
                 F.col("best.d2").alias("d2"),
             )
         )
+        assign = assigned.select("vec_id", "cid", "d2")
         if i < _KM_ITER - 1:
-            x = assign.join(emb, "vec_id").select(
+            x = assigned.select(
                 "cid", F.posexplode("embedding").alias("dim", "v")
             )
             cd = x.groupBy("cid", "dim").agg(
