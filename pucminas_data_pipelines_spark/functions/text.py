@@ -125,11 +125,41 @@ def token_shingles(col: Column, n: int = 3) -> Column:
     return _let(toks, lambda t: F.array_distinct(_shifted_ngrams(t, n, " ")))
 
 
-def ordered_token_ngrams(col: Column, n: int) -> Column:
-    """Overlapping word n-grams of the normalized text IN DOCUMENT ORDER
-    (no distinct), so ``posexplode`` recovers each gram's token offset —
-    the basis of position-aware operators like duplicated-span detection.
-    Same shifted-copy shape as token_shingles (the tokenization tree is
-    bound once via _let; no per-element re-evaluation)."""
+def ordered_ngram_hashes(col: Column, n: int) -> Column:
+    """64-bit hashes of the overlapping word n-grams of the normalized
+    text IN DOCUMENT ORDER, FULL grams only (a doc shorter than ``n``
+    tokens yields an empty array — callers need no per-gram length
+    filter).
+
+    Same grouping power as ``xxhash64(gram text)`` without ever BUILDING
+    the gram strings: each token is hashed once (one transform over the
+    token array), then each gram hash is ONE variadic ``xxhash64`` over
+    the n token hashes pulled from the shifted-copy zip — no concat_ws
+    string allocation and no hashing of ~n·avg_token bytes per position.
+    Collisions now include token-level collisions feeding the gram hash,
+    still the same ~2⁻⁶⁴ class as hashing the text directly.
+
+    The shifted copies zip the TOKEN-HASH array (bound once via _let, so
+    the tokenize/normalize tree and the token-hash transform each run
+    once per row); tail positions whose zip structs carry nulls are cut
+    by the exact full-gram count ``max(len - n + 1, 0)``."""
     toks = F.split(normalize_text(col), " ")
-    return _let(toks, lambda t: _shifted_ngrams(t, n, " "))
+    return _let(
+        toks,
+        lambda t: _let(
+            F.transform(t, lambda x: F.xxhash64(x)),
+            lambda th: F.slice(
+                F.transform(
+                    F.arrays_zip(
+                        *[
+                            F.slice(th, i + 1, _SLICE_ALL).alias(f"t{i}")
+                            for i in range(n)
+                        ]
+                    ),
+                    lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)]),
+                ),
+                F.lit(1),
+                F.greatest(F.size(th) - F.lit(n - 1), F.lit(0)),
+            ),
+        ),
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from pucminas_data_pipelines_spark.functions.text import (
     normalize_text,
-    ordered_token_ngrams,
+    ordered_ngram_hashes,
     token_shingles,
 )
 from pucminas_data_pipelines_spark.functions.vector import cosine_similarity
@@ -357,14 +357,18 @@ def duplicated_spans(
     semi-join key to (hash, length) or a 128-bit hash.
     """
     n = span_tokens
-    grams = df.select(
+    # gram IDENTITY is all downstream steps need, so the grams are hashed
+    # without ever building the n-token gram strings (no concat_ws alloc,
+    # no hashing of ~n·avg_token bytes per position — see
+    # functions/text.ordered_ngram_hashes), and the helper emits FULL
+    # grams only, so the old per-gram split()-length filter (one extra
+    # array alloc per corpus position) is gone too.
+    hashed = df.select(
         F.col(id_col),
-        F.posexplode(ordered_token_ngrams(F.col(text_col), n)).alias("pos", "gram"),
-    ).where(
-        # drop the single partial tail gram emitted for docs shorter than n
-        F.size(F.split(F.col("gram"), " ")) == n
+        F.posexplode(ordered_ngram_hashes(F.col(text_col), n)).alias(
+            "pos", "gram_hash"
+        ),
     )
-    hashed = grams.select(id_col, "pos", F.xxhash64("gram").alias("gram_hash"))
     dup = (
         hashed.groupBy("gram_hash")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))

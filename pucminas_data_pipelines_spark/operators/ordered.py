@@ -226,12 +226,33 @@ def range_ntile(
     tile(rn) = ceil(rn/(q+1)) while rn <= r(q+1), else
     r + ceil((rn - r(q+1))/q). Matches SQL NTILE exactly (both engines
     verified by the stats_equidepth_histogram / events_rfm_segmentation
-    oracles)."""
+    oracles).
+
+    The total row count rides the SAME bucket-grain partials that feed
+    the base offsets (a full-frame sum over the <= n_buckets partial
+    rows), NOT a separate ``df.agg(count)`` — that leg was a third full
+    pass over the input in the physical plan (the bases subtree and the
+    main scan being the other two), pure waste at any scale."""
     df = df.localCheckpoint(eager=True) if materialize else df
-    rn = range_row_number(
-        df, order_cols, key_col, n_buckets, out="_grn", boundaries=boundaries
+    b = with_range_buckets(df, key_col, n_buckets, boundaries=boundaries)
+    partials = b.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("_p_n"))
+    wb = Window.orderBy(_BUCKET)
+    bases = partials.select(
+        _BUCKET,
+        F.coalesce(
+            F.sum("_p_n").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_base_n"),
+        F.sum("_p_n")
+        .over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("_n_total"),
     )
-    tot = df.agg(F.count(F.lit(1)).alias("_n_total"))
+    wloc = Window.partitionBy(_BUCKET).orderBy(*order_cols)
+    grn = (
+        F.row_number().over(wloc) + F.coalesce(F.col("_base_n"), F.lit(0))
+    ).cast("bigint")
     q = F.floor(F.col("_n_total") / k)
     r = F.col("_n_total") % k
     big = r * (q + F.lit(1))
@@ -243,9 +264,10 @@ def range_ntile(
         .cast("int")
     )
     return (
-        rn.crossJoin(F.broadcast(tot))
+        b.join(F.broadcast(bases), _BUCKET, "left")
+        .withColumn("_grn", grn)
         .withColumn(out, tile)
-        .drop("_grn", "_n_total")
+        .drop(_BUCKET, "_base_n", "_n_total", "_grn")
     )
 
 

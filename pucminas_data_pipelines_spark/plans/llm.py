@@ -961,27 +961,48 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative, so an arbitrary-order SUM could diverge at the last ulp
     and flip the top-k boundary.
 
-    Scale: the token explode is the big intermediate, but the tf leg
-    filters to the query terms BEFORE its shuffle (O(matching tokens)),
-    and the doclen leg is a map-side-combined count per doc. df and the
-    corpus stats are tiny broadcast scalars; the weight join is
-    broadcast on all small sides; top-k is TakeOrdered. An inverted
-    index would beat this for point queries — this is the full-corpus
-    scoring pass a training-data pipeline runs.
+    Scale: ONE tokenize+explode pass over the corpus (the tf leg, which
+    filters to the query terms BEFORE its shuffle and carries the doc
+    length through its groupBy), plus one narrow row-local scan for the
+    corpus stats (size(split()) — no explode, no per-doc shuffle). The
+    df leg re-plans tf's subtree (a second tokenize pass, but one AQE
+    overlaps with the tf leg's build; checkpointing tf to share it was
+    measured SLOWER because the eager checkpoint serializes legs that
+    otherwise overlap — same lesson as the prefix-join dead end); df and
+    the corpus stats are tiny broadcast scalars; top-k is TakeOrdered.
+    An inverted index would
+    beat this for point queries — this is the full-corpus scoring pass
+    a training-data pipeline runs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # Corpus stats (n_docs, avgdl) from a ROW-LOCAL doc-length projection:
+    # size(split(..)) is the same per-doc token count the old
+    # explode→groupBy(doc_id) leg shuffled the whole corpus to compute
+    # (split of non-null text is never empty, so explode emitted exactly
+    # size(array) rows per doc; the isNotNull filter replicates explode
+    # dropping null-text docs). One narrow scan, a 32-row partial
+    # aggregate, zero exchanges on the corpus grain (guide §2.4).
+    stats = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.size(toks).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dl.persist()
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
+    # tf with dl CARRIED THROUGH the explode as a grouping key (dl is
+    # functionally dependent on doc_id, so the extra key is free) — the
+    # old shape re-joined the doc-length table onto tf afterwards. The
+    # doc_id filter replicates the old inner join's null-key semantics.
     tf = (
-        tok.where(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
+        docs.where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("token")
+        )
+        .where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
@@ -994,7 +1015,6 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
