@@ -125,6 +125,30 @@ def token_shingles(col: Column, n: int = 3) -> Column:
     return _let(toks, lambda t: F.array_distinct(_shifted_ngrams(t, n, " ")))
 
 
+def _gram_hashes(th: Column, n: int, min_grams: int) -> Column:
+    """Positional gram hashes from a TOKEN-HASH array: one variadic
+    ``xxhash64`` over the n token hashes pulled from the shifted-copy zip
+    at each position. ``min_grams`` mirrors _shifted_ngrams' tail rule:
+    0 = full grams only; 1 = keep one partial tail gram for arrays
+    shorter than n (Spark's xxhash64 SKIPS null children, so the partial
+    gram hashes exactly the available tokens — the hash analogue of
+    concat_ws dropping nulls)."""
+    zipped = F.arrays_zip(
+        *[F.slice(th, i + 1, _SLICE_ALL).alias(f"t{i}") for i in range(n)]
+    )
+    grams = F.transform(zipped, lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)]))
+    k = F.greatest(F.size(th) - F.lit(n - 1), F.lit(min_grams))
+    return F.slice(grams, F.lit(1), k)
+
+
+def _token_hashes(col: Column) -> Column:
+    """Token-hash array of the normalized text: each token hashed ONCE
+    (one transform over the token array), the basis of gram hashing that
+    never builds gram strings."""
+    toks = F.split(normalize_text(col), " ")
+    return _let(toks, lambda t: F.transform(t, lambda x: F.xxhash64(x)))
+
+
 def ordered_ngram_hashes(col: Column, n: int) -> Column:
     """64-bit hashes of the overlapping word n-grams of the normalized
     text IN DOCUMENT ORDER, FULL grams only (a doc shorter than ``n``
@@ -132,34 +156,21 @@ def ordered_ngram_hashes(col: Column, n: int) -> Column:
     filter).
 
     Same grouping power as ``xxhash64(gram text)`` without ever BUILDING
-    the gram strings: each token is hashed once (one transform over the
-    token array), then each gram hash is ONE variadic ``xxhash64`` over
-    the n token hashes pulled from the shifted-copy zip — no concat_ws
+    the gram strings: each token is hashed once, then each gram hash is
+    ONE variadic ``xxhash64`` over the n token hashes — no concat_ws
     string allocation and no hashing of ~n·avg_token bytes per position.
     Collisions now include token-level collisions feeding the gram hash,
-    still the same ~2⁻⁶⁴ class as hashing the text directly.
+    still the same ~2⁻⁶⁴ class as hashing the text directly."""
+    return _let(_token_hashes(col), lambda th: _gram_hashes(th, n, 0))
 
-    The shifted copies zip the TOKEN-HASH array (bound once via _let, so
-    the tokenize/normalize tree and the token-hash transform each run
-    once per row); tail positions whose zip structs carry nulls are cut
-    by the exact full-gram count ``max(len - n + 1, 0)``."""
-    toks = F.split(normalize_text(col), " ")
+
+def token_shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of the word n-grams of the normalized text —
+    the hash-identity analogue of ``token_shingles`` (same tail rule: one
+    partial gram when the doc is shorter than n tokens), for consumers
+    that immediately hash the grams anyway (MinHash). Skips the gram
+    string allocation entirely; distinctness is over the gram hashes,
+    equivalent to string distinct modulo ~2⁻⁶⁴ collisions."""
     return _let(
-        toks,
-        lambda t: _let(
-            F.transform(t, lambda x: F.xxhash64(x)),
-            lambda th: F.slice(
-                F.transform(
-                    F.arrays_zip(
-                        *[
-                            F.slice(th, i + 1, _SLICE_ALL).alias(f"t{i}")
-                            for i in range(n)
-                        ]
-                    ),
-                    lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)]),
-                ),
-                F.lit(1),
-                F.greatest(F.size(th) - F.lit(n - 1), F.lit(0)),
-            ),
-        ),
+        _token_hashes(col), lambda th: F.array_distinct(_gram_hashes(th, n, 1))
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pucminas_data_pipelines_spark.functions.text import (
     normalize_text,
     ordered_ngram_hashes,
+    token_shingle_hashes,
     token_shingles,
 )
 from pucminas_data_pipelines_spark.functions.vector import cosine_similarity
@@ -58,20 +59,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document (array<bigint> of length num_hashes).
 
-    Shape: explode shingles → xxhash64 per shingle → num_hashes cheap
-    8-byte re-hashes (xxhash64 of the long salted with the hash index) as a
-    wide 64-column projection → groupBy(id).min per column → assemble the
-    array. All whole-stage-codegen'd; the single shuffle (groupBy id) is
-    map-side combined, so at corpus scale it moves one 64-long row per
-    (partition × doc).
+    Shape: explode HASHED shingles (token_shingle_hashes — the gram
+    strings are never built: each token is hashed once and each gram hash
+    is one variadic xxhash64 over the n token hashes, same tail/distinct
+    semantics as token_shingles modulo ~2⁻⁶⁴ collisions) → num_hashes
+    cheap 8-byte re-hashes (xxhash64 of the long salted with the hash
+    index) as a wide 64-column projection → groupBy(id).min per column →
+    assemble the array. All whole-stage-codegen'd; the single shuffle
+    (groupBy id) is map-side combined, so at corpus scale it moves one
+    64-long row per (partition × doc).
 
     (A pure higher-order-function variant — array_min over 64 transforms —
     avoids the shuffle but allocates 64 arrays per row and falls out of
     codegen for deep trees: measured 4x slower. Explode wins.)"""
-    shingles = token_shingles(F.col(text_col), shingle_n)
-    exploded = (
-        df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
-        .select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(token_shingle_hashes(F.col(text_col), shingle_n)).alias("_h"),
     )
     # seed folds into the per-hash salt: distinct seeds give independent
     # hash families (the seedability the signature API promises)
