@@ -245,13 +245,20 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 analogue: IN-subquery over a grouped HAVING (large-volume
-    orders), expressed as an aggregate → semi-join → re-aggregate.
+    orders), expressed as ONE aggregate reused for both the HAVING filter
+    and the output sum.
 
-    Scale: the qualifying-orderkey set is the output of a map-side-combined
-    agg (small: one row per hot order, HAVING-filtered) and carries the
-    broadcast hint into the semi-join, so lineitem is scanned twice but its
-    rows are shuffled only by the final group-by. orders/customer joins are
-    left to Catalyst/AQE (shuffle at cluster scale, broadcast at test SF).
+    The grain of the final GROUP BY is the orderkey (c_custkey/
+    o_orderdate/o_totalprice are functionally dependent on it through the
+    orders PK), so the re-aggregated SUM(l_quantity) is exactly the `_q`
+    the HAVING already computed — the textbook semi-join + second
+    lineitem scan + re-aggregate is pure duplicate work. Exact decimal
+    summation makes the reuse bit-identical (order-independent).
+
+    Scale: lineitem is scanned ONCE and only its map-side-combined
+    per-order partials shuffle; the HAVING-filtered order rows (tiny)
+    join to orders/customer — left to Catalyst/AQE (shuffle at cluster
+    scale, broadcast at test SF).
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -260,18 +267,17 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(_dec2(F.col("l_quantity"))).alias("_q"))
         .where(F.col("_q") > 200)
-        .select("l_orderkey")
     )
     return (
-        l.join(
-            F.broadcast(hot.withColumnRenamed("l_orderkey", "_hot_key")),
-            F.col("l_orderkey") == F.col("_hot_key"),
-            "left_semi",
-        )
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        hot.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )

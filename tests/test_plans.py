@@ -107,9 +107,13 @@ def test_q6_all_predicates_pushed(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
-def test_q18_semi_join_broadcasts_hot_keys(spark):
+def test_q18_scans_lineitem_once(spark):
+    """r13: the HAVING aggregate IS the output sum (orderkey grain), so
+    the semi-join + second lineitem scan + re-aggregate are gone — the
+    plan must read lineitem exactly once and keep top-k as TakeOrdered."""
     plan = _plan(QUERIES["q18_large_orders"](spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "LeftSemi" not in plan
     assert "TakeOrderedAndProject" in plan
 
 
