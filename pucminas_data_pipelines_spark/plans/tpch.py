@@ -745,49 +745,51 @@ def q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated pattern (returnflag='R' stands in for the late-receipt
     predicate the slim schema lacks).
 
-    Scale: both correlated subqueries become hash semi/anti joins with
-    the equi key (orderkey) and the suppkey inequality as residual.
-    All three lineitem legs hash-partition on orderkey — one exchange
-    each, reused by AQE; supplier is a broadcast dim; the final agg is
-    tiny (one row per supplier).
+    Scale (r13): ONE lineitem scan. Both correlated subqueries are
+    functions of the ORDER's supplier composition, so a
+    (orderkey, suppkey)-grain aggregate (map-side combined) answers
+    them: at that grain, rows-per-order = distinct suppliers (the
+    EXISTS: > 1) and suppliers-with-R-rows = distinct blamed suppliers
+    (the NOT EXISTS: exactly 1 — every R row then belongs to that sole
+    supplier, so its per-order R-row count IS the numwait contribution
+    and the semi/anti joins back onto lineitem are pure duplicate work).
+    The old shape scanned lineitem three times and — at cluster scale —
+    shuffled all three legs on orderkey; now one scan, one combined
+    shuffle at (orderkey, suppkey) grain, then order-grain folding.
+    supplier stays a broadcast dim; the final agg is tiny (one row per
+    supplier).
     """
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    l1 = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_returnflag") == "R"
-    ).select("l_orderkey", "l_suppkey")
-    others = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "_r_rows"
         )
     )
-    others_r = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_returnflag") == "R")
-        .select(
-            F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    per_order = (
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n_supp"),
+            F.sum(F.when(F.col("_r_rows") > 0, 1).otherwise(0)).alias(
+                "_n_r_supp"
+            ),
+            F.max(
+                F.when(F.col("_r_rows") > 0, F.col("l_suppkey"))
+            ).alias("_r_supp"),
+            F.sum("_r_rows").alias("_numwait_rows"),
         )
+        .where((F.col("_n_supp") > 1) & (F.col("_n_r_supp") == 1))
     )
     return (
-        l1.join(
-            others,
-            (F.col("l_orderkey") == F.col("_ok2"))
-            & (F.col("l_suppkey") != F.col("_sk2")),
-            "left_semi",
-        )
-        .join(
-            others_r,
-            (F.col("l_orderkey") == F.col("_ok3"))
-            & (F.col("l_suppkey") != F.col("_sk3")),
-            "left_anti",
-        )
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("_r_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_numwait_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )

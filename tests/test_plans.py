@@ -137,13 +137,14 @@ def test_q4_exists_is_hash_semi_join(spark):
     assert "NestedLoop" not in plan
 
 
-def test_q21_double_correlation_is_hash_joins(spark):
-    """EXISTS + NOT EXISTS (equi orderkey + suppkey inequality) must both
-    plan as hash semi/anti joins — the suppkey != residual must not force
-    a BroadcastNestedLoopJoin."""
+def test_q21_scans_lineitem_once(spark):
+    """r13: the EXISTS + NOT EXISTS pair is answered by the
+    (orderkey, suppkey)-grain aggregate — the plan must read lineitem
+    exactly once, with no semi/anti join back onto it and no nested
+    loop from the old suppkey != residual."""
     plan = _plan(QUERIES["q21_sole_blamed_supplier"](spark, SF_SMOKE))
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "NestedLoop" not in plan
 
 
