@@ -298,9 +298,16 @@ def ngram_jaccard_pairs(
 
     ``with_counts=True`` additionally emits the distinct-shingle counts
     (n_common, n_a, n_b) so callers can derive directional containment
-    |A∩B|/|A| without recomputing the sets."""
+    |A∩B|/|A| without recomputing the sets.
+
+    r13: the shingle sets are HASH sets (token_shingle_hashes) — every
+    output is a function of set sizes, which are identical modulo
+    ~2⁻⁶⁴ within-doc hash collisions, so the intersect/union compares
+    8-byte longs instead of ~20-byte gram strings and the gram strings
+    are never built."""
     sh = docs.select(
-        F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("shingles")
+        F.col(id_col),
+        token_shingle_hashes(F.col(text_col), shingle_n).alias("shingles"),
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -321,8 +328,10 @@ def ngram_jaccard_pairs(
             "id_b",
             "jaccard",
             inter.cast("double").alias("n_common"),
-            F.size(F.array_distinct("sh_a")).cast("double").alias("n_a"),
-            F.size(F.array_distinct("sh_b")).cast("double").alias("n_b"),
+            # shingle arrays are already distinct (array_distinct inside
+            # token_shingle_hashes) — size is the set cardinality
+            F.size("sh_a").cast("double").alias("n_a"),
+            F.size("sh_b").cast("double").alias("n_b"),
         )
     return out.select("id_a", "id_b", "jaccard")
 
@@ -818,22 +827,25 @@ def prefix_filter_pairs(
 
     Scale: the frequency table is a map-side-combined count; ranking is
     one window per document over its own shingles; the candidate join
-    keys on an 8-byte xxhash64 of the shingle — never the shingle TEXT
-    (same discipline as duplicated_spans' inverted index: the wide
-    shuffles carry fixed-width longs, not ~20-byte strings). A 64-bit
-    collision can only merge two distinct shingles, which ADDS candidate
-    pairs — recall stays 1.0 by construction and the exact-Jaccard
-    verify stage (which re-reads the real shingle sets) removes any
-    false candidate, so exactness is unaffected. Both join sides are
-    pruned to ~(1-t)|S| entries per document; no all-pairs product
-    anywhere."""
+    keys on an 8-byte shingle hash — never the shingle TEXT (same
+    discipline as duplicated_spans' inverted index: the wide shuffles
+    carry fixed-width longs, not ~20-byte strings). r13: the shingle
+    arrays themselves are hash sets (token_shingle_hashes) so the gram
+    strings are never built; ties in the frequency ranking break by
+    shingle HASH (any engine-deterministic total order works — the
+    prefix bound only needs SOME consistent ordering). A 64-bit
+    collision between two docs' shingles can only ADD candidate pairs
+    (verify removes them); a within-doc collision shrinks that doc's
+    set size, the same ~2⁻⁶⁴ class the verify stage itself computes
+    under. Both join sides are pruned to ~(1-t)|S| entries per
+    document; no all-pairs product anywhere."""
     sh = docs.select(
         F.col(id_col).alias("id"),
-        token_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        token_shingle_hashes(F.col(text_col), shingle_n).alias("shingles"),
     ).where(F.size("shingles") > 0)
     ex = sh.select(
-        "id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
-    ).select("id", "n", F.xxhash64("s").alias("sh"))
+        "id", F.size("shingles").alias("n"), F.explode("shingles").alias("sh")
+    )
     freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "sh")
     prefix = (
