@@ -23,7 +23,6 @@ from pucminas_data_pipelines_spark.functions.text import (
     normalize_text,
     ordered_ngram_hashes,
     token_shingle_hashes,
-    token_shingles,
 )
 from pucminas_data_pipelines_spark.functions.vector import cosine_similarity
 from pucminas_data_pipelines_spark.operators.checkpoint import (

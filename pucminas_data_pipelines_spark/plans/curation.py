@@ -192,13 +192,17 @@ def curation_repetition_detection(spark: SparkSession, sf_dir: str) -> DataFrame
     the threshold. Production corpora use ~0.2; this synthetic corpus
     tops out at 0.07, so the registered gate runs at 0.01 to exercise
     the filter with non-empty output. Pure expressions per row — no
-    explode, no shuffle; the 100 TB cost is one scan."""
-    from pucminas_data_pipelines_spark.functions.text import token_shingles
+    explode, no shuffle; the 100 TB cost is one scan. The distinct count
+    comes from the HASHED shingle set (r13: no gram strings built; same
+    cardinality modulo ~2⁻⁶⁴ within-doc collisions)."""
+    from pucminas_data_pipelines_spark.functions.text import (
+        token_shingle_hashes,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(normalize_text(F.col("text")), " ")
     total = F.greatest(F.size(toks) - F.lit(2), F.lit(1))
-    distinct = F.size(token_shingles(F.col("text"), 3))
+    distinct = F.size(token_shingle_hashes(F.col("text"), 3))
     rep = F.round(
         F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
     )
@@ -248,14 +252,18 @@ def curation_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFram
     8-gram with a held-out benchmark set (here: doc_id < 20 stands in for
     the eval suite) — the n-gram-collision decontamination step every
     pretraining pipeline runs before training. Shape: distinct 8-grams
-    per doc, equi-join on the gram (shuffle key = gram string; the
-    benchmark side is tiny → broadcast), two distinct-counts per
-    contaminated doc. Never all-pairs."""
-    from pucminas_data_pipelines_spark.functions.text import token_shingles
+    per doc, equi-join on the gram (r13: join/distinct key = 8-byte gram
+    HASH, never the ~50-byte gram string — a cross-doc collision can
+    only add a hit, the same acceptance class as every hashed-shingle
+    operator; the benchmark side is tiny → broadcast), two
+    distinct-counts per contaminated doc. Never all-pairs."""
+    from pucminas_data_pipelines_spark.functions.text import (
+        token_shingle_hashes,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
-        "doc_id", F.explode(token_shingles(F.col("text"), 8)).alias("g")
+        "doc_id", F.explode(token_shingle_hashes(F.col("text"), 8)).alias("g")
     )
     bench = grams.where(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("bench_id"), "g"
