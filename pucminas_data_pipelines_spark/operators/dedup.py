@@ -541,10 +541,16 @@ def dedup_clusters(
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
+    # r13 (guide §2.4): round 1 fused into initialization — with labels
+    # initialized to the ids themselves, the first propagation round's
+    # output is per-node min(self, neighbor ids), which is ONE groupBy
+    # over the mirrored edges; the node-distinct the old init paid is
+    # subsumed by the same groupBy. Saves a full round (edge join +
+    # union-agg + probe barrier) on every call, bit-identical labels.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
         .localCheckpoint(eager=False)
     )
 

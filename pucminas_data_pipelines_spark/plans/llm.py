@@ -435,7 +435,13 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation): every pair member mapped to its cluster's
     smallest id — the keep/drop decision a dedup pipeline actually needs
     (pairs alone don't say what to delete when dups chain a~b~c). Oracle:
-    DuckDB recursive-CTE transitive closure."""
+    DuckDB recursive-CTE transitive closure.
+
+    r13 measurement note: this graph chains ~15 deep (LPA runs 16
+    rounds), so two_phase was A/B'd here — and LOST warm (4.08 s /
+    83 jobs vs LPA 3.26 s / 70): its per-round extra exchanges cost
+    more than LPA's extra rounds at this size. LPA kept; the two_phase
+    escape hatch remains the documented choice for much deeper graphs."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
     return D.dedup_clusters(pairs).orderBy("member_id")
