@@ -2315,19 +2315,17 @@ class ManifestVersionedTable:
         never match NULL), so pruning is lossless."""
         return self.read_where([(column, lower, upper)], version_as_of)
 
-    def read_where(
+    def planned_paths(
         self,
         ranges: list[tuple],
         version_as_of: int | None = None,
-    ) -> DataFrame:
-        """Conjunction of range predicates with multi-column stats
-        pruning: ``ranges`` is ``[(column, lower, upper), ...]`` (None =
-        open end); a dir/file is skipped when ANY predicate's probe
-        range is disjoint from its recorded bounds — the multi-dim form
-        that pays off on a Z-order-clustered layout
-        (optimize(zorder_by=...)), where files carry tight bounds on
-        BOTH interleaved dimensions and a selective filter on EITHER one
-        skips most files."""
+    ) -> list[str]:
+        """The file/dir paths a stats-pruned ``read_where`` on ``ranges``
+        would plan — pruning is PURE MANIFEST arithmetic (driver-side,
+        zero Spark jobs, zero data reads), so callers auditing pruning
+        effectiveness (how many files survive a probe rectangle) ask the
+        planner directly instead of scanning the survivors to count
+        them via ``input_file_name()``."""
         version = self.latest_version() if version_as_of is None else version_as_of
         if version < 0 or version > self.latest_version():
             raise ValueError(f"version {version_as_of} does not exist")
@@ -2371,6 +2369,26 @@ class ManifestVersionedTable:
                 )
             else:
                 paths.append(self._abs(d))
+        return paths
+
+    def read_where(
+        self,
+        ranges: list[tuple],
+        version_as_of: int | None = None,
+    ) -> DataFrame:
+        """Conjunction of range predicates with multi-column stats
+        pruning: ``ranges`` is ``[(column, lower, upper), ...]`` (None =
+        open end); a dir/file is skipped when ANY predicate's probe
+        range is disjoint from its recorded bounds — the multi-dim form
+        that pays off on a Z-order-clustered layout
+        (optimize(zorder_by=...)), where files carry tight bounds on
+        BOTH interleaved dimensions and a selective filter on EITHER one
+        skips most files."""
+        version = self.latest_version() if version_as_of is None else version_as_of
+        if version < 0 or version > self.latest_version():
+            raise ValueError(f"version {version_as_of} does not exist")
+        manifest = self._manifest(version)
+        paths = self.planned_paths(ranges, version_as_of=version)
         if not paths:
             df = self._empty(manifest)
         elif manifest.get("deletion_vectors"):

@@ -1028,34 +1028,39 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     user count. DESC orders are expressed as ASC over the negated key so
     one ascending bucketer serves all three."""
     e = load_table(spark, sf_dir, "events")
-    anchor = e.agg(F.max("ts").alias("max_ts"))
     # Materialize the user rollup once: each of the three two-pass NTILEs
     # runs its own boundary-sampling action, and without the checkpoint
     # every one of those re-aggregates raw events (5.5 s -> 2.5 s warm at
     # sf0.1 together with the independent-tile join below). The rollup is
     # user-grain — tiny vs events.
-    per_user = (
-        e.crossJoin(F.broadcast(anchor))
-        .groupBy("user_id", "max_ts")
+    # r13 (guide §2.4): the recency anchor is the max of the per-user max
+    # timestamps, so it is read off the USER-GRAIN rollup instead of a
+    # second full events scan (the old broadcast-anchor crossJoin put an
+    # events-wide agg subtree beside the main groupBy — two scans of the
+    # fact table in one job). The anchor agg doubles as the lazy
+    # checkpoint's materializing action: one job, one events scan.
+    rollup = (
+        e.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("monetary"),
-            (
-                F.unix_timestamp(F.first("max_ts"))
-                - F.unix_timestamp(F.max("ts"))
-            ).alias("recency_s"),
+            F.max("ts").alias("_last_ts"),
         )
-        .select(
-            "user_id",
-            "recency_s",
-            "frequency",
-            "monetary",
-            (-F.col("frequency")).cast("double").alias("_negf"),
-            (-F.col("monetary")).alias("_negm"),
-        )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
+    )
+    anchor_ts = rollup.agg(F.max("_last_ts")).collect()[0][0]
+    per_user = rollup.select(
+        "user_id",
+        (
+            F.unix_timestamp(F.lit(anchor_ts))
+            - F.unix_timestamp("_last_ts")
+        ).alias("recency_s"),
+        "frequency",
+        "monetary",
+        (-F.col("frequency")).cast("double").alias("_negf"),
+        (-F.col("monetary")).alias("_negm"),
     )
     # ONE boundary-sampling action for all three tile keys (VERDICT r06
     # #5): approxQuantile accepts a column list, so the three boundary

@@ -987,11 +987,13 @@ def mutation_manifest_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     m = t._manifest(t.latest_version())
     total_files = sum(len(fs) for fs in m.get("file_stats", {}).values())
 
+    # r13 (guide §1.2/§5): ask the PLANNER how many files each probe
+    # rectangle plans (planned_paths — pure manifest arithmetic, zero
+    # Spark jobs) instead of scanning the survivors to count them via
+    # input_file_name(), which paid a full probe-scan job per assert and
+    # measured post-residual-filter participation rather than pruning.
     def planned_files(ranges):
-        got = t.read_where(ranges)
-        return (
-            got.select(F.input_file_name()).distinct().count()
-        )
+        return len(t.planned_paths(ranges))
 
     nx = planned_files([("o_custkey", 100, 200)])
     ny = planned_files([("o_totalprice", 50000.0, 100000.0)])
