@@ -33,6 +33,23 @@ class ConcurrentWriteError(RuntimeError):
     (optimistic-concurrency conflict — re-read and retry)."""
 
 
+def _parse_bytes(v: str, default: int) -> int:
+    """Parse a Spark byte-size conf string ('64m', '256MB', '1g',
+    bare bytes) to an int; fall back to ``default`` on anything odd."""
+    try:
+        s = str(v).strip().lower()
+        for suf, mult in (
+            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+            ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+            ("g", 1 << 30), ("t", 1 << 40), ("b", 1),
+        ):
+            if s.endswith(suf):
+                return int(float(s[: -len(suf)]) * mult)
+        return int(s)
+    except Exception:
+        return default
+
+
 def _reject_ambiguous_merge_source(source: DataFrame, key: str) -> None:
     """Delta's merge contract: a target row matched by MULTIPLE source
     rows is an error, not a silent row multiplication (the full-outer
@@ -370,6 +387,8 @@ class ManifestVersionedTable:
         cluster_by: list[str] | None = None,
         files_per_bucket: int = 8,
         n_buckets: int | None = None,
+        total_rows: int | None = None,
+        total_bytes: int | None = None,
     ) -> dict[str, list[str]]:
         """Write df hash-partitioned by bucket under a fresh commit dir;
         return {bucket: [dir]} for the buckets that produced data (the
@@ -410,21 +429,71 @@ class ManifestVersionedTable:
                     out_df = out_df.withColumn(name, c)
                     tmp.append(name)
                     sort_cols.append(F.col(name))
-            # explicit partition count: n_buckets × files_per_bucket range
-            # partitions split each bucket's data into ~files_per_bucket
-            # cluster-column slices — without it the range shuffle
-            # coalesces to ~one file per bucket, each spanning the full
-            # cluster range, and file-grain pruning goes blind (measured:
-            # 8/9 files "pruned" for a 10% range probe vs 2/65 with it)
-            out_df = out_df.repartitionByRange(
-                (self.n_buckets if n_buckets is None else n_buckets)
-                * files_per_bucket,
-                F.col("mvt_bucket"),
-                *sort_cols,
-            ).sortWithinPartitions(F.col("mvt_bucket"), *sort_cols)
+            nb = self.n_buckets if n_buckets is None else n_buckets
+            if total_rows is not None:
+                # r13 (guide §2.2/§6): SCALE-ADAPTIVE range-partition
+                # count instead of a hard nb × files_per_bucket fan-out.
+                # The shuffle still range-partitions on (bucket, cluster
+                # cols) — balanced splits, the same shape Delta's
+                # OPTIMIZE ZORDER shuffles — but the partition count is
+                # derived from the input's FOOTER-measured bytes
+                # (ceil(bytes / advisoryPartitionSize), floored at the
+                # session's default parallelism, capped at nb × fpb), so
+                # a small table stops paying hundreds of task launches
+                # for kilobyte slices while a 100 TB compaction keeps
+                # the full fan-out. File count per bucket is preserved
+                # INDEPENDENTLY of the partition count by a
+                # maxRecordsPerFile target (total_rows / (nb × fpb)):
+                # a rolling writer over partition-sorted rows cuts
+                # CONTIGUOUS cluster ranges, so file-grain pruning
+                # bounds stay exactly as tight. total_rows/total bytes
+                # are physical footer counts; outstanding DV marks make
+                # the per-file target slightly generous, never wrong
+                # (it is a size target, not a contract).
+                import math as _math
+
+                per_file = max(
+                    1, _math.ceil(total_rows / (nb * files_per_bucket))
+                )
+                spark = out_df.sparkSession
+                adv = _parse_bytes(
+                    spark.conf.get(
+                        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                        "64m",
+                    ),
+                    64 * 1024 * 1024,
+                )
+                par = spark.sparkContext.defaultParallelism
+                n_parts = min(
+                    nb * files_per_bucket,
+                    max(par, _math.ceil((total_bytes or 0) / adv), 1),
+                )
+                out_df = out_df.repartitionByRange(
+                    n_parts, F.col("mvt_bucket"), *sort_cols
+                ).sortWithinPartitions(F.col("mvt_bucket"), *sort_cols)
+                writer_opts = {"maxRecordsPerFile": str(per_file)}
+            else:
+                # explicit partition count: n_buckets × files_per_bucket
+                # range partitions split each bucket's data into
+                # ~files_per_bucket cluster-column slices — without it
+                # the range shuffle coalesces to ~one file per bucket,
+                # each spanning the full cluster range, and file-grain
+                # pruning goes blind (measured: 8/9 files "pruned" for a
+                # 10% range probe vs 2/65 with it)
+                out_df = out_df.repartitionByRange(
+                    nb * files_per_bucket,
+                    F.col("mvt_bucket"),
+                    *sort_cols,
+                ).sortWithinPartitions(F.col("mvt_bucket"), *sort_cols)
+                writer_opts = {}
             for name in tmp:
                 out_df = out_df.drop(name)  # projection: order preserved
-        out_df.write.partitionBy("mvt_bucket").parquet(commit_dir)
+        else:
+            writer_opts = {}
+        writer = out_df.write
+        for k, v in writer_opts.items():
+            writer = writer.option(k, v)
+        writer.partitionBy("mvt_bucket").parquet(commit_dir)
         rel_commit = os.path.relpath(commit_dir, self.path)
         out: dict[str, list[str]] = {}
         for name in os.listdir(commit_dir):
@@ -710,6 +779,30 @@ class ManifestVersionedTable:
             )
             dir_stats[name] = [self._stat_encode(dmin), self._stat_encode(dmax)]
         return dir_stats, per_file
+
+    def _manifest_size(self, manifest: dict) -> tuple[int, int]:
+        """(total physical rows, total on-disk bytes) across the
+        manifest's data files — rows from parquet footer metadata, bytes
+        from the filesystem; driver-side O(files), the same access
+        pattern (and page-cache locality) as ``_harvest_stats``; on a
+        real cluster the identical footer read distributes as a Spark
+        job over the file list. Outstanding deletion-vector marks are
+        not subtracted: callers use this to SIZE output (partition
+        counts, maxRecordsPerFile targets), where a slightly generous
+        target is harmless and a data scan to refine it would cost more
+        than it saves."""
+        import pyarrow.parquet as pq
+
+        rows = 0
+        nbytes = 0
+        for d in self._all_dirs(manifest):
+            ad = self._abs(d)
+            for fname in os.listdir(ad):
+                if fname.endswith(".parquet"):
+                    fp = os.path.join(ad, fname)
+                    rows += pq.ParquetFile(fp).metadata.num_rows
+                    nbytes += os.path.getsize(fp)
+        return rows, nbytes
 
     def _commit_with_stats(
         self,
@@ -2607,6 +2700,19 @@ class ManifestVersionedTable:
                 current,
                 cluster_by=cluster,
                 files_per_bucket=files_per_bucket,
+                # footer-measured size target -> adaptive partition
+                # count + rolling per-file record split (see
+                # _write_buckets)
+                **(
+                    dict(
+                        zip(
+                            ("total_rows", "total_bytes"),
+                            self._manifest_size(manifest),
+                        )
+                    )
+                    if cluster
+                    else {}
+                ),
             ),
             "txn_app": None,
             "txn_version": None,

@@ -23,6 +23,7 @@ from pucminas_data_pipelines_spark.session import get_spark
 
 TIMES: dict[str, float] = defaultdict(float)
 CALLS: dict[str, int] = defaultdict(int)
+PER_CALL: dict[str, list] = defaultdict(list)
 
 
 def _wrap(obj, name: str, label: str) -> None:
@@ -34,8 +35,10 @@ def _wrap(obj, name: str, label: str) -> None:
         try:
             return fn(*a, **kw)
         finally:
-            TIMES[label] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            TIMES[label] += dt
             CALLS[label] += 1
+            PER_CALL[label].append(dt)
 
     setattr(obj, name, timed)
 
@@ -97,6 +100,7 @@ def main() -> None:
         fn(spark, sf_dir).count()
     TIMES.clear()
     CALLS.clear()
+    PER_CALL.clear()
 
     for i in range(runs):
         t0 = time.perf_counter()
@@ -104,7 +108,8 @@ def main() -> None:
         print(f"run {i}: total {time.perf_counter() - t0:.3f}s")
 
     for label, sec in sorted(TIMES.items(), key=lambda kv: -kv[1]):
-        print(f"  {sec / runs:7.3f}s  x{CALLS[label] / runs:<4.0f} {label}")
+        per = " ".join(f"{d:.2f}" for d in PER_CALL.get(label, [])[:16])
+        print(f"  {sec / runs:7.3f}s  x{CALLS[label] / runs:<4.0f} {label}  [{per}]")
     spark.stop()
 
 
