@@ -271,6 +271,66 @@ def range_ntile(
     )
 
 
+def grouped_range_ntile(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+    out: str = "tile",
+    bucket_col: str = _BUCKET,
+) -> DataFrame:
+    """Several independent global NTILE(k)s in ONE two-pass subtree:
+    :func:`range_ntile`'s scheme with every key extended by a GROUP
+    column, for inputs where the ntile targets are stacked as rows
+    (e.g. the three RFM metrics unpivoted to (user, metric, value)).
+    One bucket-partials exchange, one bases window (per-group, still
+    <= groups × n_buckets rows), one broadcast join and one placement
+    window replace one full subtree PER metric — same bytes through the
+    placement window, 1/Nth the stage launches and input passes.
+
+    The caller supplies the per-row bucket id column (``bucket_col``):
+    per-group boundary lists are caller knowledge (one
+    :func:`compute_boundaries` action covers all groups), and the bucket
+    assignment is a row-local CASE over them. Tile semantics per group
+    are identical to range_ntile's closed form — verified against the
+    per-tile shape by the events_rfm_segmentation oracle."""
+    partials = df.groupBy(group_col, bucket_col).agg(
+        F.count(F.lit(1)).alias("_p_n")
+    )
+    wb = Window.partitionBy(group_col).orderBy(bucket_col)
+    bases = partials.select(
+        group_col,
+        bucket_col,
+        F.coalesce(
+            F.sum("_p_n").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_base_n"),
+        F.sum("_p_n")
+        .over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("_n_total"),
+    )
+    wloc = Window.partitionBy(group_col, bucket_col).orderBy(*order_cols)
+    grn = (
+        F.row_number().over(wloc) + F.coalesce(F.col("_base_n"), F.lit(0))
+    ).cast("bigint")
+    q = F.floor(F.col("_n_total") / k)
+    r = F.col("_n_total") % k
+    big = r * (q + F.lit(1))
+    tile = (
+        F.when(F.col("_grn") <= big, F.ceil(F.col("_grn") / (q + F.lit(1))))
+        .otherwise(r + F.ceil((F.col("_grn") - big) / q))
+        .cast("int")
+    )
+    return (
+        df.join(F.broadcast(bases), [group_col, bucket_col], "left")
+        .withColumn("_grn", grn)
+        .withColumn(out, tile)
+        .drop(bucket_col, "_base_n", "_n_total", "_grn")
+    )
+
+
 def range_lead(
     df: DataFrame,
     order_cols: list[str],

@@ -1069,48 +1069,51 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = ORD.compute_boundaries(
         per_user, ["recency_s", "_negf", "_negm"], n_buckets=32
     )
-    # three INDEPENDENT tile columns, each over the checkpointed rollup
-    # (chaining them would put each ntile's window on top of the
-    # previous ntile's window), joined back on user_id
-    r = ORD.range_ntile(
-        per_user.select("user_id", "recency_s"),
-        ["recency_s", "user_id"],
-        "recency_s",
-        4,
-        out="r_score",
-        boundaries=bl["recency_s"],
-    ).select("user_id", "r_score")
-    f = ORD.range_ntile(
-        per_user.select("user_id", "_negf"),
-        ["_negf", "user_id"],
-        "_negf",
-        4,
-        out="f_score",
-        boundaries=bl["_negf"],
-    ).select("user_id", "f_score")
-    m = ORD.range_ntile(
-        per_user.select("user_id", "_negm"),
-        ["_negm", "user_id"],
-        "_negm",
-        4,
-        out="m_score",
-        boundaries=bl["_negm"],
-    ).select("user_id", "m_score")
-    # stitch the three tile columns with ONE user_id-keyed aggregation
-    # over the tagged union instead of a 3-way join (r13, guide §2.4):
-    # the join planned as sort-merge — the checkpointed rollup carries
-    # no size stats — costing three user_id exchanges plus sorts; the
-    # union's single groupBy exchange moves the same 3×|users| narrow
-    # rows, shuffle-count-minimal at any user count (measured result-
-    # equal and time-neutral at sf0.1, strictly fewer exchanges).
-    u = (
-        r.select("user_id", F.lit("r").alias("_k"), F.col("r_score").alias("_s"))
-        .unionByName(
-            f.select("user_id", F.lit("f").alias("_k"), F.col("f_score").alias("_s"))
-        )
-        .unionByName(
-            m.select("user_id", F.lit("m").alias("_k"), F.col("m_score").alias("_s"))
-        )
+    # r14 (guide §2.4): the three tile computations share ONE two-pass
+    # NTILE subtree. The r13 shape ran range_ntile PER metric — three
+    # rollup passes, three partials exchanges, three placement windows —
+    # and only stitched the outputs. Here the metrics unpivot ROW-LOCALLY
+    # to (user_id, _k, _v), the per-metric range bucket is one CASE over
+    # the three boundary lists (still literals from the single
+    # compute_boundaries action above), and grouped_range_ntile
+    # (operators/ordered.py) runs the partials + bases + placement once
+    # with every key extended by _k. Identical tiles: per metric the
+    # order (_v, user_id) equals the old (metric, user_id) order —
+    # recency_s is an exact int-in-double, _negf/_negm were double
+    # already.
+    def _bucket_case(v):
+        pid = None
+        for key, col in (("r", "recency_s"), ("f", "_negf"), ("m", "_negm")):
+            bounds = sorted({float(x) for x in bl[col] if x == x})
+            if bounds:
+                arr = F.array(*[F.lit(b) for b in bounds])
+                expr = F.when(F.isnan(v), F.lit(len(bounds))).otherwise(
+                    F.size(F.filter(arr, lambda b: b < v))
+                )
+            else:
+                expr = F.lit(0)
+            pid = (
+                F.when(F.col("_k") == key, expr)
+                if pid is None
+                else pid.when(F.col("_k") == key, expr)
+            )
+        return pid
+    stacked = per_user.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("_k"),
+                    F.col("recency_s").cast("double").alias("_v"),
+                ),
+                F.struct(F.lit("f").alias("_k"), F.col("_negf").alias("_v")),
+                F.struct(F.lit("m").alias("_k"), F.col("_negm").alias("_v")),
+            )
+        ).alias("_e"),
+    ).select("user_id", "_e._k", "_e._v")
+    stacked = stacked.withColumn("_rb", _bucket_case(F.col("_v").cast("double")))
+    u = ORD.grouped_range_ntile(
+        stacked, "_k", ["_v", "user_id"], 4, out="_s", bucket_col="_rb"
     )
     scored = u.groupBy("user_id").agg(
         F.max(F.when(F.col("_k") == "r", F.col("_s"))).alias("r_score"),

@@ -70,6 +70,63 @@ def test_range_ntile_matches_global_window(spark, skewed, k):
     )
 
 
+@pytest.mark.parametrize("k", [1, 4, 200])
+def test_grouped_range_ntile_matches_per_group_global_window(spark, skewed, k):
+    # Stack the same skewed table under three group tags with different
+    # orderings per group (mirrors the RFM unpivot: value asc / negated)
+    # and check every group's tiles against a per-group global NTILE.
+    stacked = skewed.select(
+        "id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("_g"), F.col("k").alias("_v")),
+                F.struct(F.lit("b").alias("_g"), (-F.col("k")).alias("_v")),
+                F.struct(
+                    F.lit("c").alias("_g"), F.col("v").cast("double").alias("_v")
+                ),
+            )
+        ).alias("_e"),
+    ).select("id", "_e._g", "_e._v")
+    bounds = {
+        g: ORD.compute_boundaries(
+            stacked.where(F.col("_g") == g).select("_v"), ["_v"], n_buckets=5
+        )["_v"]
+        for g in ("a", "b", "c")
+    }
+    pid = None
+    for g in ("a", "b", "c"):
+        bs = sorted({float(x) for x in bounds[g] if x == x})
+        expr = (
+            F.size(
+                F.filter(
+                    F.array(*[F.lit(b) for b in bs]), lambda b: b < F.col("_v")
+                )
+            )
+            if bs
+            else F.lit(0)
+        )
+        pid = (
+            F.when(F.col("_g") == g, expr)
+            if pid is None
+            else pid.when(F.col("_g") == g, expr)
+        )
+    got = (
+        ORD.grouped_range_ntile(
+            stacked.withColumn("_rb", pid), "_g", ["_v", "id"], k, out="tile",
+            bucket_col="_rb",
+        )
+        .select("_g", "id", "tile")
+        .collect()
+    )
+    w = Window.partitionBy("_g").orderBy("_v", "id")
+    want = stacked.select(
+        "_g", "id", F.ntile(k).over(w).alias("tile")
+    ).collect()
+    assert sorted((r._g, r.id, r.tile) for r in got) == sorted(
+        (r._g, r.id, r.tile) for r in want
+    )
+
+
 def test_range_lead_matches_global_window(spark, skewed):
     got = (
         ORD.range_lead(skewed, ["k", "id"], "id", "k", n_buckets=5, out="nx")
